@@ -1,0 +1,210 @@
+"""``ecc_match`` pipeline — ECC-aligned burst stacking.
+
+Counterpart of the reference's ``ecc_match`` dispatcher and its two
+pipelines (``src/lib.rs:702-717``, ``ecc_match_no_scaling``
+src/lib.rs:719-847, ``ecc_match_scaling_down`` src/lib.rs:849-1028),
+redesigned TPU-first:
+
+- frames are decoded on host into one ``[N,H,W,3] uint8`` tensor and
+  shipped to HBM once;
+- grayscale conversion, optional INTER_AREA scale-down, batched ECC
+  solve, full-res warp and stack accumulation all run as jitted device
+  programs over the whole burst (the Rayon fold/reduce at
+  src/lib.rs:746-833 becomes a masked mean over the frame axis);
+- the per-frame ECC convention is preserved exactly: template = current
+  frame's grey, input = frame 0's grey (src/lib.rs:769-777), then the
+  resulting warp is applied *forward* (non-inverse) to the current
+  frame (src/lib.rs:780-803) with BORDER_CONSTANT 0;
+- normalisation divides by the total frame count (src/lib.rs:837), and
+  any per-frame ECC failure raises ProcessingError like the reference's
+  ``?`` abort — or drops the frame when ``on_failure="drop"`` (flagged
+  deviation, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import InvalidParamsError, NotEnoughFilesError, ProcessingError
+from ..params import EccMatchParameters, MotionType
+from ..ops import color, ecc as ecc_ops, resize, warp
+from ..utils import io
+
+
+def _adjust_warp_for_scale(
+    warps: jnp.ndarray,
+    motion_type: MotionType,
+    small_hw,
+    full_hw,
+) -> jnp.ndarray:
+    """Upscale warp matrices estimated on scaled-down frames.
+
+    Non-homography: scale the translation column by full/small ratios
+    (ref src/lib.rs:941-951).  Homography: the f32 variant of
+    ``adjust_homography_for_scale`` (ref src/lib.rs:952-958,
+    src/utils.rs:218-248)."""
+    sx = full_hw[1] / small_hw[1]
+    sy = full_hw[0] / small_hw[0]
+    if motion_type != MotionType.Homography:
+        return warps.at[..., 0, 2].mul(sx).at[..., 1, 2].mul(sy)
+    w = warps
+    w = w.at[..., 0, 2].mul(sx)
+    w = w.at[..., 1, 2].mul(sy)
+    w = w.at[..., 2, 0].divide(sx)
+    w = w.at[..., 2, 1].divide(sy)
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("scale_hw",))
+def _ecc_grey_jit(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
+    """Stage 1: grayscale (raw 0..255 f32) + optional INTER_AREA
+    scale-down of the whole burst."""
+    grey = color.rgb_to_gray_u8(frames_u8).astype(jnp.float32)
+    if scale_hw is not None:
+        grey = resize.resize(grey, scale_hw, interpolation=3)
+    return grey
+
+
+@functools.partial(
+    jax.jit, static_argnames=("motion_type", "scale_hw")
+)
+def _ecc_warp_accumulate_jit(
+    frames_u8: jnp.ndarray,
+    warps: jnp.ndarray,
+    oks: jnp.ndarray,
+    motion_type: MotionType,
+    scale_hw: Optional[tuple] = None,
+):
+    """Stage 3: rescale warps if estimated on scaled greys
+    (ref src/lib.rs:941-958), warp every frame onto frame 0's grid
+    (forward application, BORDER_CONSTANT 0 — ref src/lib.rs:780-803),
+    masked sum over frames."""
+    h, w = frames_u8.shape[1], frames_u8.shape[2]
+    frames_f32 = color.u8_to_f32(frames_u8)
+    if scale_hw is not None:
+        warps = _adjust_warp_for_scale(warps, motion_type, scale_hw, (h, w))
+    perspective = motion_type == MotionType.Homography
+
+    def warp_one(frame, m):
+        if perspective:
+            return warp.warp_perspective(
+                frame, m, (h, w), border_mode="constant", border_value=0.0
+            )
+        return warp.warp_affine(
+            frame, m[:2], (h, w), border_mode="constant", border_value=0.0
+        )
+
+    warped = jax.vmap(warp_one)(frames_f32[1:], warps)
+    valid = oks.astype(jnp.float32)[:, None, None, None]
+    return frames_f32[0] + jnp.sum(warped * valid, axis=0)
+
+
+def ecc_stack_step_graph(
+    frames_u8: jnp.ndarray,
+    motion_type: MotionType,
+    num_iters: int,
+    eps: float,
+    gauss_filt_size: int,
+):
+    """Fully in-graph align+stack step (jittable end to end) — used for
+    compile checks and small workloads; production pipelines go through
+    the host-slabbed path in :func:`ecc_match_arrays`."""
+    n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
+    grey = color.rgb_to_gray_u8(frames_u8).astype(jnp.float32)
+    result = ecc_ops.find_transform_ecc_batched_graph(
+        grey[1:], grey[0],
+        motion_type=motion_type, num_iters=num_iters, eps=eps,
+        gauss_filt_size=gauss_filt_size,
+    )
+    stacked_sum = _ecc_warp_accumulate_jit(
+        frames_u8, result.warp_matrix, result.ok, motion_type=motion_type
+    )
+    return stacked_sum, result.ok, result.rho, result.num_iters
+
+
+def ecc_match_arrays(
+    frames: np.ndarray,
+    params: EccMatchParameters,
+    scale_down_width: Optional[float] = None,
+    on_failure: str = "raise",
+):
+    """Array-based ``ecc_match``: ``frames`` is ``[N,H,W,3] uint8`` RGB.
+
+    Returns the stacked ``[H,W,3] float32`` RGB image in [0,1]
+    (frame 0's grid), like the reference returns a CV_32F Mat
+    (src/lib.rs:836-846).
+    """
+    params.validate()
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise InvalidParamsError(
+            f"frames must be [N,H,W,3] uint8, got {frames.shape}"
+        )
+    n, h, w = frames.shape[:3]
+    if n == 0:
+        raise NotEnoughFilesError()
+    num_iters, eps = params.resolve_criteria()
+
+    scale_hw = None
+    if scale_down_width is not None:
+        if scale_down_width >= w:
+            raise InvalidParamsError(
+                "scale_down_to was larger (or equal) to the full image "
+                f"width: full_size:{w}, scale_down_to:{scale_down_width}"
+            )
+        if scale_down_width <= 10.0:
+            raise InvalidParamsError(
+                f"scale_down_to was too small scale_down_to:{scale_down_width}"
+            )
+        scale_hw = resize.scale_image_size(h, w, scale_down_width)
+
+    frames_j = jnp.asarray(frames)
+    grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
+    result = ecc_ops.find_transform_ecc_batched(
+        grey[1:],
+        grey[0],
+        motion_type=params.motion_type,
+        num_iters=num_iters,
+        eps=eps,
+        gauss_filt_size=params.gauss_filt_size,
+    )
+    stacked_sum = _ecc_warp_accumulate_jit(
+        frames_j,
+        result.warp_matrix,
+        result.ok,
+        motion_type=params.motion_type,
+        scale_hw=scale_hw,
+    )
+    ok = result.ok
+    ok = np.asarray(ok)
+    if not ok.all():
+        bad = np.nonzero(~ok)[0] + 1
+        if on_failure == "raise":
+            raise ProcessingError(
+                "findTransformECC failed to converge for frames "
+                f"{bad.tolist()} (NaN correlation or non-positive lambda "
+                "denominator)"
+            )
+        # drop mode: failed frames contributed nothing to the sum
+        count = 1 + int(ok.sum())
+        return np.asarray(stacked_sum) / count
+    return np.asarray(stacked_sum) / n
+
+
+def ecc_match(
+    files: Sequence,
+    params: EccMatchParameters,
+    scale_down_width: Optional[float] = None,
+    on_failure: str = "raise",
+):
+    """Align and stack image files with ECC (ref src/lib.rs:702-717).
+
+    Returns the stacked ``[H,W,3] float32`` RGB image in [0,1].
+    """
+    frames = io.load_frames(files)
+    return ecc_match_arrays(frames, params, scale_down_width, on_failure)

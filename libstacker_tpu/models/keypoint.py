@@ -1,0 +1,202 @@
+"""``keypoint_match`` pipeline — ORB/RANSAC-aligned burst stacking.
+
+Counterpart of the reference's dispatcher and two pipelines
+(``keypoint_match`` src/lib.rs:129-144, ``keypoint_match_no_scale``
+src/lib.rs:146-353, ``keypoint_match_scale_down`` src/lib.rs:355-601),
+redesigned TPU-first: one batched device program runs ORB on every
+frame, Hamming-matmul 2-NN matching against frame 0, ratio/sort/keep
+filtering, vectorised RANSAC homography, full-res perspective warps and
+a masked mean over the frame axis.
+
+Per-frame drop semantics preserved (SURVEY.md §2c fault tolerance):
+frames with < 5 surviving matches (src/lib.rs:240-242), failed or
+non-3x3 homographies, or |det H| < 1e-6 (src/lib.rs:279-287) are
+dropped and counted.  Deviation (documented, SURVEY.md §3.1 quirk): the
+reference's Rayon fold can nondeterministically seed a dropped-frame
+accumulator with an extra copy of frame 0; we use the deterministic
+semantics — dropped frames contribute nothing, the divisor is the
+number of kept frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..errors import InvalidParamsError, NotEnoughFilesError, ProcessingError
+from ..params import KeyPointMatchParameters
+from ..ops import color, matcher, orb, ransac, resize, warp
+from ..utils import io
+
+
+def _adjust_h_for_scale(h: jnp.ndarray, small_hw, full_hw) -> jnp.ndarray:
+    """Rescale a homography estimated on scaled frames to full resolution
+    (ref src/utils.rs:218-248: h[0,2]*=sx, h[1,2]*=sy, h[2,0]/=sx,
+    h[2,1]/=sy)."""
+    sx = full_hw[1] / small_hw[1]
+    sy = full_hw[0] / small_hw[0]
+    h = h.at[..., 0, 2].mul(sx)
+    h = h.at[..., 1, 2].mul(sy)
+    h = h.at[..., 2, 0].divide(sx)
+    h = h.at[..., 2, 1].divide(sy)
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("scale_hw",))
+def _grey_and_detect(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
+    """Stage 1: grayscale (+ optional INTER_AREA scale-down) and batched
+    ORB detection/description over all frames."""
+    grey = color.rgb_to_gray_u8(frames_u8)
+    if scale_hw is not None:
+        grey = resize.resize(grey, scale_hw, constants.INTER_AREA)
+    return jax.vmap(orb.orb_detect_and_compute)(grey)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "num_hypotheses")
+)
+def _match_and_estimate(
+    feats,
+    key: jax.Array,
+    method: int,
+    ransac_reproj_threshold: float,
+    match_keep_ratio: float,
+    match_ratio: float,
+    num_hypotheses: int = 512,
+):
+    """Stage 2: Hamming 2-NN matching against frame 0 + ratio/sort/keep
+    filtering + vectorised RANSAC homography, vmapped over frames 1..N-1.
+
+    Returns (hs [N-1,3,3], oks [N-1], match_counts, inlier_counts)."""
+    q_desc = feats.descriptors[0]
+    q_valid = feats.valid[0]
+    q_xy = feats.xy[0]
+    n = feats.descriptors.shape[0]
+
+    def match_one(i_desc, i_valid, i_xy, subkey):
+        knn = matcher.knn_match2(q_desc, i_desc, q_valid, i_valid)
+        filt = matcher.ratio_filter_sort_keep(knn, match_ratio, match_keep_ratio)
+        src = q_xy[filt.query_idx]  # frame-0 points (match.query)
+        dst = i_xy[filt.train_idx]  # frame-i points (match.train)
+        enough = filt.count >= 5  # ref src/lib.rs:240-242
+        # find_homography(dst_pts, src_pts): H maps frame-i -> frame-0
+        res = ransac.find_homography(
+            dst,
+            src,
+            filt.keep,
+            subkey,
+            method=method,
+            reproj_threshold=ransac_reproj_threshold,
+            num_hypotheses=num_hypotheses,
+        )
+        det = jnp.linalg.det(res.h)
+        ok = enough & res.ok & (jnp.abs(det) >= 1e-6)  # ref src/lib.rs:279-287
+        return res.h, ok, filt.count, res.num_inliers
+
+    subkeys = jax.random.split(key, n - 1)
+    return jax.vmap(match_one)(
+        feats.descriptors[1:], feats.valid[1:], feats.xy[1:], subkeys
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("border_mode", "scale_hw")
+)
+def _warp_and_accumulate(
+    frames_u8: jnp.ndarray,
+    hs: jnp.ndarray,
+    oks: jnp.ndarray,
+    border_mode: int,
+    border_value,
+    scale_hw: Optional[tuple] = None,
+):
+    """Stage 3: rescale the homographies if estimated on scaled frames,
+    perspective-warp every frame to frame 0's grid, masked sum."""
+    h, w = frames_u8.shape[1], frames_u8.shape[2]
+    frames_f32 = color.u8_to_f32(frames_u8)
+    if scale_hw is not None:
+        hs = _adjust_h_for_scale(hs, scale_hw, (h, w))
+
+    def warp_one(frame, hmat):
+        return warp.warp_perspective(
+            frame,
+            hmat,
+            (h, w),
+            border_mode=border_mode,
+            border_value=jnp.asarray(border_value[:3], jnp.float32),
+        )
+
+    warped = jax.vmap(warp_one)(frames_f32[1:], hs)
+    valid = oks.astype(jnp.float32)[:, None, None, None]
+    return frames_f32[0] + jnp.sum(warped * valid, axis=0)
+
+
+def keypoint_match_arrays(
+    frames: np.ndarray,
+    params: KeyPointMatchParameters = KeyPointMatchParameters(),
+    scale_down_width: Optional[float] = None,
+    seed: int = 0,
+) -> Tuple[int, np.ndarray]:
+    """Array-based ``keypoint_match``: ``frames`` is ``[N,H,W,3] uint8``
+    RGB.  Returns ``(dropped_count, stacked [H,W,3] float32 RGB in
+    [0,1])`` like the reference returns ``(i32, Mat)``
+    (src/lib.rs:129-144)."""
+    params.validate()
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise InvalidParamsError(f"frames must be [N,H,W,3] uint8, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    if n == 0:
+        raise NotEnoughFilesError()
+
+    scale_hw = None
+    if scale_down_width is not None:
+        if scale_down_width >= w:
+            raise InvalidParamsError(
+                "scale_down_to was larger (or equal) to the full image "
+                f"width: full_size:{w}, scale_down_to:{scale_down_width}"
+            )
+        scale_hw = resize.scale_image_size(h, w, scale_down_width)
+
+    if n == 1:
+        return 0, frames[0].astype(np.float32) / 255.0
+
+    frames_j = jnp.asarray(frames)
+    feats = _grey_and_detect(frames_j, scale_hw=scale_hw)
+    hs, oks, mcounts, icounts = _match_and_estimate(
+        feats,
+        jax.random.PRNGKey(seed),
+        method=params.method,
+        ransac_reproj_threshold=params.ransac_reproj_threshold,
+        match_keep_ratio=params.match_keep_ratio,
+        match_ratio=params.match_ratio,
+    )
+    stacked_sum = _warp_and_accumulate(
+        frames_j,
+        hs,
+        oks,
+        border_mode=params.border_mode,
+        border_value=tuple(params.border_value),
+        scale_hw=scale_hw,
+    )
+    oks = np.asarray(oks)
+    kept = 1 + int(oks.sum())
+    dropped = int((~oks).sum())
+    return dropped, np.asarray(stacked_sum) / kept
+
+
+def keypoint_match(
+    files: Sequence,
+    params: KeyPointMatchParameters = KeyPointMatchParameters(),
+    scale_down_width: Optional[float] = None,
+    seed: int = 0,
+) -> Tuple[int, np.ndarray]:
+    """Align and stack image files by ORB keypoint matching
+    (ref src/lib.rs:129-144)."""
+    frames = io.load_frames(files)
+    return keypoint_match_arrays(frames, params, scale_down_width, seed)

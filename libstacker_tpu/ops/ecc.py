@@ -1,0 +1,453 @@
+"""Batched Enhanced Correlation Coefficient (ECC) alignment engine.
+
+TPU-native re-implementation of OpenCV's ``findTransformECC``
+(Evangelidis & Psarakis, PAMI 2008) — the reference's dominant hot loop
+(SURVEY.md N9; call sites ref src/lib.rs:769-777, 931-939).  Where the
+reference runs one iterative C++ solver per Rayon thread, this engine is
+**one batched JAX program**: a ``lax.while_loop`` with per-frame
+convergence masking, ``vmap``-ed over the frame axis, so every iteration
+is dense VPU/MXU work over the whole burst.
+
+Faithfulness to OpenCV ecc.cpp:
+- Gaussian pre-filter of template and input with ``gauss_filt_size``
+  (sigma 0 -> OpenCV's fixed small kernels / derived sigma).
+- Input-image gradients with the [-0.5, 0, 0.5] central-difference
+  filter (reflect-101 border).
+- Per iteration: inverse-map warps of image and gradients onto the
+  template grid, an INTER_NEAREST-warped validity mask, masked
+  zero-mean statistics, the motion-specific Jacobian, Gauss-Newton
+  style update via the 8x8 (or smaller) projected Hessian, and the
+  ``|rho - last_rho| < eps`` termination test evaluated at loop top.
+- Failure cases (NaN rho, lambda_d <= 0) are reported per frame via an
+  ``ok`` flag instead of aborting the batch (flagged deviation: the
+  reference aborts the whole stack, SURVEY.md §5).
+
+Motion models: Translation (2 dof), Euclidean (3), Affine (6),
+Homography (8) — parameter ordering and update rules match OpenCV's
+``update_warping_matrix_ECC`` exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..params import MotionType
+from . import filters, warp
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# Iterations per while_loop chunk: early exit happens at chunk
+# granularity (<= _CHUNK_ITERS - 1 wasted masked iterations).
+_CHUNK_ITERS = 8
+
+
+class EccResult(NamedTuple):
+    rho: jnp.ndarray  # correlation coefficient, [] or [N]
+    warp_matrix: jnp.ndarray  # [2,3] or [3,3] (batched: leading N)
+    ok: jnp.ndarray  # bool, False if the solver hit an OpenCV error case
+    num_iters: jnp.ndarray  # iterations actually executed
+
+
+def identity_warp(motion_type: MotionType, dtype=jnp.float32) -> jnp.ndarray:
+    """Initial warp: eye(2,3) for non-homography, eye(3,3) for homography
+    (ref src/lib.rs:763-767)."""
+    if motion_type == MotionType.Homography:
+        return jnp.eye(3, dtype=dtype)
+    return jnp.eye(2, 3, dtype=dtype)
+
+
+def _as_3x3(m: jnp.ndarray) -> jnp.ndarray:
+    return m if m.shape[-2] == 3 else warp.affine_to_3x3(m)
+
+
+def _masked_mean_std(x: jnp.ndarray, mask: jnp.ndarray, n: jnp.ndarray):
+    mean = jnp.sum(x * mask) / n
+    var = jnp.sum(mask * (x - mean) ** 2) / n
+    return mean, jnp.sqrt(var)
+
+
+def _jacobian_fields(
+    motion_type: MotionType,
+    gxw: jnp.ndarray,
+    gyw: jnp.ndarray,
+    xg: jnp.ndarray,
+    yg: jnp.ndarray,
+    m3: jnp.ndarray,
+) -> jnp.ndarray:
+    """Stack the per-parameter Jacobian images [P, H, W], matching
+    OpenCV's image_jacobian_{translation,euclidean,affine,homo}_ECC."""
+    if motion_type == MotionType.Translation:
+        return jnp.stack([gxw, gyw])
+    if motion_type == MotionType.Euclidean:
+        h0 = m3[0, 0]  # cos(theta)
+        h1 = m3[1, 0]  # sin(theta)
+        hat_x = -xg * h1 - yg * h0
+        hat_y = xg * h0 - yg * h1
+        return jnp.stack([gxw * hat_x + gyw * hat_y, gxw, gyw])
+    if motion_type == MotionType.Affine:
+        return jnp.stack([gxw * xg, gyw * xg, gxw * yg, gyw * yg, gxw, gyw])
+    # Homography
+    h0, h1, h2 = m3[0, 0], m3[1, 0], m3[2, 0]
+    h3, h4, h5 = m3[0, 1], m3[1, 1], m3[2, 1]
+    h6, h7 = m3[0, 2], m3[1, 2]
+    den = xg * h2 + yg * h5 + 1.0
+    inv_den = 1.0 / den
+    hat_x = (xg * h0 + yg * h3 + h6) * inv_den
+    hat_y = (xg * h1 + yg * h4 + h7) * inv_den
+    gxd = gxw * inv_den
+    gyd = gyw * inv_den
+    tmp = hat_x * gxd + hat_y * gyd
+    return jnp.stack(
+        [gxd * xg, gyd * xg, -tmp * xg, gxd * yg, gyd * yg, -tmp * yg, gxd, gyd]
+    )
+
+
+def _update_warp(
+    motion_type: MotionType, m: jnp.ndarray, dp: jnp.ndarray
+) -> jnp.ndarray:
+    """OpenCV update_warping_matrix_ECC parameter ordering."""
+    if motion_type == MotionType.Translation:
+        return m.at[0, 2].add(dp[0]).at[1, 2].add(dp[1])
+    if motion_type == MotionType.Euclidean:
+        new_theta = dp[0] + jnp.arcsin(jnp.clip(m[1, 0], -1.0, 1.0))
+        c, s = jnp.cos(new_theta), jnp.sin(new_theta)
+        return jnp.array(
+            [[c, -s, m[0, 2] + dp[1]], [s, c, m[1, 2] + dp[2]]], dtype=m.dtype
+        )
+    if motion_type == MotionType.Affine:
+        upd = jnp.array(
+            [[dp[0], dp[2], dp[4]], [dp[1], dp[3], dp[5]]], dtype=m.dtype
+        )
+        return m + upd
+    upd = jnp.array(
+        [
+            [dp[0], dp[3], dp[6]],
+            [dp[1], dp[4], dp[7]],
+            [dp[2], dp[5], 0.0],
+        ],
+        dtype=m.dtype,
+    )
+    return m + upd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("motion_type", "num_iters", "gauss_filt_size"),
+)
+def find_transform_ecc(
+    template: jnp.ndarray,
+    input_image: jnp.ndarray,
+    motion_type: MotionType = MotionType.Affine,
+    num_iters: int = 200,
+    eps: float = -1.0,
+    gauss_filt_size: int = 5,
+    warp_init: Optional[jnp.ndarray] = None,
+) -> EccResult:
+    """Estimate the warp aligning ``input_image`` to ``template``.
+
+    Semantics match ``cv2.findTransformECC(template, input, warp, motion,
+    criteria, None, gauss_filt_size)``: the returned matrix ``M`` warps
+    ``input_image`` onto the template grid via dst(x,y) = input(M(x,y))
+    (i.e. the WARP_INVERSE_MAP convention used internally; the caller
+    then applies plain ``warp_affine``/``warp_perspective`` exactly like
+    the reference does at src/lib.rs:780-803).
+
+    ``template`` / ``input_image``: [H,W] uint8 or float (raw 0..255
+    scale, like OpenCV's internal convertTo(CV_32F) without rescaling).
+    """
+    template_f = filters.gaussian_blur(
+        template.astype(jnp.float32), gauss_filt_size
+    )
+    image_f = filters.gaussian_blur(
+        input_image.astype(jnp.float32), gauss_filt_size
+    )
+    dx = (-0.5, 0.0, 0.5)
+    gx = filters.sep_filter2d(image_f, dx, (1.0,), border="reflect101")
+    gy = filters.sep_filter2d(image_f, (1.0,), dx, border="reflect101")
+
+    if warp_init is None:
+        warp_init = identity_warp(motion_type)
+    res, _ = _ecc_loop(
+        template_f,
+        image_f,
+        gx,
+        gy,
+        jnp.asarray(warp_init, dtype=jnp.float32),
+        motion_type,
+        num_iters,
+        eps,
+    )
+    return res
+
+
+def _ecc_loop(
+    template_f: jnp.ndarray,
+    image_f: jnp.ndarray,
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    warp_init: jnp.ndarray,
+    motion_type: MotionType,
+    num_iters: int,
+    eps: float,
+    start_carry=None,
+    slab_iters: Optional[int] = None,
+) -> EccResult:
+    """Core Gauss-Newton iteration.  With ``slab_iters`` set, runs at
+    most that many additional iterations from ``start_carry`` — the
+    building block for host-sliced solving (single long-running device
+    programs trip the TPU runtime watchdog, so pipelines slice the solve
+    into bounded slabs and loop on host)."""
+    hd, wd = template_f.shape
+    hs, ws = image_f.shape
+    xg = jnp.arange(wd, dtype=jnp.float32)[None, :] * jnp.ones(
+        (hd, 1), dtype=jnp.float32
+    )
+    yg = jnp.arange(hd, dtype=jnp.float32)[:, None] * jnp.ones(
+        (1, wd), dtype=jnp.float32
+    )
+    n_params = motion_type.num_params
+    perspective = motion_type == MotionType.Homography
+
+    def warp_to_template(img, m3):
+        if perspective:
+            return warp.warp_perspective(
+                img, m3, (hd, wd), border_mode="constant", border_value=0.0,
+                inverse_map=True,
+            )
+        return warp.warp_affine(
+            img, m3[:2], (hd, wd), border_mode="constant", border_value=0.0,
+            inverse_map=True,
+        )
+
+    def iter_body(carry, _):
+        m, rho, last_rho, it, ok = carry
+        # OpenCV's loop-top termination test: run while iterations remain
+        # AND |rho - last_rho| >= eps AND no failure.  Inactive lanes are
+        # frozen via masking (the chunked-scan form below keeps TPU
+        # compile times sane: a raw gather-in-while_loop pathologically
+        # slows the Mosaic/XLA pipeline).
+        active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
+        if slab_iters is not None:
+            active = active & (it < it_slab_end)
+        m3 = _as_3x3(m)
+        image_warped = warp_to_template(image_f, m3)
+        gxw = warp_to_template(gx, m3)
+        gyw = warp_to_template(gy, m3)
+        mask = warp.warp_valid_mask(m3, (hs, ws), (hd, wd), inverse_map=True)
+        n = jnp.maximum(jnp.sum(mask), 1.0)
+
+        img_mean, img_std = _masked_mean_std(image_warped, mask, n)
+        tmp_mean, tmp_std = _masked_mean_std(template_f, mask, n)
+        # OpenCV subtracts the mean only on masked pixels; unmasked warped
+        # pixels keep their (border-constant) values, template ZM is zeroed.
+        image_zm = jnp.where(mask > 0, image_warped - img_mean, image_warped)
+        template_zm = mask * (template_f - tmp_mean)
+        img_norm = jnp.sqrt(n) * img_std
+        tmp_norm = jnp.sqrt(n) * tmp_std
+
+        jac = _jacobian_fields(motion_type, gxw, gyw, xg, yg, m3)
+        jflat = jac.reshape(n_params, -1)
+        hessian = jnp.matmul(jflat, jflat.T, precision=_HIGHEST)
+        hessian_inv = jnp.linalg.inv(hessian)
+
+        correlation = jnp.sum(template_zm * image_zm)
+        new_rho = correlation / (img_norm * tmp_norm)
+
+        image_proj = jnp.matmul(
+            jflat, image_zm.reshape(-1), precision=_HIGHEST
+        )
+        template_proj = jnp.matmul(
+            jflat, template_zm.reshape(-1), precision=_HIGHEST
+        )
+        image_proj_hess = hessian_inv @ image_proj
+        lambda_n = img_norm * img_norm - jnp.dot(image_proj, image_proj_hess)
+        lambda_d = correlation - jnp.dot(template_proj, image_proj_hess)
+        failed = jnp.isnan(new_rho) | (lambda_d <= 0.0)
+        lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
+
+        error_img = lam * template_zm - image_zm
+        error_proj = jnp.matmul(
+            jflat, error_img.reshape(-1), precision=_HIGHEST
+        )
+        dp = hessian_inv @ error_proj
+        new_m = _update_warp(motion_type, m, dp)
+        new_m = jnp.where(failed, m, new_m)
+
+        upd = active & ~failed
+        out = (
+            jnp.where(upd, new_m, m),
+            jnp.where(
+                active,
+                jnp.where(failed, jnp.float32(-1.0), new_rho.astype(jnp.float32)),
+                rho,
+            ),
+            jnp.where(active, rho, last_rho),
+            jnp.where(active, it + 1, it),
+            ok & ~(active & failed),
+        )
+        return out, None
+
+    def chunk_body(carry):
+        carry, _ = jax.lax.scan(iter_body, carry, None, length=_CHUNK_ITERS)
+        return carry
+
+    def chunk_cond(carry):
+        m, rho, last_rho, it, ok = carry
+        active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
+        if slab_iters is not None:
+            active = active & (it < it_slab_end)
+        return jnp.any(active)
+
+    # `vzero` ties the carry init to the input data so the carry has the
+    # same varying-manual-axes type as the body output under shard_map.
+    vzero = template_f[0, 0] * 0.0
+    if start_carry is None:
+        init = (
+            warp_init + vzero,
+            jnp.float32(-1.0) + vzero,
+            jnp.float32(-eps) + vzero,
+            jnp.int32(0),
+            vzero == 0.0,
+        )
+    else:
+        init = start_carry
+    it_slab_end = init[3] + (slab_iters if slab_iters is not None else 0)
+    carry = jax.lax.while_loop(chunk_cond, chunk_body, init)
+    m, rho, _, it, ok = carry
+    return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it), carry
+
+
+def _prepare_inputs(templates, input_image, gauss_filt_size):
+    image_f = filters.gaussian_blur(
+        input_image.astype(jnp.float32), gauss_filt_size
+    )
+    dx = (-0.5, 0.0, 0.5)
+    gx = filters.sep_filter2d(image_f, dx, (1.0,), border="reflect101")
+    gy = filters.sep_filter2d(image_f, (1.0,), dx, border="reflect101")
+    templates_f = filters.gaussian_blur(
+        templates.astype(jnp.float32), gauss_filt_size
+    )
+    return templates_f, image_f, gx, gy
+
+
+def find_transform_ecc_batched_graph(
+    templates: jnp.ndarray,
+    input_image: jnp.ndarray,
+    motion_type: MotionType = MotionType.Affine,
+    num_iters: int = 200,
+    eps: float = -1.0,
+    gauss_filt_size: int = 5,
+) -> EccResult:
+    """In-graph batched ECC (traceable inside jit / shard_map): one warp
+    per template frame against a shared input image.  The shared input's
+    blur+gradients are hoisted out of the vmap.  Prefer
+    :func:`find_transform_ecc_batched` at the host level — it slices the
+    solve into bounded device programs."""
+    templates_f, image_f, gx, gy = _prepare_inputs(
+        templates, input_image, gauss_filt_size
+    )
+    warp0 = identity_warp(motion_type)
+
+    def solve_one(tmpl):
+        res, _ = _ecc_loop(
+            tmpl, image_f, gx, gy, warp0, motion_type, num_iters, eps
+        )
+        return res
+
+    return jax.vmap(solve_one)(templates_f)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("motion_type", "gauss_filt_size"),
+)
+def _ecc_prepare_jit(templates, input_image, gauss_filt_size, motion_type):
+    templates_f, image_f, gx, gy = _prepare_inputs(
+        templates, input_image, gauss_filt_size
+    )
+    n = templates_f.shape[0]
+    warp0 = identity_warp(motion_type)
+    carry = (
+        jnp.tile(warp0[None], (n, 1, 1)),
+        jnp.full((n,), -1.0, jnp.float32),
+        jnp.zeros((n,), jnp.float32),  # filled with -eps by caller
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), bool),
+    )
+    return templates_f, image_f, gx, gy, carry
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("motion_type", "num_iters", "slab_iters"),
+)
+def _ecc_slab_jit(
+    templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
+    slab_iters,
+):
+    def solve_one(tmpl, c):
+        res, new_c = _ecc_loop(
+            tmpl, image_f, gx, gy, None, motion_type, num_iters, eps,
+            start_carry=c, slab_iters=slab_iters,
+        )
+        done = (
+            (new_c[3] >= num_iters)
+            | (jnp.abs(new_c[1] - new_c[2]) < eps)
+            | ~new_c[4]
+        )
+        return res, new_c, done
+
+    return jax.vmap(solve_one, in_axes=(0, 0))(templates_f, carry)
+
+
+def default_slab_iters(n_lanes: int, h: int, w: int) -> int:
+    """Iterations per device slab, sized so one slab stays well under the
+    TPU runtime's long-program watchdog (~1e8 pixel-iterations per slab
+    measured safe on v5e)."""
+    import os
+
+    override = os.environ.get("LIBSTACKER_ECC_SLAB_ITERS")
+    if override:
+        return max(1, int(override))
+    budget = int(1e8)
+    per_iter = max(1, n_lanes * h * w)
+    return max(1, min(512, budget // per_iter))
+
+
+def find_transform_ecc_batched(
+    templates: jnp.ndarray,
+    input_image: jnp.ndarray,
+    motion_type: MotionType = MotionType.Affine,
+    num_iters: int = 200,
+    eps: float = -1.0,
+    gauss_filt_size: int = 5,
+    slab_iters: Optional[int] = None,
+) -> EccResult:
+    """Batched ECC: estimate one warp per template frame against a shared
+    input image (the reference's per-thread ``find_transform_ecc`` calls
+    at src/lib.rs:769-777 collapsed into one vmapped program).
+
+    Host-level driver: the Gauss-Newton solve runs as a sequence of
+    bounded device slabs so no single program can trip the TPU runtime
+    watchdog, with convergence checked between slabs."""
+    n, h, w = templates.shape
+    if slab_iters is None:
+        slab_iters = default_slab_iters(n, h, w)
+    templates_f, image_f, gx, gy, carry = _ecc_prepare_jit(
+        templates, input_image, gauss_filt_size, motion_type
+    )
+    carry = (carry[0], carry[1], carry[2] - eps, carry[3], carry[4])
+    res = None
+    while True:
+        res, carry, done = _ecc_slab_jit(
+            templates_f, image_f, gx, gy, carry, motion_type, num_iters,
+            eps, slab_iters,
+        )
+        if bool(jax.device_get(jnp.all(done))):
+            break
+    return res

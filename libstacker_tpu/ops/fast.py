@@ -1,0 +1,147 @@
+"""FAST-9/16 corner detection + Harris responses, fully vectorised.
+
+Part of the TPU-native ORB stack (SURVEY.md N4; the reference calls
+OpenCV's ``ORB::detect_and_compute`` at src/utils.rs:174-183).  The
+segment test, corner score and 3x3 non-max suppression are dense
+elementwise programs over the whole image (VPU work, XLA-fused) instead
+of OpenCV's per-pixel branchy C++.
+
+Semantics matched to OpenCV FAST (type 9_16, nonmaxSuppression=true):
+- corner test: some contiguous arc of 9 of the 16 Bresenham-circle
+  pixels is entirely brighter than center+t or darker than center-t;
+- score: max over arcs of the min absolute arc difference, minus 1
+  (cornerScore<16>); arc minima computed by log-doubling over the
+  circular axis;
+- NMS: strictly greater than all 8 neighbour scores.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3, in circular order (OpenCV pixel order).
+CIRCLE_OFFSETS = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift so out[y,x] = img[y+dy, x+dx]; border garbage is masked later."""
+    return jnp.roll(img, shift=(-dy, -dx), axis=(-2, -1))
+
+
+def fast_score(
+    img: jnp.ndarray, threshold: int = 20
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FAST-9/16 on ``[H, W]`` (uint8 or float).
+
+    Returns (corner_mask [H,W] bool, score [H,W] float32) before NMS.
+    Pixels within 3 of the border are never corners (OpenCV skips them).
+    """
+    x = img.astype(jnp.float32)
+    h, w = x.shape[-2], x.shape[-1]
+    t = jnp.float32(threshold)
+
+    e = jnp.stack(
+        [_shift2d(x, dy, dx) - x for (dx, dy) in CIRCLE_OFFSETS], axis=0
+    )  # [16, H, W]; e > 0 where neighbour brighter
+
+    def arc9_min(v):
+        # min over circular windows of length 9 starting at each k
+        w2 = jnp.minimum(v, jnp.roll(v, -1, axis=0))
+        w4 = jnp.minimum(w2, jnp.roll(w2, -2, axis=0))
+        w8 = jnp.minimum(w4, jnp.roll(w4, -4, axis=0))
+        w9 = jnp.minimum(w8, jnp.roll(v, -8, axis=0))
+        return w9
+
+    tb = jnp.max(arc9_min(e), axis=0)  # bright-arc strength
+    td = jnp.max(arc9_min(-e), axis=0)  # dark-arc strength
+    corner = (tb > t) | (td > t)
+    score = jnp.maximum(tb, td) - 1.0
+
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    corner = corner & interior
+    return corner, jnp.where(corner, score, 0.0)
+
+
+def fast_detect(
+    img: jnp.ndarray, threshold: int = 20, nonmax: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FAST with 3x3 non-max suppression.  Returns (mask, score)."""
+    corner, score = fast_score(img, threshold)
+    if not nonmax:
+        return corner, score
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh.append(_shift2d(score, dy, dx))
+    nmax = jnp.max(jnp.stack(neigh), axis=0)
+    keep = corner & (score > nmax)
+    return keep, jnp.where(keep, score, 0.0)
+
+
+class TopKeypoints(NamedTuple):
+    ys: jnp.ndarray  # [K] int32
+    xs: jnp.ndarray  # [K] int32
+    score: jnp.ndarray  # [K] float32
+    valid: jnp.ndarray  # [K] bool
+
+
+def top_k_keypoints(
+    mask: jnp.ndarray, score: jnp.ndarray, k: int, approx: bool = True
+) -> TopKeypoints:
+    """Select the k highest-score masked pixels (ties broken by raster
+    order, mirroring OpenCV's stable retainBest ordering closely
+    enough for statistical parity).
+
+    ``approx=True`` uses ``lax.approx_max_k`` — the TPU-native top-k
+    (exact ``lax.top_k`` over a full image compiles pathologically
+    slowly on TPU and its recall loss here is ~1-2% of *candidates*,
+    before Harris re-ranking)."""
+    h, w = score.shape
+    flat = jnp.where(mask, score, -1.0).reshape(-1)
+    if approx:
+        vals, idx = jax.lax.approx_max_k(flat, k)
+    else:
+        vals, idx = jax.lax.top_k(flat, k)
+    ys = (idx // w).astype(jnp.int32)
+    xs = (idx % w).astype(jnp.int32)
+    return TopKeypoints(ys=ys, xs=xs, score=vals, valid=vals > 0.0)
+
+
+def harris_response_at(
+    img: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    block_size: int = 7,
+    harris_k: float = 0.04,
+) -> jnp.ndarray:
+    """Harris corner response at given pixel locations, matching ORB's
+    HarrisResponses: raw [-1,0,1] differences, 7x7 block sums,
+    response = (ab - c^2 - k (a+b)^2) * (1/(4*7*255))^4."""
+    x = img.astype(jnp.float32)
+    r = block_size // 2
+    # patch of (block+2)^2 around each kp for gradient support
+    offs = jnp.arange(-r - 1, r + 2)
+    py = ys[:, None, None] + offs[None, :, None]
+    px = xs[:, None, None] + offs[None, None, :]
+    h, w = x.shape
+    py = jnp.clip(py, 0, h - 1)
+    px = jnp.clip(px, 0, w - 1)
+    patch = x[py, px]  # [K, b+2, b+2]
+    ix = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]
+    iy = patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1]
+    a = jnp.sum(ix * ix, axis=(1, 2))
+    b = jnp.sum(iy * iy, axis=(1, 2))
+    c = jnp.sum(ix * iy, axis=(1, 2))
+    scale = 1.0 / (4.0 * block_size * 255.0)
+    scale_sq_sq = scale * scale * scale * scale
+    return (a * b - c * c - harris_k * (a + b) ** 2) * scale_sq_sq

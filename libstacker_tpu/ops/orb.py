@@ -1,0 +1,223 @@
+"""ORB keypoint detection + rBRIEF description, batched and static-shape.
+
+TPU-native counterpart of OpenCV's all-default ``ORB::create_def()``
+``detect_and_compute`` (SURVEY.md N4; ref src/utils.rs:174-183 —
+nfeatures=500, scaleFactor=1.2, nlevels=8, edgeThreshold=31, WTA_K=2,
+HARRIS_SCORE, patchSize=31, fastThreshold=20):
+
+- 8-level INTER_LINEAR pyramid (cascaded resize, cvRound sizes);
+- FAST-9 (threshold 20, NMS) per level as a dense vectorised program;
+- per-level quotas distributed geometrically like OpenCV, retain-best
+  2*n by FAST score then n by Harris response (blockSize 7, k=0.04);
+- intensity-centroid orientation over the radius-15 circular patch;
+- steered rBRIEF over OpenCV's learned 256-pair pattern (recovered by
+  black-box probing, see ops/_orb_pattern.py) on the GaussianBlur(7,7,2)
+  level image.
+
+Everything is fixed-capacity with validity masks (JAX static shapes,
+SURVEY.md §7 hard part b): output is always [nfeatures] slots.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from . import fast, filters, resize
+
+try:
+    from ._orb_pattern import ORB_PATTERN
+except ImportError:  # pragma: no cover
+    # Fallback when the recovered OpenCV pattern is unavailable: the
+    # BRIEF-style isotropic Gaussian test pattern (sigma = patch/5,
+    # Calonder et al.), fixed seed.  Self-consistent matching still
+    # works; only descriptor-level OpenCV interop differs.
+    _rng = np.random.default_rng(31)
+    ORB_PATTERN = np.clip(
+        np.round(_rng.normal(0.0, 31 / 5.0, size=(256, 4))), -13, 13
+    ).astype(np.int32)
+
+
+class OrbFeatures(NamedTuple):
+    xy: jnp.ndarray  # [K,2] float32 — (x, y) in ORIGINAL image coords
+    response: jnp.ndarray  # [K] float32 (Harris)
+    angle: jnp.ndarray  # [K] float32 degrees
+    octave: jnp.ndarray  # [K] int32
+    size: jnp.ndarray  # [K] float32
+    valid: jnp.ndarray  # [K] bool
+    descriptors: jnp.ndarray  # [K,32] uint8
+
+
+def _features_per_level(nfeatures: int, nlevels: int, scale_factor: float):
+    """OpenCV's geometric distribution of features over pyramid levels."""
+    factor = 1.0 / scale_factor
+    ndesired = nfeatures * (1 - factor) / (1 - factor ** nlevels)
+    counts = []
+    total = 0
+    for _ in range(nlevels - 1):
+        n = int(round(ndesired))
+        counts.append(n)
+        total += n
+        ndesired *= factor
+    counts.append(max(nfeatures - total, 0))
+    return counts
+
+
+@functools.lru_cache(maxsize=1)
+def _ic_angle_weights(half_patch: int = 15):
+    """Circular-patch masks for the intensity-centroid angle, built with
+    OpenCV's umax construction (symmetric quarter-circle table)."""
+    umax = [0] * (half_patch + 2)
+    vmax = int(math.floor(half_patch * math.sqrt(2.0) / 2 + 1))
+    vmin = int(math.ceil(half_patch * math.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(math.sqrt(half_patch * half_patch - v * v)))
+    v0 = 0
+    for v in range(half_patch, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    side = 2 * half_patch + 1
+    us = np.arange(-half_patch, half_patch + 1)[None, :]
+    vs = np.arange(-half_patch, half_patch + 1)[:, None]
+    inside = np.abs(us) <= np.array(
+        [umax[abs(int(v))] for v in vs.ravel()]
+    ).reshape(side, 1)
+    # numpy (not jnp) so the lru_cache never captures a traced value
+    wu = (us * inside).astype(np.float32)
+    wv = (vs * inside).astype(np.float32)
+    return wu, wv
+
+
+def _gather_patches(img: jnp.ndarray, ys, xs, radius: int) -> jnp.ndarray:
+    """[K] centers -> [K, 2r+1, 2r+1] patches with clamped indexing."""
+    offs = jnp.arange(-radius, radius + 1)
+    py = jnp.clip(ys[:, None, None] + offs[None, :, None], 0, img.shape[0] - 1)
+    px = jnp.clip(xs[:, None, None] + offs[None, None, :], 0, img.shape[1] - 1)
+    return img[py, px]
+
+
+def _ic_angles(img: jnp.ndarray, ys, xs) -> jnp.ndarray:
+    """Intensity-centroid orientation (degrees in [0,360)) at keypoints."""
+    wu, wv = _ic_angle_weights()
+    wu, wv = jnp.asarray(wu), jnp.asarray(wv)
+    patches = _gather_patches(img.astype(jnp.float32), ys, xs, 15)
+    m10 = jnp.sum(patches * wu, axis=(1, 2))
+    m01 = jnp.sum(patches * wv, axis=(1, 2))
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def _rbrief_descriptors(blur_img: jnp.ndarray, ys, xs, angles_deg) -> jnp.ndarray:
+    """Steered rBRIEF bits -> [K,32] uint8 (LSB-first packing)."""
+    pat = jnp.asarray(ORB_PATTERN, dtype=jnp.float32)  # [256,4]
+    ang = jnp.deg2rad(angles_deg)
+    a = jnp.cos(ang)[:, None]
+    b = jnp.sin(ang)[:, None]
+    # OpenCV: col off = round(x*a - y*b), row off = round(x*b + y*a)
+    px1, py1, px2, py2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+    rx1 = jnp.round(px1[None] * a - py1[None] * b).astype(jnp.int32)
+    ry1 = jnp.round(px1[None] * b + py1[None] * a).astype(jnp.int32)
+    rx2 = jnp.round(px2[None] * a - py2[None] * b).astype(jnp.int32)
+    ry2 = jnp.round(px2[None] * b + py2[None] * a).astype(jnp.int32)
+    h, w = blur_img.shape
+    bi = blur_img.astype(jnp.int32) if blur_img.dtype == jnp.uint8 else blur_img
+
+    def sample(ry, rx):
+        gy = jnp.clip(ys[:, None] + ry, 0, h - 1)
+        gx = jnp.clip(xs[:, None] + rx, 0, w - 1)
+        return bi[gy, gx]
+
+    v1 = sample(ry1, rx1)
+    v2 = sample(ry2, rx2)
+    bits = (v1 < v2).astype(jnp.uint8)  # [K,256]
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
+    bytes_ = jnp.sum(
+        bits.reshape(bits.shape[0], 32, 8).astype(jnp.uint32) * weights[None, None, :],
+        axis=-1,
+    )
+    return bytes_.astype(jnp.uint8)
+
+
+def orb_detect_and_compute(
+    img: jnp.ndarray,
+    nfeatures: int = 500,
+    scale_factor: float = 1.2,
+    nlevels: int = 8,
+    edge_threshold: int = 31,
+    patch_size: int = 31,
+    fast_threshold: int = 20,
+) -> OrbFeatures:
+    """Detect + describe on a single ``[H,W]`` uint8 grayscale image.
+    ``vmap`` over a burst for the batched path."""
+    h, w = img.shape
+    quotas = _features_per_level(nfeatures, nlevels, scale_factor)
+
+    level_img = img
+    feats = []
+    for level in range(nlevels):
+        scale = scale_factor ** level
+        if level > 0:
+            lh = int(round(h / scale))
+            lw = int(round(w / scale))
+            level_img = resize.resize(
+                level_img, (lh, lw), constants.INTER_LINEAR
+            )
+        lh, lw = level_img.shape
+        quota = quotas[level]
+        if quota == 0 or lh <= 2 * edge_threshold or lw <= 2 * edge_threshold:
+            continue
+        mask, score = fast.fast_detect(level_img, fast_threshold)
+        ys_g = jnp.arange(lh)[:, None]
+        xs_g = jnp.arange(lw)[None, :]
+        border_ok = (
+            (xs_g >= edge_threshold)
+            & (xs_g < lw - edge_threshold)
+            & (ys_g >= edge_threshold)
+            & (ys_g < lh - edge_threshold)
+        )
+        mask = mask & border_ok
+        cand = fast.top_k_keypoints(mask, score, min(2 * quota, lh * lw))
+        harris = fast.harris_response_at(level_img, cand.ys, cand.xs)
+        harris = jnp.where(cand.valid, harris, -jnp.inf)
+        hval, hidx = jax.lax.top_k(harris, quota)
+        kys = cand.ys[hidx]
+        kxs = cand.xs[hidx]
+        kvalid = jnp.isfinite(hval) & cand.valid[hidx]
+        angles = _ic_angles(level_img, kys, kxs)
+        blur = filters.gaussian_blur(
+            level_img.astype(jnp.float32), 7, 2.0, border="reflect101"
+        )
+        desc = _rbrief_descriptors(blur, kys, kxs, angles)
+        xy = jnp.stack(
+            [kxs.astype(jnp.float32) * scale, kys.astype(jnp.float32) * scale],
+            axis=1,
+        )
+        feats.append(
+            OrbFeatures(
+                xy=xy,
+                response=hval.astype(jnp.float32),
+                angle=angles,
+                octave=jnp.full((quota,), level, jnp.int32),
+                size=jnp.full((quota,), patch_size * scale, jnp.float32),
+                valid=kvalid,
+                descriptors=desc,
+            )
+        )
+
+    return OrbFeatures(
+        xy=jnp.concatenate([f.xy for f in feats]),
+        response=jnp.concatenate([f.response for f in feats]),
+        angle=jnp.concatenate([f.angle for f in feats]),
+        octave=jnp.concatenate([f.octave for f in feats]),
+        size=jnp.concatenate([f.size for f in feats]),
+        valid=jnp.concatenate([f.valid for f in feats]),
+        descriptors=jnp.concatenate([f.descriptors for f in feats]),
+    )

@@ -1,0 +1,173 @@
+"""Device-mesh scale-out for burst stacking.
+
+The reference's only parallelism is Rayon shared-memory data-parallelism
+over frames with a commutative sum-reduction (SURVEY.md §2c;
+src/lib.rs:188-335).  The TPU-native replacement is SPMD over a
+``jax.sharding.Mesh``:
+
+- **data axis** — the frame axis of the ``[N,H,W,C]`` burst tensor is
+  sharded across chips; each chip aligns and warps its local frames and
+  the running-sum fold becomes a ``psum`` over ICI.
+- **spatial axis** — for very large frames, rows are sharded across a
+  second mesh axis; conv-window overlap is satisfied by halo exchange
+  (``ppermute``), the 2-D analogue of sequence/context parallelism
+  (SURVEY.md §5 "long-context analogue").
+
+Everything here uses ``shard_map`` so collectives are explicit and ride
+ICI; no NCCL-style process groups exist (nothing to port: the reference
+has no distributed backend, SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import EccMatchParameters, MotionType
+from ..ops import color, ecc as ecc_ops, filters, warp
+
+# shard_map moved to jax.shard_map in newer JAX; fall back if needed.
+try:
+    from jax import shard_map as _shard_map_mod  # jax >= 0.5-ish
+
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    spatial: int = 1,
+) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // spatial
+    if data * spatial != n:
+        raise ValueError(f"data({data}) * spatial({spatial}) != devices({n})")
+    arr = np.asarray(devices).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def shard_frames(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Place a [N,H,W,C] burst with the frame axis sharded over 'data'."""
+    return jax.device_put(frames, NamedSharding(mesh, P("data")))
+
+
+def ecc_stack_step(
+    frames_u8: jnp.ndarray,
+    reference_grey: jnp.ndarray,
+    mesh: Mesh,
+    motion_type: MotionType = MotionType.Homography,
+    num_iters: int = 50,
+    eps: float = 1e-4,
+    gauss_filt_size: int = 5,
+):
+    """One full sharded align+stack step.
+
+    ``frames_u8``: [N,H,W,3] uint8, N divisible by the 'data' axis size.
+    ``reference_grey``: [H,W] float32 (frame 0's grey, replicated).
+
+    Per shard: grey-convert local frames, batched-ECC them against the
+    replicated reference, warp, partial-sum; then ``psum`` over 'data'
+    replaces the reference's try_reduce (src/lib.rs:819-833).
+    Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool).
+    """
+    h, w = reference_grey.shape
+
+    def local_step(frames_local, ref_grey):
+        grey = color.rgb_to_gray_u8(frames_local).astype(jnp.float32)
+        f32 = color.u8_to_f32(frames_local)
+        res = ecc_ops.find_transform_ecc_batched_graph(
+            grey,
+            ref_grey,
+            motion_type=motion_type,
+            num_iters=num_iters,
+            eps=eps,
+            gauss_filt_size=gauss_filt_size,
+        )
+        perspective = motion_type == MotionType.Homography
+
+        def warp_one(frame, m):
+            if perspective:
+                return warp.warp_perspective(frame, m, (h, w))
+            return warp.warp_affine(frame, m[:2], (h, w))
+
+        warped = jax.vmap(warp_one)(f32, res.warp_matrix)
+        valid = res.ok.astype(jnp.float32)[:, None, None, None]
+        partial = jnp.sum(warped * valid, axis=0)
+        total = jax.lax.psum(partial, "data")
+        ok = jax.lax.all_gather(res.ok, "data", tiled=True)
+        return total, ok
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # psum/all_gather outputs are replicated by construction
+    )
+    return fn(frames_u8, reference_grey)
+
+
+def sharpness_teng_spatial(
+    frames: jnp.ndarray, mesh: Mesh, k_size: int = 3
+) -> jnp.ndarray:
+    """Tenengrad sharpness with the frame axis on 'data' AND image rows on
+    'spatial': each shard exchanges a halo of (k_size-1)/2 rows with its
+    spatial neighbours via ``ppermute`` so the Sobel window is exact at
+    shard boundaries — spatial sharding with halo exchange (SURVEY.md §5).
+
+    ``frames``: [N,H,W] float32. Returns [N] sharpness scores.
+    """
+    r = len(filters.deriv_kernel(1, k_size)) // 2
+    nsp = mesh.shape["spatial"]
+
+    def local(frames_local):
+        # frames_local: [n_loc, h_loc, W]
+        idx = jax.lax.axis_index("spatial")
+        up = [(i, (i + 1) % nsp) for i in range(nsp)]
+        down = [(i, (i - 1) % nsp) for i in range(nsp)]
+        # halo from the previous shard's last rows and next shard's first rows
+        top_halo = jax.lax.ppermute(frames_local[:, -r:, :], "spatial", up)
+        bot_halo = jax.lax.ppermute(frames_local[:, :r, :], "spatial", down)
+        x = jnp.concatenate([top_halo, frames_local, bot_halo], axis=1)
+        gx = filters.sobel(x, 1, 0, ksize=k_size, border="reflect101")
+        gy_full = filters.sobel(x, 0, 1, ksize=k_size, border="reflect101")
+        # interior rows are exact; boundary shards fix edges below
+        gx = gx[:, r:-r, :]
+        gy = gy_full[:, r:-r, :]
+        # Recompute true top/bottom borders on the edge shards with the
+        # reflect-101 rule applied to the *global* image edge.
+        is_top = idx == 0
+        is_bot = idx == nsp - 1
+        local_nohalo_gx = filters.sobel(frames_local, 1, 0, ksize=k_size)
+        local_nohalo_gy = filters.sobel(frames_local, 0, 1, ksize=k_size)
+        row_ids = jnp.arange(frames_local.shape[1])[None, :, None]
+        top_rows = row_ids < r
+        bot_rows = row_ids >= frames_local.shape[1] - r
+        gx = jnp.where(is_top & top_rows, local_nohalo_gx, gx)
+        gy = jnp.where(is_top & top_rows, local_nohalo_gy, gy)
+        gx = jnp.where(is_bot & bot_rows, local_nohalo_gx, gx)
+        gy = jnp.where(is_bot & bot_rows, local_nohalo_gy, gy)
+        s = jnp.sum(gx * gx + gy * gy, axis=(1, 2))
+        s = jax.lax.psum(s, "spatial")
+        return jax.lax.all_gather(s, "data", tiled=True)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data", "spatial", None),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    h, w = frames.shape[-2], frames.shape[-1]
+    return fn(frames) / (h * w)

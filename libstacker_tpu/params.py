@@ -1,0 +1,119 @@
+"""Parameter dataclasses mirroring the reference's config structs.
+
+Reference:
+- ``KeyPointMatchParameters`` at ``src/lib.rs:49-73`` with its ``Default``
+  impl at ``src/utils.rs:250-261`` (RANSAC, 3.0, 0.75, 0.8,
+  BORDER_CONSTANT, zero scalar).
+- ``EccMatchParameters`` / ``MotionType`` at ``src/lib.rs:604-623``; the
+  ``From<EccMatchParameters> for TermCriteria`` conversion at
+  ``src/utils.rs:146-171`` sets the COUNT / EPS bits only for fields the
+  user provided.  OpenCV's ``findTransformECC`` then resolves missing
+  bits to its internal defaults (200 iterations, eps disabled), which
+  :func:`EccMatchParameters.resolve_criteria` reproduces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+from . import constants
+from .errors import InvalidParamsError
+
+
+class MotionType(enum.IntEnum):
+    """Geometric motion models for the ECC path (ref src/lib.rs:604-609).
+
+    Values equal OpenCV's ``MOTION_*`` constants.
+    """
+
+    Translation = constants.MOTION_TRANSLATION
+    Euclidean = constants.MOTION_EUCLIDEAN
+    Affine = constants.MOTION_AFFINE
+    Homography = constants.MOTION_HOMOGRAPHY
+
+    @property
+    def num_params(self) -> int:
+        """Degrees of freedom of the warp parameterisation."""
+        return {
+            MotionType.Translation: 2,
+            MotionType.Euclidean: 3,
+            MotionType.Affine: 6,
+            MotionType.Homography: 8,
+        }[self]
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyPointMatchParameters:
+    """Config for the ORB keypoint-match path (ref src/lib.rs:49-73).
+
+    Defaults match the reference's ``Default`` impl (src/utils.rs:250-261).
+    """
+
+    #: Homography method: constants.RANSAC or constants.LMEDS.
+    method: int = constants.RANSAC
+    #: RANSAC reprojection threshold for find_homography.
+    ransac_reproj_threshold: float = 3.0
+    #: Fraction of best (sorted-by-distance) matches kept after the ratio test.
+    match_keep_ratio: float = 0.75
+    #: Lowe's ratio-test threshold applied to the 2-NN matches.
+    match_ratio: float = 0.8
+    #: Border mode used when warping (constants.BORDER_*).
+    border_mode: int = constants.BORDER_CONSTANT
+    #: Border value used when warping with BORDER_CONSTANT.
+    border_value: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+    def validate(self) -> None:
+        if self.method not in (constants.RANSAC, constants.LMEDS):
+            raise InvalidParamsError(
+                f"method must be RANSAC ({constants.RANSAC}) or "
+                f"LMEDS ({constants.LMEDS}), got {self.method}"
+            )
+        if not (0.0 < self.match_ratio):
+            raise InvalidParamsError(f"match_ratio must be > 0, got {self.match_ratio}")
+        if not (0.0 < self.match_keep_ratio <= 1.0):
+            raise InvalidParamsError(
+                f"match_keep_ratio must be in (0, 1], got {self.match_keep_ratio}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class EccMatchParameters:
+    """Config for the ECC path (ref src/lib.rs:611-623).
+
+    The reference deliberately provides no ``Default`` impl
+    (src/lib.rs:621-622 todo note); we mirror that by requiring
+    ``motion_type`` explicitly.
+    """
+
+    motion_type: MotionType
+    #: Maximum ECC iterations; ``None`` leaves the COUNT bit unset, which
+    #: OpenCV's findTransformECC resolves to 200 iterations.
+    max_count: Optional[int] = None
+    #: Convergence epsilon on the correlation coefficient; ``None`` leaves
+    #: the EPS bit unset (no early termination; eps resolves to -1).
+    epsilon: Optional[float] = None
+    #: Gaussian pre-filter kernel size (odd, >= 1).
+    gauss_filt_size: int = 5
+
+    def resolve_criteria(self) -> Tuple[int, float]:
+        """Resolve (num_iterations, termination_eps) the way OpenCV's
+        findTransformECC interprets the TermCriteria built at
+        src/utils.rs:159-170: COUNT bit set -> max_count else 200;
+        EPS bit set -> epsilon else -1 (never converge early)."""
+        num_iters = self.max_count if self.max_count is not None else 200
+        eps = self.epsilon if self.epsilon is not None else -1.0
+        return int(num_iters), float(eps)
+
+    def validate(self) -> None:
+        if not isinstance(self.motion_type, MotionType):
+            raise InvalidParamsError(
+                f"motion_type must be a MotionType, got {self.motion_type!r}"
+            )
+        if self.gauss_filt_size < 1 or self.gauss_filt_size % 2 == 0:
+            raise InvalidParamsError(
+                f"gauss_filt_size must be odd and >= 1, got {self.gauss_filt_size}"
+            )
+        if self.max_count is not None and self.max_count < 1:
+            raise InvalidParamsError(f"max_count must be >= 1, got {self.max_count}")

@@ -1,0 +1,125 @@
+"""Host-side image IO: decode files into batched numpy frame tensors.
+
+The reference delegates decode to OpenCV ``imgcodecs::imread``
+(``src/utils.rs:111-117``, ``read_grey_and_f32`` at ``src/utils.rs:128-144``).
+Decode is not a TPU job (SURVEY.md N16): we decode on host (PIL) with a
+thread pool standing in for the Rayon fan-out, then ship one batched
+``[N,H,W,C] uint8`` tensor to device.  When the optional native C++
+loader is built (``native/``), it transparently replaces the PIL path.
+
+Channel order: we standardise on **RGB** in memory (PIL native order).
+The reference holds BGR Mats, but its grayscale conversion weights
+(``COLOR_BGR2GRAY``) equal the standard Rec.601 luma applied to RGB, so
+per-pixel behavior is identical; only the channel order of the returned
+color stack differs and is documented in the public API.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from pathlib import Path
+from typing import List, Sequence, Union
+
+import numpy as np
+
+from ..errors import NotEnoughFilesError, StackerIoError
+
+PathLike = Union[str, os.PathLike]
+
+_IMAGE_EXTENSIONS = {".jpg", ".jpeg", ".tif", ".png"}
+
+
+def collect_image_files(directory: PathLike) -> List[Path]:
+    """Return paths of all jpg/jpeg/tif/png files in a directory
+    (non-recursive), mirroring ``collect_image_files`` at
+    reference ``examples/main.rs:10-22``."""
+    directory = Path(directory)
+    try:
+        entries = sorted(directory.iterdir())
+    except OSError as e:
+        raise StackerIoError(str(e)) from e
+    return [
+        p
+        for p in entries
+        if p.is_file() and p.suffix.lower() in _IMAGE_EXTENSIONS
+    ]
+
+
+def imread_rgb(path: PathLike) -> np.ndarray:
+    """Decode one image file to an RGB uint8 array ``[H,W,3]``.
+
+    Counterpart of ``utils::imread`` (ref src/utils.rs:111-117) with
+    IMREAD_UNCHANGED followed by the implicit 3-channel assumption of
+    ``read_grey_and_f32``; grayscale files are expanded to 3 channels.
+    """
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            return np.asarray(im, dtype=np.uint8)
+    except OSError as e:
+        raise StackerIoError(f"{path}: {e}") from e
+
+
+def imread_gray(path: PathLike) -> np.ndarray:
+    """Decode one image file directly to uint8 grayscale ``[H,W]`` using
+    the same Rec.601 fixed-point conversion as the device path
+    (counterpart of imread(..., IMREAD_GRAYSCALE) at examples/main.rs:40)."""
+    rgb = imread_rgb(path)
+    return rgb_to_gray_u8_host(rgb)
+
+
+def rgb_to_gray_u8_host(rgb: np.ndarray) -> np.ndarray:
+    """Host (numpy) Rec.601 luma with OpenCV's exact fixed-point rounding:
+    grey = (9798*R + 19235*G + 3735*B + 2^14) >> 15  (cvtColor BGR2GRAY
+    weights, ref src/utils.rs:136-142 / SURVEY.md N17)."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    return ((9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15).astype(np.uint8)
+
+
+def load_frames(
+    files: Sequence[PathLike], *, num_threads: int | None = None,
+    use_native: bool = True,
+) -> np.ndarray:
+    """Decode ``files`` into one batched ``[N,H,W,3] uint8`` tensor.
+
+    All frames must share the first frame's spatial size (the reference
+    implicitly requires this: every frame is warped onto frame 0's grid,
+    ref src/lib.rs:291-299).  Decoding prefers the native C++ thread-pool
+    loader (native/stacker_io.cpp — the counterpart of the reference's
+    OpenCV imgcodecs + Rayon fan-out) and falls back to a PIL thread
+    pool when the shared library isn't built.
+    """
+    files = list(files)
+    if not files:
+        raise NotEnoughFilesError()
+    if use_native:
+        from . import native_loader
+
+        if native_loader.available() and all(
+            str(f).lower().endswith((".jpg", ".jpeg", ".png")) for f in files
+        ):
+            try:
+                return native_loader.load_frames_native(
+                    files, num_threads or 0
+                )
+            except StackerIoError:
+                pass  # fall back to PIL (e.g. unusual subformats)
+    if num_threads is None:
+        num_threads = min(len(files), os.cpu_count() or 1)
+    if num_threads <= 1 or len(files) == 1:
+        frames = [imread_rgb(f) for f in files]
+    else:
+        with concurrent.futures.ThreadPoolExecutor(num_threads) as pool:
+            frames = list(pool.map(imread_rgb, files))
+    shape0 = frames[0].shape
+    for f, arr in zip(files, frames):
+        if arr.shape != shape0:
+            raise StackerIoError(
+                f"frame size mismatch: {f} has {arr.shape}, expected {shape0}"
+            )
+    return np.stack(frames, axis=0)

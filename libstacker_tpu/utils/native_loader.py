@@ -1,0 +1,126 @@
+"""ctypes bindings for the native C++ batch decoder (native/stacker_io.cpp).
+
+Replaces the reference's OpenCV-imgcodecs + Rayon decode fan-out
+(src/utils.rs:111-144) with a libjpeg/libpng thread pool writing into a
+single batched staging buffer.  Falls back transparently to the PIL
+path in utils.io when the shared library has not been built
+(``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..errors import NotEnoughFilesError, StackerIoError
+
+_LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "libstacker_io.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        _load_failed = True
+        return None
+    lib.stacker_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.stacker_probe.restype = ctypes.c_int
+    lib.stacker_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.stacker_decode_batch.restype = ctypes.c_int
+    lib.stacker_rgb_to_gray.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
+    lib.stacker_rgb_to_gray.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def probe(path) -> Tuple[int, int]:
+    """Return (height, width) of an image file without full decode."""
+    lib = _get_lib()
+    if lib is None:
+        raise StackerIoError("native loader not built (make -C native)")
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    rc = lib.stacker_probe(str(path).encode(), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise StackerIoError(f"probe failed for {path} (code {rc})")
+    return int(h.value), int(w.value)
+
+
+def load_frames_native(
+    files: Sequence, num_threads: int = 0
+) -> np.ndarray:
+    """Decode files into one [N,H,W,3] uint8 RGB tensor with the native
+    thread-pool decoder.  All frames must match frame 0's size."""
+    files = [str(f) for f in files]
+    if not files:
+        raise NotEnoughFilesError()
+    h, w = probe(files[0])
+    n = len(files)
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    statuses = (ctypes.c_int * n)()
+    c_paths = (ctypes.c_char_p * n)(*[f.encode() for f in files])
+    lib = _get_lib()
+    failures = lib.stacker_decode_batch(
+        c_paths,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        num_threads,
+        statuses,
+    )
+    if failures:
+        bad = [
+            f"{files[i]} (code {statuses[i]})"
+            for i in range(n)
+            if statuses[i] != 0
+        ]
+        raise StackerIoError("decode failures: " + "; ".join(bad))
+    return out
+
+
+def rgb_to_gray_native(rgb: np.ndarray, num_threads: int = 0) -> np.ndarray:
+    """Fixed-point grayscale on host via the native library (bit-exact
+    with ops.color.rgb_to_gray_u8)."""
+    lib = _get_lib()
+    if lib is None:
+        raise StackerIoError("native loader not built (make -C native)")
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    out = np.empty(rgb.shape[:-1], dtype=np.uint8)
+    lib.stacker_rgb_to_gray(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
+        num_threads,
+    )
+    return out

@@ -1,0 +1,224 @@
+// Native data loader for libstacker_tpu.
+//
+// TPU-native counterpart of the reference's decode path: the Rust crate
+// delegates image IO to OpenCV imgcodecs (C++) and fans file decodes out
+// over Rayon threads (reference src/utils.rs:111-144, src/lib.rs:188).
+// Here: libjpeg/libpng decode on a std::thread pool, writing RGB8 frames
+// directly into one caller-owned batched [N,H,W,3] buffer — the staging
+// buffer for a single host->HBM transfer.  Exposed via a C ABI consumed
+// with ctypes (libstacker_tpu/utils/native_loader.py).
+//
+// Build: make -C native   (produces libstacker_io.so)
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+constexpr int kOk = 0;
+constexpr int kErrOpen = 1;
+constexpr int kErrDecode = 2;
+constexpr int kErrSize = 3;
+constexpr int kErrFormat = 4;
+
+bool has_suffix(const std::string& s, const char* suf) {
+  std::string lower(s);
+  for (auto& c : lower) c = (char)tolower(c);
+  std::string t(suf);
+  return lower.size() >= t.size() &&
+         lower.compare(lower.size() - t.size(), t.size(), t) == 0;
+}
+
+// --- JPEG ---------------------------------------------------------------
+
+int decode_jpeg(FILE* f, uint8_t* out, int64_t want_h, int64_t want_w,
+                int64_t* got_h, int64_t* got_w, bool probe_only) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return kErrDecode;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *got_h = cinfo.output_height;
+  *got_w = cinfo.output_width;
+  if (probe_only) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return kOk;
+  }
+  if ((int64_t)cinfo.output_height != want_h ||
+      (int64_t)cinfo.output_width != want_w ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return kErrSize;
+  }
+  const int64_t stride = want_w * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + (int64_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return kOk;
+}
+
+// --- PNG ----------------------------------------------------------------
+
+int decode_png(FILE* f, uint8_t* out, int64_t want_h, int64_t want_w,
+               int64_t* got_h, int64_t* got_w, bool probe_only) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return kErrDecode;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return kErrDecode;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrDecode;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  *got_h = png_get_image_height(png, info);
+  *got_w = png_get_image_width(png, info);
+  if (probe_only) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kOk;
+  }
+  if (*got_h != want_h || *got_w != want_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrSize;
+  }
+  // normalise to 8-bit RGB
+  png_byte color_type = png_get_color_type(png, info);
+  png_byte bit_depth = png_get_bit_depth(png, info);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA ||
+      png_get_valid(png, info, PNG_INFO_tRNS))
+    png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  const int64_t stride = want_w * 3;
+  std::vector<png_bytep> rows(want_h);
+  for (int64_t y = 0; y < want_h; ++y) rows[y] = out + y * stride;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return kOk;
+}
+
+int decode_one(const char* path, uint8_t* out, int64_t want_h, int64_t want_w,
+               int64_t* got_h, int64_t* got_w, bool probe_only) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return kErrOpen;
+  int rc;
+  std::string p(path);
+  if (has_suffix(p, ".png")) {
+    rc = decode_png(f, out, want_h, want_w, got_h, got_w, probe_only);
+  } else if (has_suffix(p, ".jpg") || has_suffix(p, ".jpeg")) {
+    rc = decode_jpeg(f, out, want_h, want_w, got_h, got_w, probe_only);
+  } else {
+    rc = kErrFormat;
+  }
+  fclose(f);
+  return rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe image dimensions. Returns 0 on success.
+int stacker_probe(const char* path, int64_t* h, int64_t* w) {
+  return decode_one(path, nullptr, 0, 0, h, w, /*probe_only=*/true);
+}
+
+// Decode n files into out[n, h, w, 3] (uint8 RGB, C-contiguous) using a
+// thread pool. statuses[n] receives a per-file status code (0 = ok).
+// Returns the number of failed files.
+int stacker_decode_batch(const char** paths, int64_t n, uint8_t* out,
+                         int64_t h, int64_t w, int threads,
+                         int* statuses) {
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  if (threads <= 0) threads = 1;
+  if (threads > n) threads = (int)n;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failures(0);
+  const int64_t frame_bytes = h * w * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int64_t gh = 0, gw = 0;
+      int rc = decode_one(paths[i], out + i * frame_bytes, h, w, &gh, &gw,
+                          false);
+      statuses[i] = rc;
+      if (rc != kOk) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Fixed-point Rec.601 grayscale of a batch (same arithmetic as the
+// device path: (9798 R + 19235 G + 3735 B + 2^14) >> 15).
+void stacker_rgb_to_gray(const uint8_t* rgb, uint8_t* gray, int64_t npx,
+                         int threads) {
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  if (threads <= 0) threads = 1;
+  int64_t chunk = (npx + threads - 1) / threads;
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* p = rgb + i * 3;
+      gray[i] = (uint8_t)((9798 * p[0] + 19235 * p[1] + 3735 * p[2] +
+                           (1 << 14)) >> 15);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(npx, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

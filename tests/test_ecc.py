@@ -1,0 +1,130 @@
+"""ECC engine parity vs cv2.findTransformECC (SURVEY.md N9-N11).
+
+Small synthetic frames keep single-core CPU runtime sane; per-motion
+parity is asserted on the estimated warp matrices after a fixed
+iteration budget and after epsilon-convergence.
+"""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libstacker_tpu.ops import ecc as ecc_ops
+from libstacker_tpu.params import MotionType
+
+_CV_MOTION = {
+    MotionType.Translation: cv2.MOTION_TRANSLATION,
+    MotionType.Euclidean: cv2.MOTION_EUCLIDEAN,
+    MotionType.Affine: cv2.MOTION_AFFINE,
+    MotionType.Homography: cv2.MOTION_HOMOGRAPHY,
+}
+
+
+def _make_pair(kind, h=80, w=100, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.random((h * 2, w * 2)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 3.0) * 255.0
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w].copy()
+    if kind == MotionType.Translation:
+        m = np.array([[1, 0, 2.3], [0, 1, -1.7]], np.float32)
+    elif kind == MotionType.Euclidean:
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), 1.2, 1.0).astype(np.float32)
+        m[0, 2] += 1.1
+    elif kind == MotionType.Affine:
+        m = np.array([[1.008, 0.01, 1.2], [-0.006, 0.996, -0.7]], np.float32)
+    else:
+        m = np.array(
+            [[1.008, 0.008, 1.2], [-0.006, 0.998, -0.7], [1.5e-5, -8e-6, 1.0]],
+            np.float32,
+        )
+    flags = cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP
+    if m.shape[0] == 2:
+        cur = cv2.warpAffine(base, m, (w * 2, h * 2), flags=flags)
+    else:
+        cur = cv2.warpPerspective(base, m, (w * 2, h * 2), flags=flags)
+    cur = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w].copy()
+    return ref.astype(np.uint8), cur.astype(np.uint8)
+
+
+def _run_cv(cur, ref, motion, iters, eps):
+    typ = 0
+    if iters is not None:
+        typ |= cv2.TERM_CRITERIA_COUNT
+    if eps is not None:
+        typ |= cv2.TERM_CRITERIA_EPS
+    crit = (typ, iters or 0, eps or 0.0)
+    wm = (
+        np.eye(3, dtype=np.float32)
+        if motion == MotionType.Homography
+        else np.eye(2, 3, dtype=np.float32)
+    )
+    return cv2.findTransformECC(cur, ref, wm, _CV_MOTION[motion], crit, None, 5)
+
+
+@pytest.mark.parametrize(
+    "motion",
+    [MotionType.Translation, MotionType.Euclidean, MotionType.Affine,
+     MotionType.Homography],
+)
+def test_ecc_matches_cv2_fixed_iters(motion):
+    ref, cur = _make_pair(motion)
+    rho_cv, m_cv = _run_cv(cur, ref, motion, 30, None)
+    res = ecc_ops.find_transform_ecc(
+        jnp.asarray(cur), jnp.asarray(ref), motion_type=motion,
+        num_iters=30, eps=-1.0, gauss_filt_size=5,
+    )
+    assert bool(res.ok)
+    m_us = np.asarray(res.warp_matrix)
+    # translation components within a few hundredths of a pixel,
+    # linear components within 1e-3
+    np.testing.assert_allclose(m_us[:, 2], m_cv[:, 2], atol=5e-2)
+    np.testing.assert_allclose(m_us[:, :2], m_cv[:, :2], atol=2e-3)
+    # rho is a diagnostic; small f32/warp-quantisation drift accumulates
+    assert float(res.rho) == pytest.approx(rho_cv, abs=2e-2)
+
+
+def test_ecc_translation_converges_to_truth():
+    ref, cur = _make_pair(MotionType.Translation)
+    res = ecc_ops.find_transform_ecc(
+        jnp.asarray(cur), jnp.asarray(ref),
+        motion_type=MotionType.Translation,
+        num_iters=100, eps=1e-6, gauss_filt_size=5,
+    )
+    m = np.asarray(res.warp_matrix)
+    # the synthetic shift is (2.3, -1.7)
+    np.testing.assert_allclose(m[0, 2], 2.3, atol=0.15)
+    np.testing.assert_allclose(m[1, 2], -1.7, atol=0.15)
+
+
+def test_ecc_batched_matches_single():
+    ref, cur1 = _make_pair(MotionType.Affine, seed=3)
+    _, cur2 = _make_pair(MotionType.Affine, seed=3)
+    batch = jnp.stack([jnp.asarray(cur1), jnp.asarray(cur2)])
+    res_b = ecc_ops.find_transform_ecc_batched(
+        batch, jnp.asarray(ref), motion_type=MotionType.Affine,
+        num_iters=20, eps=-1.0, gauss_filt_size=5,
+    )
+    res_s = ecc_ops.find_transform_ecc(
+        jnp.asarray(cur1), jnp.asarray(ref), motion_type=MotionType.Affine,
+        num_iters=20, eps=-1.0, gauss_filt_size=5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.warp_matrix[0]), np.asarray(res_s.warp_matrix),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.warp_matrix[0]), np.asarray(res_b.warp_matrix[1]),
+        atol=1e-6,
+    )
+
+
+def test_ecc_epsilon_early_stop():
+    ref, cur = _make_pair(MotionType.Translation)
+    res = ecc_ops.find_transform_ecc(
+        jnp.asarray(cur), jnp.asarray(ref),
+        motion_type=MotionType.Translation,
+        num_iters=200, eps=1e-4, gauss_filt_size=5,
+    )
+    assert int(res.num_iters) < 200
+    assert bool(res.ok)

@@ -1,0 +1,93 @@
+"""End-to-end ``ecc_match`` parity vs an OpenCV oracle pipeline
+(SURVEY.md §7 phase 4 milestone; oracle mirrors ref src/lib.rs:719-847)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from libstacker_tpu import EccMatchParameters, MotionType, ecc_match_arrays
+from libstacker_tpu.errors import InvalidParamsError
+from libstacker_tpu.utils import io
+
+
+def _make_burst(rng, n=4, h=80, w=100):
+    base = rng.random((h * 2, w * 2)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 3.0)
+    base = (base - base.min()) / (base.max() - base.min())
+    base_u8 = (base * 255).astype(np.uint8)
+    frames = []
+    shifts = [(0.0, 0.0)] + [tuple(rng.uniform(-3, 3, 2)) for _ in range(n - 1)]
+    for dx, dy in shifts:
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base_u8, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        crop = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.stack([crop] * 3, axis=-1))
+    return np.stack(frames)
+
+
+def _oracle_ecc_stack(frames, motion, criteria, gauss):
+    """The reference pipeline recomputed with cv2 (src/lib.rs:719-847):
+    template = current grey, input = frame0 grey; warp applied forward;
+    divide by total frame count."""
+    greys = [io.rgb_to_gray_u8_host(f) for f in frames]
+    f32s = [f.astype(np.float32) / 255.0 for f in frames]
+    h, w = greys[0].shape
+    acc = f32s[0].copy()
+    for i in range(1, len(frames)):
+        wm = (
+            np.eye(3, dtype=np.float32)
+            if motion == cv2.MOTION_HOMOGRAPHY
+            else np.eye(2, 3, dtype=np.float32)
+        )
+        cv2.findTransformECC(greys[i], greys[0], wm, motion, criteria, None, gauss)
+        if motion == cv2.MOTION_HOMOGRAPHY:
+            warped = cv2.warpPerspective(f32s[i], wm, (w, h))
+        else:
+            warped = cv2.warpAffine(f32s[i], wm, (w, h))
+        acc += warped
+    return acc / len(frames)
+
+
+@pytest.mark.parametrize(
+    "motion,cv_motion",
+    [
+        (MotionType.Translation, cv2.MOTION_TRANSLATION),
+        (MotionType.Homography, cv2.MOTION_HOMOGRAPHY),
+    ],
+)
+def test_ecc_match_matches_oracle(rng, motion, cv_motion):
+    frames = _make_burst(rng)
+    params = EccMatchParameters(
+        motion_type=motion, max_count=50, epsilon=1e-4, gauss_filt_size=5
+    )
+    got = ecc_match_arrays(frames, params)
+    crit = (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 50, 1e-4)
+    expected = _oracle_ecc_stack(frames, cv_motion, crit, 5)
+    # interior comparison (borders differ by constant-fill of shifted frames)
+    assert got.shape == expected.shape
+    diff = np.abs(got[8:-8, 8:-8] - expected[8:-8, 8:-8])
+    assert diff.max() < 0.02, f"max diff {diff.max()}"
+
+
+def test_ecc_match_scaled(rng):
+    frames = _make_burst(rng, h=100, w=140)
+    params = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=50, epsilon=1e-4,
+        gauss_filt_size=5,
+    )
+    got = ecc_match_arrays(frames, params, scale_down_width=64.0)
+    full = ecc_match_arrays(frames, params)
+    diff = np.abs(got[10:-10, 10:-10] - full[10:-10, 10:-10])
+    assert diff.max() < 0.05
+
+
+def test_ecc_match_scale_guards(rng):
+    frames = _make_burst(rng)
+    params = EccMatchParameters(motion_type=MotionType.Translation)
+    with pytest.raises(InvalidParamsError):
+        ecc_match_arrays(frames, params, scale_down_width=100.0)  # >= width
+    with pytest.raises(InvalidParamsError):
+        ecc_match_arrays(frames, params, scale_down_width=10.0)  # too small

@@ -1,0 +1,99 @@
+"""End-to-end ``keypoint_match`` quality tests (SURVEY.md §7 phase 5).
+
+RANSAC + ORB are randomised in OpenCV too, so parity is statistical:
+the stacked output must match the ground-truth-warp stack within
+interpolation tolerance, and drop bookkeeping must follow the
+reference's deterministic semantics."""
+
+import cv2
+import numpy as np
+import pytest
+
+from libstacker_tpu import KeyPointMatchParameters, keypoint_match_arrays
+
+
+def _textured_burst(rng, n=4, h=240, w=320):
+    small = rng.integers(0, 256, size=(h // 8, w // 8), dtype=np.uint8)
+    base = cv2.resize(small, (w * 2, h * 2), interpolation=cv2.INTER_NEAREST)
+    base = cv2.GaussianBlur(base, (3, 3), 0.8)
+    frames, true_h = [], []
+    for i in range(n):
+        if i == 0:
+            m = np.eye(3, dtype=np.float32)
+        else:
+            ang = rng.uniform(-1.0, 1.0)
+            dx, dy = rng.uniform(-4, 4, 2)
+            m23 = cv2.getRotationMatrix2D((w, h), ang, 1.0).astype(np.float32)
+            m23[0, 2] += dx
+            m23[1, 2] += dy
+            m = np.vstack([m23, [0, 0, 1]]).astype(np.float32)
+        cur = cv2.warpPerspective(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        crop = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.stack([crop] * 3, axis=-1))
+        true_h.append(m)
+    return np.stack(frames), true_h
+
+
+def _truth_stack(frames, true_h, h, w):
+    """Average of frames warped with the KNOWN homographies (maps
+    frame-i coords -> frame-0 coords, in crop coordinates)."""
+    off = np.array([[1, 0, w // 2], [0, 1, h // 2], [0, 0, 1]], np.float64)
+    off_inv = np.linalg.inv(off)
+    acc = frames[0].astype(np.float32) / 255.0
+    for i in range(1, len(frames)):
+        # h_i maps frame-i crop coords -> frame-0 crop coords; cv2 inverts
+        # internally, so pass it directly (out(x,y) = frame_i(h_i^-1 (x,y)))
+        h_i = off_inv @ np.linalg.inv(true_h[0]) @ true_h[i] @ off
+        warped = cv2.warpPerspective(
+            frames[i].astype(np.float32) / 255.0,
+            h_i.astype(np.float32),
+            (w, h),
+        )
+        acc += warped
+    return acc / len(frames)
+
+
+def test_keypoint_match_quality(rng):
+    frames, true_h = _textured_burst(rng)
+    n, h, w = frames.shape[:3]
+    dropped, got = keypoint_match_arrays(
+        frames,
+        KeyPointMatchParameters(ransac_reproj_threshold=5.0, match_ratio=0.9,
+                                match_keep_ratio=0.8),
+    )
+    assert dropped == 0
+    expected = _truth_stack(frames, true_h, h, w)
+    m = 16
+    diff = np.abs(got[m:-m, m:-m] - expected[m:-m, m:-m])
+    assert np.quantile(diff, 0.99) < 0.04, f"p99 diff {np.quantile(diff, 0.99)}"
+
+
+def test_keypoint_match_scaled(rng):
+    frames, true_h = _textured_burst(rng)
+    n, h, w = frames.shape[:3]
+    dropped, got = keypoint_match_arrays(
+        frames,
+        KeyPointMatchParameters(ransac_reproj_threshold=5.0, match_ratio=0.9,
+                                match_keep_ratio=0.8),
+        scale_down_width=200.0,
+    )
+    assert dropped == 0
+    expected = _truth_stack(frames, true_h, h, w)
+    m = 16
+    diff = np.abs(got[m:-m, m:-m] - expected[m:-m, m:-m])
+    assert np.quantile(diff, 0.99) < 0.08
+
+
+def test_keypoint_match_drops_featureless_frame(rng):
+    frames, _ = _textured_burst(rng, n=3)
+    # frame 2 becomes a flat image: no FAST corners -> no matches -> dropped
+    frames = frames.copy()
+    frames[2] = 128
+    dropped, got = keypoint_match_arrays(
+        frames, KeyPointMatchParameters(match_ratio=0.9)
+    )
+    assert dropped == 1
+    assert np.isfinite(got).all()
