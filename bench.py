@@ -23,7 +23,7 @@ H = int(os.environ.get("BENCH_H", "2160"))
 W = int(os.environ.get("BENCH_W", "3840"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "4"))
 NUM_ITERS = 50
-EPS = -1.0
+EPS = 1e-4
 GAUSS = 5
 
 

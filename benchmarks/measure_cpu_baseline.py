@@ -26,7 +26,7 @@ from bench import make_burst  # noqa: E402  (same synthetic burst generator)
 
 def ecc_align_one(grey_i, grey0, f32_i, h, w):
     wm = np.eye(3, dtype=np.float32)
-    crit = (cv2.TERM_CRITERIA_COUNT, 50, 0.0)
+    crit = (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 50, 1e-4)
     cv2.findTransformECC(grey_i, grey0, wm, cv2.MOTION_HOMOGRAPHY, crit, None, 5)
     return cv2.warpPerspective(f32_i, wm, (w, h))
 

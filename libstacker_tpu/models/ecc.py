@@ -33,6 +33,7 @@ import numpy as np
 from ..errors import InvalidParamsError, NotEnoughFilesError, ProcessingError
 from ..params import EccMatchParameters, MotionType
 from ..ops import color, ecc as ecc_ops, resize, warp
+from ..ops.warp_batch import warp_frames_batch
 from ..utils import io
 
 
@@ -89,17 +90,7 @@ def _ecc_warp_accumulate_jit(
     if scale_hw is not None:
         warps = _adjust_warp_for_scale(warps, motion_type, scale_hw, (h, w))
     perspective = motion_type == MotionType.Homography
-
-    def warp_one(frame, m):
-        if perspective:
-            return warp.warp_perspective(
-                frame, m, (h, w), border_mode="constant", border_value=0.0
-            )
-        return warp.warp_affine(
-            frame, m[:2], (h, w), border_mode="constant", border_value=0.0
-        )
-
-    warped = jax.vmap(warp_one)(frames_f32[1:], warps)
+    warped = warp_frames_batch(frames_f32[1:], warps, perspective)
     valid = oks.astype(jnp.float32)[:, None, None, None]
     return frames_f32[0] + jnp.sum(warped * valid, axis=0)
 
@@ -132,6 +123,7 @@ def ecc_match_arrays(
     params: EccMatchParameters,
     scale_down_width: Optional[float] = None,
     on_failure: str = "raise",
+    return_stats: bool = False,
 ):
     """Array-based ``ecc_match``: ``frames`` is ``[N,H,W,3] uint8`` RGB.
 
@@ -180,8 +172,18 @@ def ecc_match_arrays(
         motion_type=params.motion_type,
         scale_hw=scale_hw,
     )
-    ok = result.ok
-    ok = np.asarray(ok)
+    ok = np.asarray(result.ok)
+    stats = None
+    if return_stats:
+        from ..utils.tracing import PipelineStats
+
+        stats = PipelineStats(
+            frames_total=n,
+            frames_kept=1 + int(ok.sum()),
+            frames_dropped=int((~ok).sum()),
+            ecc_iterations=np.asarray(result.num_iters).tolist(),
+            ecc_rho=np.asarray(result.rho).tolist(),
+        )
     if not ok.all():
         bad = np.nonzero(~ok)[0] + 1
         if on_failure == "raise":
@@ -192,8 +194,10 @@ def ecc_match_arrays(
             )
         # drop mode: failed frames contributed nothing to the sum
         count = 1 + int(ok.sum())
-        return np.asarray(stacked_sum) / count
-    return np.asarray(stacked_sum) / n
+        out = np.asarray(stacked_sum) / count
+        return (out, stats) if return_stats else out
+    out = np.asarray(stacked_sum) / n
+    return (out, stats) if return_stats else out
 
 
 def ecc_match(
@@ -201,10 +205,14 @@ def ecc_match(
     params: EccMatchParameters,
     scale_down_width: Optional[float] = None,
     on_failure: str = "raise",
+    return_stats: bool = False,
 ):
     """Align and stack image files with ECC (ref src/lib.rs:702-717).
 
-    Returns the stacked ``[H,W,3] float32`` RGB image in [0,1].
+    Returns the stacked ``[H,W,3] float32`` RGB image in [0,1]
+    (plus a PipelineStats record when ``return_stats``).
     """
     frames = io.load_frames(files)
-    return ecc_match_arrays(frames, params, scale_down_width, on_failure)
+    return ecc_match_arrays(
+        frames, params, scale_down_width, on_failure, return_stats
+    )

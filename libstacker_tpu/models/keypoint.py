@@ -31,6 +31,7 @@ from .. import constants
 from ..errors import InvalidParamsError, NotEnoughFilesError, ProcessingError
 from ..params import KeyPointMatchParameters
 from ..ops import color, matcher, orb, ransac, resize, warp
+from ..ops.warp_batch import warp_frames_batch
 from ..utils import io
 
 
@@ -122,16 +123,22 @@ def _warp_and_accumulate(
     if scale_hw is not None:
         hs = _adjust_h_for_scale(hs, scale_hw, (h, w))
 
-    def warp_one(frame, hmat):
-        return warp.warp_perspective(
-            frame,
-            hmat,
-            (h, w),
-            border_mode=border_mode,
+    if border_mode == constants.BORDER_CONSTANT:
+        warped = warp_frames_batch(
+            frames_f32[1:], hs, perspective=True,
             border_value=jnp.asarray(border_value[:3], jnp.float32),
         )
+    else:
+        def warp_one(frame, hmat):
+            return warp.warp_perspective(
+                frame,
+                hmat,
+                (h, w),
+                border_mode=border_mode,
+                border_value=jnp.asarray(border_value[:3], jnp.float32),
+            )
 
-    warped = jax.vmap(warp_one)(frames_f32[1:], hs)
+        warped = jax.vmap(warp_one)(frames_f32[1:], hs)
     valid = oks.astype(jnp.float32)[:, None, None, None]
     return frames_f32[0] + jnp.sum(warped * valid, axis=0)
 
@@ -141,7 +148,8 @@ def keypoint_match_arrays(
     params: KeyPointMatchParameters = KeyPointMatchParameters(),
     scale_down_width: Optional[float] = None,
     seed: int = 0,
-) -> Tuple[int, np.ndarray]:
+    return_stats: bool = False,
+):
     """Array-based ``keypoint_match``: ``frames`` is ``[N,H,W,3] uint8``
     RGB.  Returns ``(dropped_count, stacked [H,W,3] float32 RGB in
     [0,1])`` like the reference returns ``(i32, Mat)``
@@ -187,7 +195,19 @@ def keypoint_match_arrays(
     oks = np.asarray(oks)
     kept = 1 + int(oks.sum())
     dropped = int((~oks).sum())
-    return dropped, np.asarray(stacked_sum) / kept
+    out = np.asarray(stacked_sum) / kept
+    if return_stats:
+        from ..utils.tracing import PipelineStats
+
+        stats = PipelineStats(
+            frames_total=n,
+            frames_kept=kept,
+            frames_dropped=dropped,
+            match_counts=np.asarray(mcounts).tolist(),
+            inlier_counts=np.asarray(icounts).tolist(),
+        )
+        return dropped, out, stats
+    return dropped, out
 
 
 def keypoint_match(
@@ -195,8 +215,11 @@ def keypoint_match(
     params: KeyPointMatchParameters = KeyPointMatchParameters(),
     scale_down_width: Optional[float] = None,
     seed: int = 0,
-) -> Tuple[int, np.ndarray]:
+    return_stats: bool = False,
+):
     """Align and stack image files by ORB keypoint matching
     (ref src/lib.rs:129-144)."""
     frames = io.load_frames(files)
-    return keypoint_match_arrays(frames, params, scale_down_width, seed)
+    return keypoint_match_arrays(
+        frames, params, scale_down_width, seed, return_stats
+    )

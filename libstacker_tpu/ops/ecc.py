@@ -362,6 +362,186 @@ def find_transform_ecc_batched_graph(
     return jax.vmap(solve_one)(templates_f)
 
 
+def _jacobian_fields_batched(
+    motion_type: MotionType,
+    gxw: jnp.ndarray,  # [B,H,W]
+    gyw: jnp.ndarray,
+    xg: jnp.ndarray,  # [H,W]
+    yg: jnp.ndarray,
+    m3: jnp.ndarray,  # [B,3,3]
+) -> jnp.ndarray:
+    """Batched variant of :func:`_jacobian_fields` -> [B,P,H,W]."""
+    xb = xg[None]
+    yb = yg[None]
+    if motion_type == MotionType.Translation:
+        return jnp.stack([gxw, gyw], axis=1)
+    if motion_type == MotionType.Euclidean:
+        h0 = m3[:, 0, 0][:, None, None]
+        h1 = m3[:, 1, 0][:, None, None]
+        hat_x = -xb * h1 - yb * h0
+        hat_y = xb * h0 - yb * h1
+        return jnp.stack([gxw * hat_x + gyw * hat_y, gxw, gyw], axis=1)
+    if motion_type == MotionType.Affine:
+        return jnp.stack(
+            [gxw * xb, gyw * xb, gxw * yb, gyw * yb, gxw, gyw], axis=1
+        )
+    c = lambda i, j: m3[:, i, j][:, None, None]
+    den = xb * c(2, 0) + yb * c(2, 1) + 1.0
+    inv_den = 1.0 / den
+    hat_x = (xb * c(0, 0) + yb * c(0, 1) + c(0, 2)) * inv_den
+    hat_y = (xb * c(1, 0) + yb * c(1, 1) + c(1, 2)) * inv_den
+    gxd = gxw * inv_den
+    gyd = gyw * inv_den
+    tmp = hat_x * gxd + hat_y * gyd
+    return jnp.stack(
+        [gxd * xb, gyd * xb, -tmp * xb, gxd * yb, gyd * yb, -tmp * yb,
+         gxd, gyd],
+        axis=1,
+    )
+
+
+def _ecc_loop_batched(
+    templates_f: jnp.ndarray,  # [B,H,W]
+    image_f: jnp.ndarray,  # [H,W]
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    carry,  # batched (m [B,r,3], rho [B], last_rho [B], it [B], ok [B])
+    motion_type: MotionType,
+    num_iters: int,
+    eps,
+    slab_iters: Optional[int],
+    use_pallas: bool,
+) -> tuple:
+    """Explicitly-batched Gauss-Newton ECC slab.  With ``use_pallas`` the
+    three per-iteration warps (image, gx, gy for every lane) run as ONE
+    Pallas kernel over shared sources — the TPU fast path (the XLA
+    gather warp costs ~500ms per 4K image; the kernel ~9ms)."""
+    b, hd, wd = templates_f.shape
+    hs, ws = image_f.shape
+    xg = jnp.arange(wd, dtype=jnp.float32)[None, :] * jnp.ones(
+        (hd, 1), dtype=jnp.float32
+    )
+    yg = jnp.arange(hd, dtype=jnp.float32)[:, None] * jnp.ones(
+        (1, wd), dtype=jnp.float32
+    )
+    n_params = motion_type.num_params
+    perspective = motion_type == MotionType.Homography
+    srcs = jnp.stack([image_f, gx, gy])  # [3,H,W] shared across lanes
+
+    def warp_all(m3b):
+        # [B,3,H,W]: every lane warps the 3 shared sources with its matrix
+        if use_pallas:
+            from . import warp_pallas
+
+            m_rep = jnp.repeat(m3b, 3, axis=0)  # [3B,3,3]
+            src_idx = jnp.tile(jnp.arange(3, dtype=jnp.int32), (b,))
+            out = warp_pallas.warp_bilinear_pallas(
+                srcs, m_rep, src_index=src_idx
+            )
+            return out.reshape(b, 3, hd, wd)
+
+        def one_lane(m3):
+            if perspective:
+                f = lambda s: warp.warp_perspective(
+                    s, m3, (hd, wd), border_mode="constant",
+                    border_value=0.0, inverse_map=True,
+                )
+            else:
+                f = lambda s: warp.warp_affine(
+                    s, m3[:2], (hd, wd), border_mode="constant",
+                    border_value=0.0, inverse_map=True,
+                )
+            return jax.vmap(f)(srcs)
+
+        return jax.vmap(one_lane)(m3b)
+
+    update_fn = jax.vmap(
+        lambda mm, dp: _update_warp(motion_type, mm, dp)
+    )
+
+    def iter_body(c, _):
+        m, rho, last_rho, it, ok = c
+        active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
+        if slab_iters is not None:
+            active = active & (it < it_slab_end)
+        m3 = jax.vmap(_as_3x3)(m)
+        warped = warp_all(m3)
+        image_warped = warped[:, 0]
+        gxw = warped[:, 1]
+        gyw = warped[:, 2]
+        mask = jax.vmap(
+            lambda mm: warp.warp_valid_mask(mm, (hs, ws), (hd, wd),
+                                            inverse_map=True)
+        )(m3)
+        n = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)  # [B]
+
+        def mstats(x):
+            mean = jnp.sum(x * mask, axis=(1, 2)) / n
+            var = jnp.sum(mask * (x - mean[:, None, None]) ** 2, axis=(1, 2)) / n
+            return mean, jnp.sqrt(var)
+
+        img_mean, img_std = mstats(image_warped)
+        tmp_mean, tmp_std = mstats(templates_f)
+        image_zm = jnp.where(
+            mask > 0, image_warped - img_mean[:, None, None], image_warped
+        )
+        template_zm = mask * (templates_f - tmp_mean[:, None, None])
+        img_norm = jnp.sqrt(n) * img_std
+        tmp_norm = jnp.sqrt(n) * tmp_std
+
+        jac = _jacobian_fields_batched(motion_type, gxw, gyw, xg, yg, m3)
+        jflat = jac.reshape(b, n_params, -1)
+        hessian = jnp.einsum(
+            "bpx,bqx->bpq", jflat, jflat, precision=_HIGHEST
+        )
+        hessian_inv = jnp.linalg.inv(hessian)
+
+        izm = image_zm.reshape(b, -1)
+        tzm = template_zm.reshape(b, -1)
+        correlation = jnp.sum(tzm * izm, axis=1)
+        new_rho = correlation / (img_norm * tmp_norm)
+
+        image_proj = jnp.einsum("bpx,bx->bp", jflat, izm, precision=_HIGHEST)
+        template_proj = jnp.einsum("bpx,bx->bp", jflat, tzm, precision=_HIGHEST)
+        iph = jnp.einsum("bpq,bq->bp", hessian_inv, image_proj)
+        lambda_n = img_norm**2 - jnp.sum(image_proj * iph, axis=1)
+        lambda_d = correlation - jnp.sum(template_proj * iph, axis=1)
+        failed = jnp.isnan(new_rho) | (lambda_d <= 0.0)
+        lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
+
+        err = lam[:, None] * tzm - izm
+        error_proj = jnp.einsum("bpx,bx->bp", jflat, err, precision=_HIGHEST)
+        dp = jnp.einsum("bpq,bq->bp", hessian_inv, error_proj)
+        new_m = update_fn(m, dp)
+        new_m = jnp.where(failed[:, None, None], m, new_m)
+
+        upd = (active & ~failed)[:, None, None]
+        out = (
+            jnp.where(upd, new_m, m),
+            jnp.where(active,
+                      jnp.where(failed, jnp.float32(-1.0),
+                                new_rho.astype(jnp.float32)), rho),
+            jnp.where(active, rho, last_rho),
+            jnp.where(active, it + 1, it),
+            ok & ~(active & failed),
+        )
+        return out, None
+
+    def chunk_body(c):
+        c, _ = jax.lax.scan(iter_body, c, None, length=_CHUNK_ITERS)
+        return c
+
+    def chunk_cond(c):
+        m, rho, last_rho, it, ok = c
+        active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
+        if slab_iters is not None:
+            active = active & (it < it_slab_end)
+        return jnp.any(active)
+
+    it_slab_end = carry[3] + (slab_iters if slab_iters is not None else 0)
+    return jax.lax.while_loop(chunk_cond, chunk_body, carry)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("motion_type", "gauss_filt_size"),
@@ -384,25 +564,20 @@ def _ecc_prepare_jit(templates, input_image, gauss_filt_size, motion_type):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("motion_type", "num_iters", "slab_iters"),
+    static_argnames=("motion_type", "num_iters", "slab_iters", "use_pallas"),
 )
 def _ecc_slab_jit(
     templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
-    slab_iters,
+    slab_iters, use_pallas=False,
 ):
-    def solve_one(tmpl, c):
-        res, new_c = _ecc_loop(
-            tmpl, image_f, gx, gy, None, motion_type, num_iters, eps,
-            start_carry=c, slab_iters=slab_iters,
-        )
-        done = (
-            (new_c[3] >= num_iters)
-            | (jnp.abs(new_c[1] - new_c[2]) < eps)
-            | ~new_c[4]
-        )
-        return res, new_c, done
-
-    return jax.vmap(solve_one, in_axes=(0, 0))(templates_f, carry)
+    new_c = _ecc_loop_batched(
+        templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
+        slab_iters, use_pallas,
+    )
+    m, rho, last_rho, it, ok = new_c
+    done = (it >= num_iters) | (jnp.abs(rho - last_rho) < eps) | ~ok
+    res = EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
+    return res, new_c, done
 
 
 def default_slab_iters(n_lanes: int, h: int, w: int) -> int:
@@ -442,12 +617,27 @@ def find_transform_ecc_batched(
         templates, input_image, gauss_filt_size, motion_type
     )
     carry = (carry[0], carry[1], carry[2] - eps, carry[3], carry[4])
+    use_pallas = _pallas_ok(h, w)
     res = None
     while True:
         res, carry, done = _ecc_slab_jit(
             templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-            eps, slab_iters,
+            eps, slab_iters, use_pallas=use_pallas,
         )
         if bool(jax.device_get(jnp.all(done))):
             break
     return res
+
+
+def _pallas_ok(h: int, w: int) -> bool:
+    """Use the Pallas warp kernel on TPU when the image fits its window
+    (small images and CPU keep the XLA-gather path)."""
+    import os
+
+    if os.environ.get("LIBSTACKER_DISABLE_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu" and h >= 160 and w >= 384

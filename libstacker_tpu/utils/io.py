@@ -63,6 +63,9 @@ def imread_rgb(path: PathLike) -> np.ndarray:
         raise StackerIoError(f"{path}: {e}") from e
 
 
+imread = imread_rgb  # reference-style name (utils::imread, src/utils.rs:111)
+
+
 def imread_gray(path: PathLike) -> np.ndarray:
     """Decode one image file directly to uint8 grayscale ``[H,W]`` using
     the same Rec.601 fixed-point conversion as the device path

@@ -109,9 +109,11 @@ def test_ecc_batched_matches_single():
         jnp.asarray(cur1), jnp.asarray(ref), motion_type=MotionType.Affine,
         num_iters=20, eps=-1.0, gauss_filt_size=5,
     )
+    # batched path reduces with einsum, single path with matmul: f32
+    # reduction-order noise compounds over 20 iterations
     np.testing.assert_allclose(
         np.asarray(res_b.warp_matrix[0]), np.asarray(res_s.warp_matrix),
-        atol=1e-5,
+        atol=5e-4,
     )
     np.testing.assert_allclose(
         np.asarray(res_b.warp_matrix[0]), np.asarray(res_b.warp_matrix[1]),
