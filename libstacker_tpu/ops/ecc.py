@@ -46,6 +46,16 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 _CHUNK_ITERS = 8
 
 
+def _ecc_warp_k() -> int:
+    """Residual-displacement bound for the Pallas warp inside ECC
+    iterations (see ops.warp_pallas: k >= 6 is required by the DMA
+    row-quantisation coverage proof; raise via env for extreme
+    motion)."""
+    import os
+
+    return int(os.environ.get("LIBSTACKER_ECC_WARP_K", "7"))
+
+
 class EccResult(NamedTuple):
     rho: jnp.ndarray  # correlation coefficient, [] or [N]
     warp_matrix: jnp.ndarray  # [2,3] or [3,3] (batched: leading N)
@@ -436,7 +446,7 @@ def _ecc_loop_batched(
             m_rep = jnp.repeat(m3b, 3, axis=0)  # [3B,3,3]
             src_idx = jnp.tile(jnp.arange(3, dtype=jnp.int32), (b,))
             out = warp_pallas.warp_bilinear_pallas(
-                srcs, m_rep, src_index=src_idx
+                srcs, m_rep, src_index=src_idx, k=_ecc_warp_k()
             )
             return out.reshape(b, 3, hd, wd)
 

@@ -190,6 +190,10 @@ def warp_bilinear_pallas(
         )
     if 4 * k + 5 > 128 - 1:
         raise ValueError(f"k={k} too large for the 128-column slack band")
+    if k < 6:
+        # the DMA row-start is floor-8 quantised; margins only cover all
+        # valid taps when k+1 >= 7 (see coverage analysis in the header)
+        raise ValueError(f"k={k} < 6 breaks tap coverage at image edges")
     if h < wh or w < ww:
         raise ValueError(
             f"image {h}x{w} too small for pallas warp window {wh}x{ww}; "

@@ -55,6 +55,8 @@ def _oracle_ecc_stack(frames, motion, criteria, gauss):
     "motion,cv_motion",
     [
         (MotionType.Translation, cv2.MOTION_TRANSLATION),
+        (MotionType.Euclidean, cv2.MOTION_EUCLIDEAN),
+        (MotionType.Affine, cv2.MOTION_AFFINE),
         (MotionType.Homography, cv2.MOTION_HOMOGRAPHY),
     ],
 )
@@ -91,3 +93,25 @@ def test_ecc_match_scale_guards(rng):
         ecc_match_arrays(frames, params, scale_down_width=100.0)  # >= width
     with pytest.raises(InvalidParamsError):
         ecc_match_arrays(frames, params, scale_down_width=10.0)  # too small
+
+
+def test_ecc_match_stats(rng):
+    frames = _make_burst(rng)
+    params = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=50, epsilon=1e-4,
+        gauss_filt_size=5,
+    )
+    out, stats = ecc_match_arrays(frames, params, return_stats=True)
+    assert stats.frames_total == 4
+    assert stats.frames_kept == 4
+    assert len(stats.ecc_iterations) == 3
+    assert all(r > 0.9 for r in stats.ecc_rho)
+
+
+def test_prelude_surface():
+    from libstacker_tpu import prelude
+
+    assert prelude.RANSAC == 8
+    assert callable(prelude.keypoint_match)
+    assert callable(prelude.ecc_match)
+    assert prelude.MotionType.Homography == 3

@@ -97,3 +97,33 @@ def test_keypoint_match_drops_featureless_frame(rng):
     )
     assert dropped == 1
     assert np.isfinite(got).all()
+
+
+def test_keypoint_match_lmeds(rng):
+    from libstacker_tpu import constants
+
+    frames, true_h = _textured_burst(rng, n=3)
+    n, h, w = frames.shape[:3]
+    dropped, got = keypoint_match_arrays(
+        frames,
+        KeyPointMatchParameters(
+            method=constants.LMEDS, match_ratio=0.9, match_keep_ratio=0.8
+        ),
+    )
+    assert dropped == 0
+    expected = _truth_stack(frames, true_h, h, w)
+    m = 16
+    diff = np.abs(got[m:-m, m:-m] - expected[m:-m, m:-m])
+    assert np.quantile(diff, 0.99) < 0.05
+
+
+def test_keypoint_match_stats(rng):
+    frames, _ = _textured_burst(rng, n=3)
+    dropped, got, stats = keypoint_match_arrays(
+        frames, KeyPointMatchParameters(match_ratio=0.9), return_stats=True
+    )
+    assert stats.frames_total == 3
+    assert stats.frames_kept == 3 - dropped
+    assert len(stats.match_counts) == 2
+    assert all(c >= 5 for c in stats.match_counts)
+    assert all(i >= 4 for i in stats.inlier_counts)
