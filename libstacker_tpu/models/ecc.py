@@ -216,3 +216,83 @@ def ecc_match(
     return ecc_match_arrays(
         frames, params, scale_down_width, on_failure, return_stats
     )
+
+
+def ecc_match_stream(
+    files: Sequence,
+    params: EccMatchParameters,
+    scale_down_width: Optional[float] = None,
+    chunk_size: int = 16,
+    on_failure: str = "raise",
+):
+    """Streaming ``ecc_match`` for bursts larger than HBM: frames are
+    decoded, aligned and accumulated in chunks of ``chunk_size`` against
+    frame 0; only the running sum stays resident (the reference's
+    "memory efficient streaming processing" claim, src/lib.rs:106,
+    realised as chunked device accumulation — SURVEY.md §5
+    checkpoint/streaming note)."""
+    params.validate()
+    files = list(files)
+    if not files:
+        raise NotEnoughFilesError()
+    num_iters, eps = params.resolve_criteria()
+
+    ref = io.load_frames(files[:1])
+    n_total = len(files)
+    h, w = ref.shape[1:3]
+    scale_hw = None
+    if scale_down_width is not None:
+        if scale_down_width >= w:
+            raise InvalidParamsError(
+                "scale_down_to was larger (or equal) to the full image "
+                f"width: full_size:{w}, scale_down_to:{scale_down_width}"
+            )
+        if scale_down_width <= 10.0:
+            raise InvalidParamsError(
+                f"scale_down_to was too small scale_down_to:{scale_down_width}"
+            )
+        scale_hw = resize.scale_image_size(h, w, scale_down_width)
+
+    ref_j = jnp.asarray(ref)
+    ref_grey = _ecc_grey_jit(ref_j, scale_hw=scale_hw)[0]
+    acc = color.u8_to_f32(ref_j[0])
+    all_ok = []
+    for s0 in range(1, n_total, chunk_size):
+        chunk_files = files[s0 : s0 + chunk_size]
+        frames = io.load_frames(chunk_files)
+        if frames.shape[1:3] != (h, w):
+            raise InvalidParamsError(
+                f"frame size mismatch in chunk starting at {chunk_files[0]}"
+            )
+        frames_j = jnp.asarray(frames)
+        grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
+        result = ecc_ops.find_transform_ecc_batched(
+            grey,
+            ref_grey,
+            motion_type=params.motion_type,
+            num_iters=num_iters,
+            eps=eps,
+            gauss_filt_size=params.gauss_filt_size,
+        )
+        warps = result.warp_matrix
+        if scale_hw is not None:
+            warps = _adjust_warp_for_scale(
+                warps, params.motion_type, scale_hw, (h, w)
+            )
+        warped = warp_frames_batch(
+            color.u8_to_f32(frames_j), warps,
+            params.motion_type == MotionType.Homography,
+        )
+        valid = result.ok.astype(jnp.float32)[:, None, None, None]
+        acc = acc + jnp.sum(warped * valid, axis=0)
+        all_ok.append(np.asarray(result.ok))
+
+    ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
+    if not ok.all():
+        bad = np.nonzero(~ok)[0] + 1
+        if on_failure == "raise":
+            raise ProcessingError(
+                f"findTransformECC failed to converge for frames {bad.tolist()}"
+            )
+    count = 1 + int(ok.sum()) if not ok.all() else n_total
+    return np.asarray(acc) / count

@@ -58,6 +58,31 @@ def _grey_and_detect(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
     return jax.vmap(orb.orb_detect_and_compute)(grey)
 
 
+def detect_features_chunked(
+    frames_u8, scale_hw: Optional[tuple] = None, chunk: Optional[int] = None
+):
+    """Host-chunked stage 1: the dense FAST/ORB programs keep ~20 HW-sized
+    f32 intermediates per frame, so a whole 4K burst cannot be vmapped at
+    once (HBM).  Frames are detected in bounded chunks and the (small)
+    per-frame feature sets concatenated."""
+    n = frames_u8.shape[0]
+    if scale_hw is not None:
+        h, w = scale_hw
+    else:
+        h, w = frames_u8.shape[1], frames_u8.shape[2]
+    if chunk is None:
+        budget = int(3e9)  # bytes of transient detection state
+        per_frame = 20 * h * w * 4
+        chunk = max(1, min(n, budget // max(per_frame, 1)))
+    if chunk >= n:
+        return _grey_and_detect(frames_u8, scale_hw=scale_hw)
+    parts = []
+    for s0 in range(0, n, chunk):
+        e = min(s0 + chunk, n)
+        parts.append(_grey_and_detect(frames_u8[s0:e], scale_hw=scale_hw))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+
 @functools.partial(
     jax.jit, static_argnames=("method", "num_hypotheses")
 )
@@ -175,7 +200,7 @@ def keypoint_match_arrays(
         return 0, frames[0].astype(np.float32) / 255.0
 
     frames_j = jnp.asarray(frames)
-    feats = _grey_and_detect(frames_j, scale_hw=scale_hw)
+    feats = detect_features_chunked(frames_j, scale_hw=scale_hw)
     hs, oks, mcounts, icounts = _match_and_estimate(
         feats,
         jax.random.PRNGKey(seed),

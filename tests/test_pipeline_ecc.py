@@ -115,3 +115,23 @@ def test_prelude_surface():
     assert callable(prelude.keypoint_match)
     assert callable(prelude.ecc_match)
     assert prelude.MotionType.Homography == 3
+
+
+def test_ecc_match_stream_matches_batch(rng, tmp_path):
+    from PIL import Image
+
+    from libstacker_tpu.models.ecc import ecc_match_stream
+
+    frames = _make_burst(rng, n=5)
+    files = []
+    for i, f in enumerate(frames):
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(f).save(p)
+        files.append(p)
+    params = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=50, epsilon=1e-4,
+        gauss_filt_size=5,
+    )
+    batch = ecc_match_arrays(frames, params)
+    streamed = ecc_match_stream(files, params, chunk_size=2)
+    np.testing.assert_allclose(streamed, batch, atol=1e-5)
