@@ -1,1 +1,14 @@
-from . import color, filters, resize, sharpness, warp  # noqa: F401
+from . import (  # noqa: F401
+    color,
+    ecc,
+    fast,
+    filters,
+    matcher,
+    orb,
+    ransac,
+    resize,
+    sharpness,
+    warp,
+    warp_batch,
+    warp_pallas,
+)

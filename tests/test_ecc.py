@@ -130,3 +130,29 @@ def test_ecc_epsilon_early_stop():
     )
     assert int(res.num_iters) < 200
     assert bool(res.ok)
+
+
+def test_ecc_multiscale_matches_single_scale():
+    ref, cur = _make_pair(MotionType.Homography, h=160, w=200)
+    import jax.numpy as jnp
+
+    r1 = ecc_ops.find_transform_ecc_batched(
+        jnp.asarray(cur)[None], jnp.asarray(ref),
+        motion_type=MotionType.Homography, num_iters=100, eps=1e-5,
+        gauss_filt_size=5,
+    )
+    r2 = ecc_ops.find_transform_ecc_batched(
+        jnp.asarray(cur)[None], jnp.asarray(ref),
+        motion_type=MotionType.Homography, num_iters=100, eps=1e-5,
+        gauss_filt_size=5, coarse_levels=1,
+    )
+    assert bool(r2.ok[0])
+    # coarse init converges to the same warp (eps stopping points differ
+    # slightly on small noisy frames: translations within a tenth-pixel,
+    # linear parts tight), in no more full-res iterations
+    m1 = np.asarray(r1.warp_matrix[0])
+    m2 = np.asarray(r2.warp_matrix[0])
+    np.testing.assert_allclose(m2[:2, :2], m1[:2, :2], atol=5e-3)
+    np.testing.assert_allclose(m2[:2, 2], m1[:2, 2], atol=0.15)
+    np.testing.assert_allclose(m2[2, :2], m1[2, :2], atol=2e-4)
+    assert int(r2.num_iters[0]) <= int(r1.num_iters[0])
