@@ -42,28 +42,78 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _warp_kernel(
-    m_ref,  # SMEM [1, 12]: 9 matrix entries + border value
-    src_ref,  # ANY [G, H, W]
+    m_ref,  # SMEM [G, 12]: 9 matrix entries + border value + src index
+    src_ref,  # ANY [S, H, W]
     out_ref,  # VMEM [1, TH, TW]
-    scratch,  # VMEM [WH, WW_alloc]
-    sem,
+    scratch,  # VMEM [2, WH, WW] (double-buffered source windows)
+    sem,  # DMA semaphores [2]
     *,
     th: int,
     tw: int,
     k: int,
     h: int,
     w: int,
+    ny: int,
+    nx: int,
     quant_affine: bool,
 ):
     g = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
+    ng = pl.num_programs(0)
     y0 = ti * th
     x0 = tj * tw
 
+    wh = ((th + 2 * k + 10 + 7) // 8) * 8
+    ww = tw + 256
+
+    def window_origin(g_, ti_, tj_):
+        """Tile-centre displacement -> tiling-aligned window origin for
+        grid step (g_, ti_, tj_)."""
+        mm = [m_ref[g_, i] for i in range(9)]
+        cy_ = (ti_ * th).astype(jnp.float32) + th * 0.5
+        cx_ = (tj_ * tw).astype(jnp.float32) + tw * 0.5
+        cden = mm[6] * cx_ + mm[7] * cy_ + mm[8]
+        cinv = jnp.where(cden != 0.0, 1.0 / cden, 0.0)
+        csx = (mm[0] * cx_ + mm[1] * cy_ + mm[2]) * cinv
+        csy = (mm[3] * cx_ + mm[4] * cy_ + mm[5]) * cinv
+        by_ = jnp.round(csy - cy_).astype(jnp.int32)
+        bx_ = jnp.round(csx - cx_).astype(jnp.int32)
+        r0i = ti_ * th + by_ - (k + 1)
+        c0i = tj_ * tw + bx_ - (k + 1)
+        r0_ = (jnp.clip(r0i, 0, max(h - wh, 0)) // 8) * 8
+        c0_ = (jnp.clip(c0i, 0, max(w - ww, 0)) // 128) * 128
+        sidx = m_ref[g_, 10].astype(jnp.int32)
+        return sidx, r0_, c0_, r0i, c0i
+
+    def start_dma(g_, ti_, tj_, slot):
+        sidx, r0_, c0_, _, _ = window_origin(g_, ti_, tj_)
+        pltpu.make_async_copy(
+            src_ref.at[sidx, pl.ds(r0_, wh), pl.ds(c0_, ww)],
+            scratch.at[slot],
+            sem.at[slot],
+        ).start()
+
+    # --- double-buffered window pipeline across grid steps ---
+    step = (g * ny + ti) * nx + tj
+    total = ng * ny * nx
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        start_dma(g, ti, tj, slot)
+
+    # prefetch the next grid step's window while this tile computes
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        tj_n = jax.lax.rem(nstep, nx)
+        ti_n = jax.lax.rem(nstep // nx, ny)
+        g_n = nstep // (nx * ny)
+        start_dma(g_n, ti_n, tj_n, jax.lax.rem(nstep, 2))
+
     m = [m_ref[g, i] for i in range(9)]
     border_value = m_ref[g, 9]
-    src_idx = m_ref[g, 10].astype(jnp.int32)  # shared-source indirection
 
     iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
@@ -86,38 +136,18 @@ def _warp_kernel(
     fx = (xq - fx0 * 32.0) * (1.0 / 32.0)
     fy = (yq - fy0 * 32.0) * (1.0 / 32.0)
 
-    # tile-centre displacement -> source window origin (scalar math)
-    cy = jnp.float32(y0) + th * 0.5
-    cx = jnp.float32(x0) + tw * 0.5
-    cden = m[6] * cx + m[7] * cy + m[8]
-    cinv = jnp.where(cden != 0.0, 1.0 / cden, 0.0)
-    csx = (m[0] * cx + m[1] * cy + m[2]) * cinv
-    csy = (m[3] * cx + m[4] * cy + m[5]) * cinv
-    by = jnp.round(csy - cy).astype(jnp.int32)
-    bx = jnp.round(csx - cx).astype(jnp.int32)
+    _, r0, c0, r0_ideal, c0_ideal = window_origin(g, ti, tj)
+    pltpu.make_async_copy(
+        src_ref.at[0, pl.ds(0, wh), pl.ds(0, ww)],  # shape-only descriptor
+        scratch.at[slot],
+        sem.at[slot],
+    ).wait()
 
-    wh = th + 4 * k + 4  # rows window (multiple of 8 for k=7, th=128)
-    ww = tw + 256  # cols window (multiple of 128)
-    r0_ideal = y0 + by - (2 * k + 2)
-    c0_ideal = x0 + bx - 96
-    # DMA start offsets must land on the (8, 128) tiling; the rolls below
-    # compensate, and the window margins absorb the quantisation.
-    r0 = (jnp.clip(r0_ideal, 0, max(h - wh, 0)) // 8) * 8
-    c0 = (jnp.clip(c0_ideal, 0, max(w - ww, 0)) // 128) * 128
-
-    cp = pltpu.make_async_copy(
-        src_ref.at[src_idx, pl.ds(r0, wh), pl.ds(c0, ww)],
-        scratch,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-
-    # Compensate edge clamping with dynamic rolls so the window behaves
-    # as if it started at the ideal origin (wrapped entries only land on
-    # zero-weight positions — valid taps always stay inside the DMA'd
-    # region by construction of the clamp).
-    win = scratch[:, :]
+    # Compensate edge clamping + start quantisation with dynamic rolls so
+    # the window behaves as if it started at the ideal origin (wrapped
+    # entries only land on zero-weight positions — valid taps always stay
+    # inside the DMA'd region by construction).
+    win = scratch[slot]
     # dynamic rolls must use non-negative shifts
     win = pltpu.roll(win, jnp.mod(r0 - r0_ideal, wh), 0)
     win = pltpu.roll(win, jnp.mod(c0 - c0_ideal, ww), 1)
@@ -125,8 +155,8 @@ def _warp_kernel(
     sy_rel = fy0.astype(jnp.int32) - r0_ideal - iy  # window-row of tap0 - ly
     sx_rel = fx0.astype(jnp.int32) - c0_ideal - ix
 
-    s_lo, s_hi = k + 1, 3 * k + 4  # tap rows live in [2k+2 - (k+1), 2k+2 + (k+2)]
-    t_lo, t_hi = 96 - (k + 1), 96 + (k + 2)
+    s_lo, s_hi = 0, 2 * k + 3  # resid in [-(k+1), k+1] plus the +1 tap
+    t_lo, t_hi = 0, 2 * k + 3
     # out-of-image taps must not alias roll-wrapped window content
     vx0 = ((fx0 >= 0.0) & (fx0 <= w - 1.0)).astype(jnp.float32)
     vx1 = ((fx0 >= -1.0) & (fx0 <= w - 2.0)).astype(jnp.float32)
@@ -179,21 +209,16 @@ def warp_bilinear_pallas(
     s_n, h, w = src.shape
     g = m3.shape[0]
     th, tw = tile
-    wh = th + 4 * k + 4
+    wh = ((th + 2 * k + 10 + 7) // 8) * 8
     ww = tw + 256
-    # Mosaic DMA slice shapes must align to the (8, 128) tiling; the
-    # output block needs (8, 128)-divisible tile dims.
-    if wh % 8 != 0 or tw % 128 != 0 or th % 8 != 0:
+    # Mosaic: output blocks need (8, 128)-divisible tile dims; the DMA
+    # window is aligned by construction.
+    if tw % 128 != 0 or th % 8 != 0:
         raise ValueError(
-            f"tile {tile} with k={k} gives window rows {wh}; need "
-            "window rows % 8 == 0, tile rows % 8 == 0, tile cols % 128 == 0"
+            f"tile {tile}: need tile rows % 8 == 0 and tile cols % 128 == 0"
         )
-    if 4 * k + 5 > 128 - 1:
-        raise ValueError(f"k={k} too large for the 128-column slack band")
-    if k < 6:
-        # the DMA row-start is floor-8 quantised; margins only cover all
-        # valid taps when k+1 >= 7 (see coverage analysis in the header)
-        raise ValueError(f"k={k} < 6 breaks tap coverage at image edges")
+    if not (1 <= k <= 40):
+        raise ValueError(f"k={k} outside the supported band (1..40)")
     if h < wh or w < ww:
         raise ValueError(
             f"image {h}x{w} too small for pallas warp window {wh}x{ww}; "
@@ -217,8 +242,10 @@ def warp_bilinear_pallas(
         axis=1,
     )  # [G, 12]
 
+    ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
     kernel = functools.partial(
-        _warp_kernel, th=th, tw=tw, k=k, h=h, w=w, quant_affine=quant_affine
+        _warp_kernel, th=th, tw=tw, k=k, h=h, w=w, ny=ny, nx=nx,
+        quant_affine=quant_affine,
     )
     return pl.pallas_call(
         kernel,
@@ -232,8 +259,8 @@ def warp_bilinear_pallas(
             (1, th, tw), lambda gg, i, j: (gg, i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((wh, ww), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, wh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(params, src.astype(jnp.float32))
