@@ -65,8 +65,7 @@ def test_glvn(noise_image):
 
 
 def test_batched_matches_per_frame(noise_image):
-    batch = np.stack([noise_image, noise_image[::-1].copy(), noise_image.T.copy()[:97, :97]] , axis=0) \
-        if False else np.stack([noise_image, noise_image[::-1].copy()], axis=0)
+    batch = np.stack([noise_image, noise_image[::-1].copy()], axis=0)
     out = sharpness.sharpness_all(jnp.asarray(batch))
     assert out["teng"].shape == (2,)
     assert float(out["teng"][0]) == pytest.approx(_teng_oracle(batch[0], 3), rel=1e-4)
