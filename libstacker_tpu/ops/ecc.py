@@ -444,12 +444,9 @@ def _ecc_loop_batched(
         if use_pallas:
             from . import warp_pallas
 
-            m_rep = jnp.repeat(m3b, 3, axis=0)  # [3B,3,3]
-            src_idx = jnp.tile(jnp.arange(3, dtype=jnp.int32), (b,))
-            out = warp_pallas.warp_bilinear_pallas(
-                srcs, m_rep, src_index=src_idx, k=_ecc_warp_k()
+            return warp_pallas.warp3_bilinear_pallas(
+                srcs, m3b, k=_ecc_warp_k()
             )
-            return out.reshape(b, 3, hd, wd)
 
         def one_lane(m3):
             if perspective:

@@ -264,3 +264,170 @@ def warp_bilinear_pallas(
         ],
         interpret=interpret,
     )(params, src.astype(jnp.float32))
+
+
+def _warp3_kernel(
+    m_ref,  # SMEM [B, 12]
+    src_ref,  # ANY [3, H, W] (shared sources: image, gx, gy)
+    out_ref,  # VMEM [1, 3, TH, TW]
+    scratch,  # VMEM [3, WH, WW]
+    sem,  # DMA semaphores [3]
+    *,
+    th: int,
+    tw: int,
+    k: int,
+    h: int,
+    w: int,
+    ny: int,
+    nx: int,
+    quant_affine: bool,
+):
+    """ECC fast path: per grid step, warp the 3 shared sources with one
+    window origin / one weight computation — same math as _warp_kernel,
+    one third of the per-tile overhead."""
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    nb = pl.num_programs(0)
+    y0 = ti * th
+    x0 = tj * tw
+
+    wh = ((th + 2 * k + 10 + 7) // 8) * 8
+    ww = tw + 256
+
+    def window_origin(b_, ti_, tj_):
+        mm = [m_ref[b_, i] for i in range(9)]
+        cy_ = (ti_ * th).astype(jnp.float32) + th * 0.5
+        cx_ = (tj_ * tw).astype(jnp.float32) + tw * 0.5
+        cden = mm[6] * cx_ + mm[7] * cy_ + mm[8]
+        cinv = jnp.where(cden != 0.0, 1.0 / cden, 0.0)
+        csx = (mm[0] * cx_ + mm[1] * cy_ + mm[2]) * cinv
+        csy = (mm[3] * cx_ + mm[4] * cy_ + mm[5]) * cinv
+        by_ = jnp.round(csy - cy_).astype(jnp.int32)
+        bx_ = jnp.round(csx - cx_).astype(jnp.int32)
+        r0i = ti_ * th + by_ - (k + 1)
+        c0i = tj_ * tw + bx_ - (k + 1)
+        r0_ = (jnp.clip(r0i, 0, max(h - wh, 0)) // 8) * 8
+        c0_ = (jnp.clip(c0i, 0, max(w - ww, 0)) // 128) * 128
+        return r0_, c0_, r0i, c0i
+
+    r0c, c0c, r0_ideal, c0_ideal = window_origin(b, ti, tj)
+    copies = [
+        pltpu.make_async_copy(
+            src_ref.at[c, pl.ds(r0c, wh), pl.ds(c0c, ww)],
+            scratch.at[c],
+            sem.at[c],
+        )
+        for c in range(3)
+    ]
+    for cp in copies:
+        cp.start()
+
+    m = [m_ref[b, i] for i in range(9)]
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    ys = (y0 + iy).astype(jnp.float32)
+    xs = (x0 + ix).astype(jnp.float32)
+    den = m[6] * xs + m[7] * ys + m[8]
+    inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
+    sx = (m[0] * xs + m[1] * ys + m[2]) * inv
+    sy = (m[3] * xs + m[4] * ys + m[5]) * inv
+    if quant_affine:
+        xq = jnp.floor((jnp.round(sx * 1024.0) + 16.0) / 32.0)
+        yq = jnp.floor((jnp.round(sy * 1024.0) + 16.0) / 32.0)
+    else:
+        xq = jnp.round(sx * 32.0)
+        yq = jnp.round(sy * 32.0)
+    fx0 = jnp.floor(xq * (1.0 / 32.0))
+    fy0 = jnp.floor(yq * (1.0 / 32.0))
+    fx = (xq - fx0 * 32.0) * (1.0 / 32.0)
+    fy = (yq - fy0 * 32.0) * (1.0 / 32.0)
+
+    r0, c0 = r0c, c0c
+    for cp in copies:
+        cp.wait()
+
+    sy_rel = fy0.astype(jnp.int32) - r0_ideal - iy
+    sx_rel = fx0.astype(jnp.int32) - c0_ideal - ix
+    n_lo, n_hi = 0, 2 * k + 3
+    vx0 = ((fx0 >= 0.0) & (fx0 <= w - 1.0)).astype(jnp.float32)
+    vx1 = ((fx0 >= -1.0) & (fx0 <= w - 2.0)).astype(jnp.float32)
+    vy0 = ((fy0 >= 0.0) & (fy0 <= h - 1.0)).astype(jnp.float32)
+    vy1 = ((fy0 >= -1.0) & (fy0 <= h - 2.0)).astype(jnp.float32)
+    wx_list = [
+        (1.0 - fx) * vx0 * (sx_rel == t) + fx * vx1 * (sx_rel == t - 1)
+        for t in range(n_lo, n_hi + 1)
+    ]
+    roll_r = jnp.mod(r0 - r0_ideal, wh)
+    roll_c = jnp.mod(c0 - c0_ideal, ww)
+    for c in range(3):
+        win = scratch[c]
+        win = pltpu.roll(win, roll_r, 0)
+        win = pltpu.roll(win, roll_c, 1)
+        acc = jnp.zeros((th, tw), jnp.float32)
+        for ss in range(n_lo, n_hi + 1):
+            w_s = (
+                (1.0 - fy) * vy0 * (sy_rel == ss)
+                + fy * vy1 * (sy_rel == ss - 1)
+            )
+            tmp = jnp.zeros((th, tw), jnp.float32)
+            for ci, wx in enumerate(wx_list):
+                t = n_lo + ci
+                tmp = tmp + wx * win[ss : ss + th, t : t + tw]
+            acc = acc + w_s * tmp
+        out_ref[0, c, :, :] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "quant_affine", "interpret")
+)
+def warp3_bilinear_pallas(
+    srcs: jnp.ndarray,
+    m3: jnp.ndarray,
+    k: int = 7,
+    tile: Tuple[int, int] = (128, 128),
+    quant_affine: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Warp the 3 shared sources with per-lane matrices in one pass:
+    ``srcs`` [3,H,W] f32, ``m3`` [B,3,3] -> [B,3,H,W] (BORDER_CONSTANT 0).
+    The ECC inner-loop fast path (one window origin + one weight set per
+    tile instead of three)."""
+    three, h, w = srcs.shape
+    assert three == 3
+    b = m3.shape[0]
+    th, tw = tile
+    wh = ((th + 2 * k + 10 + 7) // 8) * 8
+    ww = tw + 256
+    if tw % 128 != 0 or th % 8 != 0:
+        raise ValueError(f"tile {tile}: need rows % 8 == 0, cols % 128 == 0")
+    if not (1 <= k <= 40):
+        raise ValueError(f"k={k} outside the supported band (1..40)")
+    if h < wh or w < ww:
+        raise ValueError(f"image {h}x{w} too small for window {wh}x{ww}")
+    ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
+    mflat = m3.reshape(b, 9).astype(jnp.float32)
+    params = jnp.concatenate([mflat, jnp.zeros((b, 3), jnp.float32)], axis=1)
+    kernel = functools.partial(
+        _warp3_kernel, th=th, tw=tw, k=k, h=h, w=w, ny=ny, nx=nx,
+        quant_affine=quant_affine,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+        grid=(b, ny, nx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, th, tw), lambda bb, i, j: (bb, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, wh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(params, srcs.astype(jnp.float32))
