@@ -4,9 +4,13 @@ TPU-native re-implementation of OpenCV's ``findTransformECC``
 (Evangelidis & Psarakis, PAMI 2008) — the reference's dominant hot loop
 (SURVEY.md N9; call sites ref src/lib.rs:769-777, 931-939).  Where the
 reference runs one iterative C++ solver per Rayon thread, this engine is
-**one batched JAX program**: a ``lax.while_loop`` with per-frame
-convergence masking, ``vmap``-ed over the frame axis, so every iteration
-is dense VPU/MXU work over the whole burst.
+**one batched device program per slab**: an explicitly batched
+Gauss-Newton iteration (warps via the fused Pallas kernel on TPU,
+Hessian solves and projections batched on the MXU) inside a
+``lax.while_loop`` of unrolled ``lax.scan`` chunks with per-frame
+convergence masking; a host driver slices the solve into bounded slabs
+(the TPU runtime kills single long-running programs) and optionally
+runs coarse-to-fine octaves.
 
 Faithfulness to OpenCV ecc.cpp:
 - Gaussian pre-filter of template and input with ``gauss_filt_size``

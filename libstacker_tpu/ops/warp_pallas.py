@@ -16,10 +16,15 @@ kernel reformulates the warp as **dense VPU work**:
   gather at all.
 
 Correctness domain: the per-pixel source offset may deviate from the
-tile-center offset by at most ``k`` pixels (covers rotations up to
-~2-3 deg and scale within ~5% for 128px tiles — far beyond what burst
-alignment produces).  Out-of-domain pixels fall to the border value;
-callers needing arbitrary warps use the XLA-gather path in ops.warp.
+tile-centre offset by at most ``k`` pixels — the in-tile variation of
+the warp field, NOT the absolute displacement (which the window origin
+absorbs).  k=7 covers rotations to ~2.5 deg and scale within ~5% on
+128px tiles, far beyond burst alignment.  Out-of-domain pixels fall to
+the border value; callers needing arbitrary warps use the XLA-gather
+path in ops.warp.  Window margins are decoupled from k: rows
+th + 2k + 10 (the +10 absorbs the floor-8 DMA-start quantisation and
+the two-tap extent), columns tw + 256 (floor-128 quantisation), with
+dynamic rolls re-aligning the window to its ideal origin.
 
 OpenCV parity: source coordinates quantised exactly like ops.warp
 (1/32 px bins, warpAffine's 1/1024 fixed-point variant optional), and
