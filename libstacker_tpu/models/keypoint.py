@@ -21,14 +21,14 @@ number of kept frames.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
-from ..errors import InvalidParamsError, NotEnoughFilesError, ProcessingError
+from ..errors import InvalidParamsError, NotEnoughFilesError
 from ..params import KeyPointMatchParameters
 from ..ops import color, matcher, orb, ransac, resize, warp
 from ..ops.warp_batch import warp_frames_batch

@@ -39,7 +39,6 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .. import constants
 from ..params import MotionType
 from . import filters, warp
 

@@ -22,8 +22,6 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .. import constants
-
 _PAD_MODE = {
     "constant": "constant",
     "replicate": "edge",

@@ -20,15 +20,14 @@ has no distributed backend, SURVEY.md §2c).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..params import EccMatchParameters, MotionType
+from ..params import MotionType
 from ..ops import color, ecc as ecc_ops, filters, warp
 
 # shard_map moved to jax.shard_map in newer JAX; fall back if needed.
