@@ -87,3 +87,29 @@ def test_shared_source_indirection(img):
     np.testing.assert_allclose(out[0], img2, atol=1e-6)
     np.testing.assert_allclose(out[1], img, atol=1e-6)
     np.testing.assert_allclose(out[2], img2, atol=1e-6)
+
+
+def test_warp3_matches_single_source(img):
+    """The fused 3-source kernel (ECC inner-loop path) must match three
+    independent single-source warps."""
+    srcs = jnp.stack(
+        [jnp.asarray(img), jnp.asarray(img) * 0.5, jnp.asarray(img[::-1].copy())]
+    )
+    ms = []
+    for i in range(2):
+        m = cv2.getRotationMatrix2D((256.0, 96.0), 0.4 * i, 1.0)
+        m[0, 2] += 1.5 * i
+        ms.append(np.vstack([m, [0, 0, 1]]).astype(np.float32))
+    m3 = jnp.asarray(np.stack(ms))
+    out = np.asarray(
+        warp_pallas.warp3_bilinear_pallas(srcs, m3, interpret=True)
+    )
+    assert out.shape == (2, 3, img.shape[0], img.shape[1])
+    for b in range(2):
+        for c in range(3):
+            ref = np.asarray(
+                warp_pallas.warp_bilinear_pallas(
+                    srcs[c][None], m3[b][None], interpret=True
+                )[0]
+            )
+            np.testing.assert_allclose(out[b, c], ref, atol=1e-6)
