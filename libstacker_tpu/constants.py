@@ -45,6 +45,7 @@ _BORDER_MODE_NAMES = {
     BORDER_REFLECT: "reflect",
     BORDER_WRAP: "wrap",
     BORDER_REFLECT_101: "reflect101",
+    BORDER_TRANSPARENT: "transparent",
 }
 
 

@@ -71,6 +71,7 @@ def _sample_bilinear(
     border: str,
     border_value,
     fixed_point_1024: bool = False,
+    dst_base: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Bilinear sample img at float coords (sx, sy) [h,w], with OpenCV's
     1/32 fractional quantisation and border handling.
@@ -78,9 +79,29 @@ def _sample_bilinear(
     ``fixed_point_1024``: reproduce warpAffine's AB_BITS=10 fixed-point
     path (coords rounded to 1/1024 px then to 1/32 bins with +16 bias);
     warpPerspective rounds the double-precision coordinate directly to
-    1/32 (cvRound)."""
+    1/32 (cvRound).
+
+    ``border == "transparent"`` (cv2.BORDER_TRANSPARENT): out-of-source
+    taps read the destination image's existing value, so a pixel whose
+    window fully leaves the source keeps ``dst_base`` and a partial
+    window blends source taps with it — matching cv2's remapBilinear
+    (OpenCV reads whatever the caller's dst held; deterministic
+    deviation: ``dst_base`` defaults to zeros)."""
     h, w = img.shape[0], img.shape[1]
     has_c = img.ndim == 3
+    transparent = border == "transparent"
+    base = None
+    if transparent:
+        border = "constant"
+        base = (
+            jnp.zeros(sx.shape + ((img.shape[2],) if has_c else ()),
+                      img.dtype)
+            if dst_base is None
+            else jnp.broadcast_to(
+                jnp.asarray(dst_base, img.dtype),
+                sx.shape + ((img.shape[2],) if has_c else ()),
+            )
+        )
 
     if fixed_point_1024:
         xq = jnp.floor((jnp.round(sx * 1024.0) + 16.0) / 32.0)
@@ -107,10 +128,13 @@ def _sample_bilinear(
             if border == "constant":
                 inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
                 v = _gather2d(img, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
-                bv = jnp.asarray(border_value, dtype=v.dtype)
+                if transparent:
+                    bv = base
+                else:
+                    bv = jnp.asarray(border_value, dtype=v.dtype)
                 if has_c:
                     inside = inside[..., None]
-                    bv = jnp.broadcast_to(bv, v.shape)
+                bv = jnp.broadcast_to(bv, v.shape)
                 v = jnp.where(inside, v, bv)
             else:
                 v = _gather2d(
@@ -162,9 +186,12 @@ def warp_perspective(
     border_value=None,
     inverse_map: bool = False,
     interpolation: int = constants.INTER_LINEAR,
+    dst: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """OpenCV warpPerspective: dst(x,y) = src(M^-1 (x,y,1)) with
-    INTER_LINEAR (ref src/lib.rs:291-299).  ``dsize`` is (h, w)."""
+    INTER_LINEAR (ref src/lib.rs:291-299).  ``dsize`` is (h, w).
+    ``dst`` is the BORDER_TRANSPARENT base image (pixels mapping outside
+    the source keep its values; defaults to zeros)."""
     if dsize is None:
         dsize = (img.shape[0], img.shape[1])
     m = jnp.asarray(m, dtype=jnp.float32)
@@ -175,8 +202,8 @@ def warp_perspective(
     sx, sy = _dst_coords(m3, dsize, perspective=True)
     border, border_value = _resolve_border(border_mode, border_value)
     if interpolation == constants.INTER_NEAREST:
-        return _sample_nearest(img, sx, sy, border, border_value)
-    return _sample_bilinear(img, sx, sy, border, border_value)
+        return _sample_nearest(img, sx, sy, border, border_value, dst_base=dst)
+    return _sample_bilinear(img, sx, sy, border, border_value, dst_base=dst)
 
 
 def warp_affine(
@@ -187,8 +214,10 @@ def warp_affine(
     border_value=None,
     inverse_map: bool = False,
     interpolation: int = constants.INTER_LINEAR,
+    dst: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """OpenCV warpAffine with a 2x3 matrix (ref src/lib.rs:782-790)."""
+    """OpenCV warpAffine with a 2x3 matrix (ref src/lib.rs:782-790).
+    ``dst`` is the BORDER_TRANSPARENT base image (defaults to zeros)."""
     if dsize is None:
         dsize = (img.shape[0], img.shape[1])
     m = jnp.asarray(m, dtype=jnp.float32)
@@ -198,23 +227,28 @@ def warp_affine(
     sx, sy = _dst_coords(m3, dsize, perspective=False)
     border, border_value = _resolve_border(border_mode, border_value)
     if interpolation == constants.INTER_NEAREST:
-        return _sample_nearest(img, sx, sy, border, border_value)
+        return _sample_nearest(img, sx, sy, border, border_value, dst_base=dst)
     return _sample_bilinear(
-        img, sx, sy, border, border_value, fixed_point_1024=True
+        img, sx, sy, border, border_value, fixed_point_1024=True, dst_base=dst
     )
 
 
-def _sample_nearest(img, sx, sy, border, border_value):
+def _sample_nearest(img, sx, sy, border, border_value, dst_base=None):
     h, w = img.shape[0], img.shape[1]
     xi = jnp.round(sx).astype(jnp.int32)
     yi = jnp.round(sy).astype(jnp.int32)
-    if border == "constant":
+    if border in ("constant", "transparent"):
         inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         v = _gather2d(img, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
-        bv = jnp.asarray(border_value, dtype=v.dtype)
+        if border == "transparent":
+            bv = (
+                jnp.zeros_like(v) if dst_base is None
+                else jnp.broadcast_to(jnp.asarray(dst_base, v.dtype), v.shape)
+            )
+        else:
+            bv = jnp.broadcast_to(jnp.asarray(border_value, v.dtype), v.shape)
         if img.ndim == 3:
             inside = inside[..., None]
-            bv = jnp.broadcast_to(bv, v.shape)
         return jnp.where(inside, v, bv)
     return _gather2d(
         img, _map_border_index(yi, h, border), _map_border_index(xi, w, border)

@@ -46,17 +46,46 @@ def collect_image_files(directory: PathLike) -> List[Path]:
     ]
 
 
+def imread_unchanged(path: PathLike) -> np.ndarray:
+    """Decode one image preserving its native depth — the counterpart of
+    ``imread(..., IMREAD_UNCHANGED)`` at ref src/utils.rs:111-117.
+    16-bit PNG/TIFF decodes to uint16 ``[H,W]`` or ``[H,W,3]``; 8-bit
+    files decode like :func:`imread_rgb`."""
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            if im.mode in ("I;16", "I;16B", "I;16L", "I"):
+                return np.asarray(im, dtype=np.uint16)
+            if im.mode in ("RGB;16", "I;16N"):
+                return np.asarray(im, dtype=np.uint16)
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except OSError as e:
+        raise StackerIoError(f"{path}: {e}") from e
+
+
 def imread_rgb(path: PathLike) -> np.ndarray:
     """Decode one image file to an RGB uint8 array ``[H,W,3]``.
 
     Counterpart of ``utils::imread`` (ref src/utils.rs:111-117) with
     IMREAD_UNCHANGED followed by the implicit 3-channel assumption of
     ``read_grey_and_f32``; grayscale files are expanded to 3 channels.
+    16-bit inputs (PIL ``I;16`` TIFF/PNG) are scaled to 8 bits by
+    dropping the low byte — a documented deviation: the reference passes
+    16-bit Mats through, but every OpenCV stage it then calls (ORB, ECC)
+    asserts 8-bit/float input, so 16-bit bursts fail downstream there.
+    Use :func:`imread_unchanged` for raw-depth access.
     """
     from PIL import Image
 
     try:
         with Image.open(path) as im:
+            if im.mode in ("I;16", "I;16B", "I;16L", "I;16N", "I"):
+                arr = np.asarray(im, dtype=np.uint32)
+                arr8 = (arr >> 8).clip(0, 255).astype(np.uint8)
+                if arr8.ndim == 2:
+                    arr8 = np.repeat(arr8[:, :, None], 3, axis=2)
+                return arr8
             im = im.convert("RGB")
             return np.asarray(im, dtype=np.uint8)
     except OSError as e:
@@ -82,6 +111,44 @@ def rgb_to_gray_u8_host(rgb: np.ndarray) -> np.ndarray:
     g = rgb[..., 1].astype(np.int32)
     b = rgb[..., 2].astype(np.int32)
     return ((9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15).astype(np.uint8)
+
+
+def pad_chunk(frames: np.ndarray, chunk_size: int) -> np.ndarray:
+    """Pad a final partial chunk to ``chunk_size`` lanes by repeating the
+    last frame — every chunk then has one static shape, so the jitted
+    grey/solve/warp programs compile exactly once per burst geometry
+    instead of recompiling (multi-minute on TPU) for the odd tail."""
+    n = frames.shape[0]
+    if n == chunk_size:
+        return frames
+    reps = np.repeat(frames[-1:], chunk_size - n, axis=0)
+    return np.concatenate([frames, reps], axis=0)
+
+
+def prefetched_chunks(files, chunk_size: int, h: int, w: int, start: int = 1):
+    """Yield decoded ``[<=chunk_size, H, W, 3]`` frame tensors, decoding
+    the NEXT chunk on a background thread while the caller's device work
+    runs — host->HBM double buffering for the streaming pipelines
+    (SURVEY.md §7 phase 6)."""
+    import concurrent.futures
+
+    spans = [
+        files[s0 : s0 + chunk_size]
+        for s0 in range(start, len(files), chunk_size)
+    ]
+    if not spans:
+        return
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(load_frames, spans[0])
+        for i, span in enumerate(spans):
+            frames = fut.result()
+            if i + 1 < len(spans):
+                fut = pool.submit(load_frames, spans[i + 1])
+            if frames.shape[1:3] != (h, w):
+                raise StackerIoError(
+                    f"frame size mismatch in chunk starting at {span[0]}"
+                )
+            yield frames
 
 
 def load_frames(

@@ -67,6 +67,25 @@ def test_native_gray_matches_host(image_dir, rng):
     )
 
 
+def test_imread_16bit(tmp_path, rng):
+    """16-bit PNG: imread_unchanged preserves uint16; imread_rgb scales
+    to 8 bits by dropping the low byte (documented deviation — the
+    reference's IMREAD_UNCHANGED passthrough fails downstream in OpenCV
+    anyway, ref src/utils.rs:111-117)."""
+    raw = rng.integers(0, 65536, size=(24, 36), dtype=np.uint16)
+    p = tmp_path / "deep.png"
+    Image.fromarray(raw, mode="I;16").save(p)
+    u = io.imread_unchanged(p)
+    assert u.dtype == np.uint16
+    np.testing.assert_array_equal(u, raw)
+    rgb = io.imread_rgb(p)
+    assert rgb.dtype == np.uint8 and rgb.shape == (24, 36, 3)
+    np.testing.assert_array_equal(rgb[..., 0], (raw >> 8).astype(np.uint8))
+    # and a 16-bit burst loads end to end
+    frames = io.load_frames([p, p])
+    assert frames.shape == (2, 24, 36, 3)
+
+
 def test_load_frames_empty():
     with pytest.raises(NotEnoughFilesError):
         io.load_frames([])

@@ -107,6 +107,56 @@ def test_warp_perspective_border_modes(img_f32, name, cvmode):
     _assert_warp_close(got, expected)
 
 
+def test_warp_border_transparent(img_f32):
+    """BORDER_TRANSPARENT: dst pixels whose sample window leaves the
+    source keep the base image's values (cv2 leaves dst unmodified)."""
+    m = _affine(angle=3.0, tx=20.0, ty=-12.0)
+    base = np.full_like(img_f32, 0.625)
+    expected = base.copy()
+    cv2.warpAffine(
+        img_f32, m, (131, 97), dst=expected,
+        flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_TRANSPARENT,
+    )
+    got = np.asarray(
+        warp.warp_affine(
+            jnp.asarray(img_f32), m,
+            border_mode=constants.BORDER_TRANSPARENT,
+            dst=jnp.asarray(base),
+        )
+    )
+    _assert_warp_close(got, expected)
+    # default base is zeros
+    got0 = np.asarray(
+        warp.warp_affine(
+            jnp.asarray(img_f32), m, border_mode="transparent"
+        )
+    )
+    expected0 = np.zeros_like(img_f32)
+    cv2.warpAffine(
+        img_f32, m, (131, 97), dst=expected0,
+        flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_TRANSPARENT,
+    )
+    _assert_warp_close(got0, expected0)
+
+
+def test_warp_perspective_border_transparent(img_f32):
+    m = _homography()
+    m[0, 2] = 25.0
+    base = np.full_like(img_f32, 0.25)
+    expected = base.copy()
+    cv2.warpPerspective(
+        img_f32, m, (131, 97), dst=expected,
+        flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_TRANSPARENT,
+    )
+    got = np.asarray(
+        warp.warp_perspective(
+            jnp.asarray(img_f32), m, border_mode="transparent",
+            dst=jnp.asarray(base),
+        )
+    )
+    _assert_warp_close(got, expected)
+
+
 def test_warp_perspective_inverse_map(img_f32):
     m = _homography()
     expected = cv2.warpPerspective(
