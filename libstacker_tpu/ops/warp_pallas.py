@@ -26,6 +26,14 @@ th + 2k + 10 (the +10 absorbs the floor-8 DMA-start quantisation and
 the two-tap extent), columns tw + 256 (floor-128 quantisation), with
 dynamic rolls re-aligning the window to its ideal origin.
 
+Non-aligned image sizes: the source is zero-padded to (8, 128)-aligned
+extents (hp, wp) before the kernel and the window origin is clipped
+against the PADDED dims — the clip upper bounds (hp-wh, wp-ww) are then
+themselves aligned, so the floor-quantised origin can always reach the
+image's right/bottom edge.  Taps beyond the true (h, w) extent are
+masked to the border value exactly as before (the validity masks use
+the true dims), so the zero padding never leaks into the output.
+
 OpenCV parity: source coordinates quantised exactly like ops.warp
 (1/32 px bins, warpAffine's 1/1024 fixed-point variant optional), and
 BORDER_CONSTANT blending matches per-tap masking semantics.
@@ -46,6 +54,128 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def residual_domain_ok(
+    m3,
+    h: int,
+    w: int,
+    k: int = 7,
+    tile: Tuple[int, int] = (128, 128),
+    xp=jnp,
+) -> jnp.ndarray:
+    """Per-matrix check of the kernel's correctness domain -> [G] bool.
+
+    The kernel tolerates a residual source displacement of at most
+    ``k + 1`` pixels around each tile-centre displacement (see module
+    docstring).  For every output tile, evaluate the displacement field
+    ``d(p) = M(p) - p`` at the tile centre and 4 corners and bound the
+    in-tile spread; 0.5 px covers the centre-rounding, another 0.5 px
+    the projective curvature between corner samples (second-order in
+    the perspective terms — negligible for any non-degenerate matrix
+    that passes the spread test itself).  NaN/inf matrices fail.
+
+    ``m3``: [G, 3, 3] INVERSE maps (what the kernel consumes).
+    Traceable (pure jnp by default) so ECC can run it per iteration
+    in-graph; pass ``xp=numpy`` for a pure-host check (eager jnp over
+    the TPU tunnel is slow).
+    """
+    th, tw = tile
+    ny = (h + th - 1) // th
+    nx = (w + tw - 1) // tw
+    # tile origins + 5 sample offsets (centre first)
+    oy = (xp.arange(ny, dtype=xp.float32) * th)[:, None]
+    ox = (xp.arange(nx, dtype=xp.float32) * tw)[None, :]
+    offs = xp.asarray(
+        [[th * 0.5, tw * 0.5], [0, 0], [0, tw], [th, 0], [th, tw]],
+        xp.float32,
+    )  # [5, (y,x)]
+    py = (oy + ox * 0.0)[..., None] + offs[None, None, :, 0]  # [ny,nx,5]
+    px = (ox + oy * 0.0)[..., None] + offs[None, None, :, 1]
+    py = py.reshape(-1)  # [T*5]
+    px = px.reshape(-1)
+    m = m3.astype(xp.float32)
+    with _np_err_ignore(xp):
+        den = m[:, 2, 0, None] * px + m[:, 2, 1, None] * py + m[:, 2, 2, None]
+        inv = 1.0 / den  # propagates inf/nan on degenerate denominators
+        sx = (m[:, 0, 0, None] * px + m[:, 0, 1, None] * py
+              + m[:, 0, 2, None]) * inv
+        sy = (m[:, 1, 0, None] * px + m[:, 1, 1, None] * py
+              + m[:, 1, 2, None]) * inv
+        ddx = (sx - px).reshape(-1, ny * nx, 5)  # [G, T, 5]
+        ddy = (sy - py).reshape(-1, ny * nx, 5)
+        spread_x = xp.max(xp.abs(ddx[..., 1:] - ddx[..., :1]), axis=(1, 2))
+        spread_y = xp.max(xp.abs(ddy[..., 1:] - ddy[..., :1]), axis=(1, 2))
+        spread = xp.maximum(spread_x, spread_y)
+    # NaN spread (degenerate matrix) compares False -> out of domain
+    return spread <= xp.float32(k)  # k+1 band minus the 1 px margins
+
+
+def _np_err_ignore(xp):
+    """Silence numpy divide-by-zero warnings on the host path; no-op
+    context for jnp."""
+    import contextlib
+
+    import numpy as _np
+
+    if xp is _np:
+        return _np.errstate(divide="ignore", invalid="ignore")
+    return contextlib.nullcontext()
+
+
+def compute_window_origin(mm, ti, tj, *, th, tw, k, hp, wp):
+    """Tile-centre displacement -> tiling-aligned source-window origin.
+
+    ``mm``: 9 matrix scalars (row-major 3x3 inverse map).  Returns
+    (r0, c0, r0_ideal, c0_ideal): the (8,128)-aligned DMA origin clipped
+    to the padded extents, and the ideal (unaligned, unclipped) origin
+    the kernel re-aligns to with dynamic rolls.  Shared by the warp and
+    ECC-moments kernels."""
+    cy_ = (ti * th).astype(jnp.float32) + th * 0.5
+    cx_ = (tj * tw).astype(jnp.float32) + tw * 0.5
+    cden = mm[6] * cx_ + mm[7] * cy_ + mm[8]
+    cinv = jnp.where(cden != 0.0, 1.0 / cden, 0.0)
+    csx = (mm[0] * cx_ + mm[1] * cy_ + mm[2]) * cinv
+    csy = (mm[3] * cx_ + mm[4] * cy_ + mm[5]) * cinv
+    by_ = jnp.round(csy - cy_).astype(jnp.int32)
+    bx_ = jnp.round(csx - cx_).astype(jnp.int32)
+    wh = ((th + 2 * k + 10 + 7) // 8) * 8
+    ww = tw + 256
+    r0i = ti * th + by_ - (k + 1)
+    c0i = tj * tw + bx_ - (k + 1)
+    r0 = (jnp.clip(r0i, 0, hp - wh) // 8) * 8
+    c0 = (jnp.clip(c0i, 0, wp - ww) // 128) * 128
+    return r0, c0, r0i, c0i
+
+
+def compute_source_coords(m, y0, x0, *, th, tw, quant_affine):
+    """Inverse-map the tile's output pixels to source coordinates with
+    OpenCV's 1/32-px quantisation.
+
+    ``m``: 9 matrix scalars.  Returns (sx, sy, fx0, fy0, fx, fy):
+    unquantised coords, integer tap-0 coords (as f32) and fractional
+    weights — all [th, tw] f32.  Shared by the warp and ECC-moments
+    kernels (and the latter reuses sx/sy as OpenCV's hatX/hatY Jacobian
+    fields)."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    ys = (y0 + iy).astype(jnp.float32)
+    xs = (x0 + ix).astype(jnp.float32)
+    den = m[6] * xs + m[7] * ys + m[8]
+    inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
+    sx = (m[0] * xs + m[1] * ys + m[2]) * inv
+    sy = (m[3] * xs + m[4] * ys + m[5]) * inv
+    if quant_affine:
+        xq = jnp.floor((jnp.round(sx * 1024.0) + 16.0) / 32.0)
+        yq = jnp.floor((jnp.round(sy * 1024.0) + 16.0) / 32.0)
+    else:
+        xq = jnp.round(sx * 32.0)
+        yq = jnp.round(sy * 32.0)
+    fx0 = jnp.floor(xq * (1.0 / 32.0))
+    fy0 = jnp.floor(yq * (1.0 / 32.0))
+    fx = (xq - fx0 * 32.0) * (1.0 / 32.0)
+    fy = (yq - fy0 * 32.0) * (1.0 / 32.0)
+    return sx, sy, fx0, fy0, fx, fy
+
+
 def _warp_kernel(
     m_ref,  # SMEM [G, 12]: 9 matrix entries + border value + src index
     src_ref,  # ANY [S, H, W]
@@ -58,6 +188,8 @@ def _warp_kernel(
     k: int,
     h: int,
     w: int,
+    hp: int,
+    wp: int,
     ny: int,
     nx: int,
     quant_affine: bool,
@@ -74,7 +206,9 @@ def _warp_kernel(
 
     def window_origin(g_, ti_, tj_):
         """Tile-centre displacement -> tiling-aligned window origin for
-        grid step (g_, ti_, tj_)."""
+        grid step (g_, ti_, tj_).  Clipped against the PADDED source
+        dims (hp, wp): their alignment makes the clip bounds floor-exact
+        so the window always reaches the image edge."""
         mm = [m_ref[g_, i] for i in range(9)]
         cy_ = (ti_ * th).astype(jnp.float32) + th * 0.5
         cx_ = (tj_ * tw).astype(jnp.float32) + tw * 0.5
@@ -86,8 +220,8 @@ def _warp_kernel(
         bx_ = jnp.round(csx - cx_).astype(jnp.int32)
         r0i = ti_ * th + by_ - (k + 1)
         c0i = tj_ * tw + bx_ - (k + 1)
-        r0_ = (jnp.clip(r0i, 0, max(h - wh, 0)) // 8) * 8
-        c0_ = (jnp.clip(c0i, 0, max(w - ww, 0)) // 128) * 128
+        r0_ = (jnp.clip(r0i, 0, hp - wh) // 8) * 8
+        c0_ = (jnp.clip(c0i, 0, wp - ww) // 128) * 128
         sidx = m_ref[g_, 10].astype(jnp.int32)
         return sidx, r0_, c0_, r0i, c0i
 
@@ -191,7 +325,7 @@ def _warp_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile", "quant_affine", "interpret"),
+    static_argnames=("k", "tile", "quant_affine", "interpret", "true_hw"),
 )
 def warp_bilinear_pallas(
     src: jnp.ndarray,
@@ -202,6 +336,7 @@ def warp_bilinear_pallas(
     tile: Tuple[int, int] = (128, 128),
     quant_affine: bool = False,
     interpret: bool = False,
+    true_hw: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Warp a batch of images with per-image 3x3 matrices (inverse-map
     semantics: dst(x,y) = src(M @ (x,y,1)), BORDER_CONSTANT).
@@ -210,8 +345,23 @@ def warp_bilinear_pallas(
     ``src_index`` ([G] int32, default arange) maps each output slot to a
     source image — lets B frame-lanes warp the same S shared sources
     (ECC warps image+gx+gy per lane) without duplicating HBM reads.
+    Non-(8,128)-aligned sizes are zero-padded internally; callers in hot
+    loops can pre-pad once and pass the real extent via ``true_hw``.
     """
-    s_n, h, w = src.shape
+    s_n, h_in, w_in = src.shape
+    if true_hw is not None:
+        h, w = true_hw
+        if h_in % 8 != 0 or w_in % 128 != 0 or h_in < h or w_in < w:
+            raise ValueError(
+                f"pre-padded src {h_in}x{w_in} must be (8,128)-aligned and "
+                f"cover true_hw {true_hw}"
+            )
+        hp, wp = h_in, w_in
+    else:
+        h, w = h_in, w_in
+        hp, wp = _round_up(h, 8), _round_up(w, 128)
+        if (hp, wp) != (h, w):
+            src = jnp.pad(src, ((0, 0), (0, hp - h), (0, wp - w)))
     g = m3.shape[0]
     th, tw = tile
     wh = ((th + 2 * k + 10 + 7) // 8) * 8
@@ -224,7 +374,7 @@ def warp_bilinear_pallas(
         )
     if not (1 <= k <= 40):
         raise ValueError(f"k={k} outside the supported band (1..40)")
-    if h < wh or w < ww:
+    if hp < wh or wp < ww:
         raise ValueError(
             f"image {h}x{w} too small for pallas warp window {wh}x{ww}; "
             "use ops.warp instead"
@@ -249,8 +399,8 @@ def warp_bilinear_pallas(
 
     ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
     kernel = functools.partial(
-        _warp_kernel, th=th, tw=tw, k=k, h=h, w=w, ny=ny, nx=nx,
-        quant_affine=quant_affine,
+        _warp_kernel, th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
+        ny=ny, nx=nx, quant_affine=quant_affine,
     )
     return pl.pallas_call(
         kernel,
@@ -283,6 +433,8 @@ def _warp3_kernel(
     k: int,
     h: int,
     w: int,
+    hp: int,
+    wp: int,
     ny: int,
     nx: int,
     quant_affine: bool,
@@ -312,8 +464,8 @@ def _warp3_kernel(
         bx_ = jnp.round(csx - cx_).astype(jnp.int32)
         r0i = ti_ * th + by_ - (k + 1)
         c0i = tj_ * tw + bx_ - (k + 1)
-        r0_ = (jnp.clip(r0i, 0, max(h - wh, 0)) // 8) * 8
-        c0_ = (jnp.clip(c0i, 0, max(w - ww, 0)) // 128) * 128
+        r0_ = (jnp.clip(r0i, 0, hp - wh) // 8) * 8
+        c0_ = (jnp.clip(c0i, 0, wp - ww) // 128) * 128
         return r0_, c0_, r0i, c0i
 
     r0c, c0c, r0_ideal, c0_ideal = window_origin(b, ti, tj)
@@ -385,7 +537,8 @@ def _warp3_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile", "quant_affine", "interpret")
+    jax.jit, static_argnames=("k", "tile", "quant_affine", "interpret",
+                              "true_hw")
 )
 def warp3_bilinear_pallas(
     srcs: jnp.ndarray,
@@ -394,13 +547,28 @@ def warp3_bilinear_pallas(
     tile: Tuple[int, int] = (128, 128),
     quant_affine: bool = False,
     interpret: bool = False,
+    true_hw: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Warp the 3 shared sources with per-lane matrices in one pass:
     ``srcs`` [3,H,W] f32, ``m3`` [B,3,3] -> [B,3,H,W] (BORDER_CONSTANT 0).
     The ECC inner-loop fast path (one window origin + one weight set per
-    tile instead of three)."""
-    three, h, w = srcs.shape
+    tile instead of three).  Non-aligned sizes are zero-padded
+    internally; hot loops pre-pad once and pass ``true_hw``."""
+    three, h_in, w_in = srcs.shape
     assert three == 3
+    if true_hw is not None:
+        h, w = true_hw
+        if h_in % 8 != 0 or w_in % 128 != 0 or h_in < h or w_in < w:
+            raise ValueError(
+                f"pre-padded srcs {h_in}x{w_in} must be (8,128)-aligned "
+                f"and cover true_hw {true_hw}"
+            )
+        hp, wp = h_in, w_in
+    else:
+        h, w = h_in, w_in
+        hp, wp = _round_up(h, 8), _round_up(w, 128)
+        if (hp, wp) != (h, w):
+            srcs = jnp.pad(srcs, ((0, 0), (0, hp - h), (0, wp - w)))
     b = m3.shape[0]
     th, tw = tile
     wh = ((th + 2 * k + 10 + 7) // 8) * 8
@@ -409,14 +577,14 @@ def warp3_bilinear_pallas(
         raise ValueError(f"tile {tile}: need rows % 8 == 0, cols % 128 == 0")
     if not (1 <= k <= 40):
         raise ValueError(f"k={k} outside the supported band (1..40)")
-    if h < wh or w < ww:
+    if hp < wh or wp < ww:
         raise ValueError(f"image {h}x{w} too small for window {wh}x{ww}")
     ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
     mflat = m3.reshape(b, 9).astype(jnp.float32)
     params = jnp.concatenate([mflat, jnp.zeros((b, 3), jnp.float32)], axis=1)
     kernel = functools.partial(
-        _warp3_kernel, th=th, tw=tw, k=k, h=h, w=w, ny=ny, nx=nx,
-        quant_affine=quant_affine,
+        _warp3_kernel, th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
+        ny=ny, nx=nx, quant_affine=quant_affine,
     )
     return pl.pallas_call(
         kernel,

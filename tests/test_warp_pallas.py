@@ -89,6 +89,118 @@ def test_shared_source_indirection(img):
     np.testing.assert_allclose(out[2], img2, atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(192, 400), (161, 512), (97, 391)])
+def test_non_aligned_sizes(rng, shape):
+    """Regression: sizes with h % 8 != 0 or w % 128 != 0 used to read
+    roll-wrapped garbage at the right/bottom edges (the clipped-and-
+    floored window origin could not cover the last w % 128 columns).
+    The source is now padded to aligned extents internally."""
+    im = cv2.GaussianBlur(
+        rng.random(shape).astype(np.float32), (0, 0), 2.0
+    )
+    if shape[0] < 160:  # below the window minimum for the default tile?
+        # 97 rows: hp=104 < wh=152 -> must raise cleanly, not corrupt
+        with pytest.raises(ValueError):
+            warp_pallas.warp_bilinear_pallas(
+                jnp.asarray(im)[None], jnp.eye(3, dtype=jnp.float32)[None],
+                interpret=True,
+            )
+        return
+    _compare(im, np.eye(3))
+    m = np.eye(3); m[0, 2] = 5.75; m[1, 2] = -3.25
+    _compare(im, m)
+    m = cv2.getRotationMatrix2D((shape[1] / 2.0, shape[0] / 2.0), 0.9, 1.004)
+    _compare(im, np.vstack([m, [0, 0, 1]]), frac=1e-3)
+
+
+def test_non_aligned_warp3(rng):
+    """The fused 3-source kernel at a non-aligned size (192x400)."""
+    im = cv2.GaussianBlur(rng.random((192, 400)).astype(np.float32), (0, 0), 2.0)
+    srcs = jnp.stack([jnp.asarray(im), jnp.asarray(im) * 0.5,
+                      jnp.asarray(im[::-1].copy())])
+    m = cv2.getRotationMatrix2D((200.0, 96.0), 0.6, 1.0)
+    m[0, 2] += 2.5
+    m3 = jnp.asarray(np.vstack([m, [0, 0, 1]]).astype(np.float32))[None]
+    out = np.asarray(warp_pallas.warp3_bilinear_pallas(srcs, m3, interpret=True))
+    for c in range(3):
+        ref = np.asarray(
+            warp.warp_perspective(srcs[c], m3[0], (192, 400), inverse_map=True)
+        )
+        diff = np.abs(out[0, c] - ref)
+        assert (diff > 1e-5).mean() <= 1e-3
+        assert diff.max() < 0.02
+
+
+def test_prepadded_true_hw(rng):
+    """Pre-padded source + true_hw must equal the internally-padded path."""
+    im = cv2.GaussianBlur(rng.random((192, 400)).astype(np.float32), (0, 0), 2.0)
+    m = np.eye(3, dtype=np.float32); m[0, 2] = 7.5
+    auto = np.asarray(
+        warp_pallas.warp_bilinear_pallas(
+            jnp.asarray(im)[None], jnp.asarray(m)[None], interpret=True
+        )[0]
+    )
+    pad = np.zeros((192, 512), np.float32)
+    pad[:, :400] = im
+    pre = np.asarray(
+        warp_pallas.warp_bilinear_pallas(
+            jnp.asarray(pad)[None], jnp.asarray(m)[None],
+            interpret=True, true_hw=(192, 400),
+        )[0]
+    )
+    assert pre.shape == (192, 400)
+    np.testing.assert_array_equal(auto, pre)
+
+
+def test_residual_domain_ok():
+    """Kernel-domain check: translations of any size and small rotations
+    pass; large rotations, strong perspective, and non-finite matrices
+    fail (they would silently clip to the border inside the kernel)."""
+    h, w = 2160, 3840
+
+    def rot(deg, persp=0.0):
+        m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), deg, 1.0)
+        return np.vstack([m, [persp, 0, 1]]).astype(np.float32)
+
+    big_t = np.eye(3, dtype=np.float32)
+    big_t[0, 2] = 500.0
+    big_t[1, 2] = -300.0
+    mats = np.stack([
+        np.eye(3, dtype=np.float32),  # identity: ok
+        big_t,                        # huge translation: ok (variation 0)
+        rot(1.0),                     # 1 deg rotation: ok at k=7
+        rot(10.0),                    # 10 deg: out of domain
+        rot(0.0, persp=1e-4),         # strong perspective: out of domain
+        np.full((3, 3), np.nan, np.float32),  # non-finite: out
+    ])
+    got = np.asarray(
+        warp_pallas.residual_domain_ok(jnp.asarray(mats), h, w, k=7)
+    )
+    np.testing.assert_array_equal(
+        got, [True, True, True, False, False, False]
+    )
+    # numpy host path agrees
+    got_np = warp_pallas.residual_domain_ok(mats, h, w, k=7, xp=np)
+    np.testing.assert_array_equal(np.asarray(got_np), got)
+
+
+def test_pallas_domain_ok_host():
+    from libstacker_tpu.ops import warp_batch
+
+    h, w = 2160, 3840
+    m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), 0.5, 1.0)
+    good = np.vstack([m, [0, 0, 1]]).astype(np.float64)[None]
+    bad = good.copy()
+    bad[0, 0, 0] = np.nan
+    singular = np.zeros((1, 3, 3))
+    # on CPU CI _pallas_usable is False -> always False (kernel unused);
+    # the matrix-level check still runs through residual_domain_ok above
+    res = warp_batch.pallas_domain_ok_host(good, h, w)
+    assert res in (True, False)
+    assert warp_batch.pallas_domain_ok_host(bad, h, w) is False
+    assert warp_batch.pallas_domain_ok_host(singular, h, w) is False
+
+
 def test_warp3_matches_single_source(img):
     """The fused 3-source kernel (ECC inner-loop path) must match three
     independent single-source warps."""
