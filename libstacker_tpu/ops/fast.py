@@ -125,8 +125,9 @@ def harris_response_at(
     harris_k: float = 0.04,
 ) -> jnp.ndarray:
     """Harris corner response at given pixel locations, matching ORB's
-    HarrisResponses: raw [-1,0,1] differences, 7x7 block sums,
-    response = (ab - c^2 - k (a+b)^2) * (1/(4*7*255))^4."""
+    HarrisResponses (orb.cpp): 3x3 Sobel gradients
+    (Ix = 2*(p[x+1]-p[x-1]) + the two diagonal row differences),
+    7x7 block sums, response = (ab - c^2 - k (a+b)^2) * (1/(4*7*255))^4."""
     x = img.astype(jnp.float32)
     r = block_size // 2
     # patch of (block+2)^2 around each kp for gradient support
@@ -137,8 +138,10 @@ def harris_response_at(
     py = jnp.clip(py, 0, h - 1)
     px = jnp.clip(px, 0, w - 1)
     patch = x[py, px]  # [K, b+2, b+2]
-    ix = patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]
-    iy = patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1]
+    dx = patch[:, :, 2:] - patch[:, :, :-2]  # [K, b+2, b]
+    dy = patch[:, 2:, :] - patch[:, :-2, :]  # [K, b, b+2]
+    ix = 2.0 * dx[:, 1:-1, :] + dx[:, :-2, :] + dx[:, 2:, :]
+    iy = 2.0 * dy[:, :, 1:-1] + dy[:, :, :-2] + dy[:, :, 2:]
     a = jnp.sum(ix * ix, axis=(1, 2))
     b = jnp.sum(iy * iy, axis=(1, 2))
     c = jnp.sum(ix * iy, axis=(1, 2))
