@@ -17,9 +17,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _HIGHEST = jax.lax.Precision.HIGHEST
-_BIG = jnp.float32(1e9)
+_BIG = np.float32(1e9)  # numpy scalar: no backend init at import
 
 
 class KnnMatches(NamedTuple):

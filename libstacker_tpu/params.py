@@ -63,6 +63,11 @@ class KeyPointMatchParameters:
     border_mode: int = constants.BORDER_CONSTANT
     #: Border value used when warping with BORDER_CONSTANT.
     border_value: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    #: Max RANSAC hypotheses — OpenCV findHomography's ``maxIters``
+    #: (the reference's call at src/lib.rs:267-276 uses the default 2000).
+    max_iters: int = 2000
+    #: RANSAC confidence for adaptive early exit — OpenCV's 0.995 default.
+    confidence: float = 0.995
 
     def validate(self) -> None:
         if self.method not in (constants.RANSAC, constants.LMEDS):
@@ -75,6 +80,14 @@ class KeyPointMatchParameters:
         if not (0.0 < self.match_keep_ratio <= 1.0):
             raise InvalidParamsError(
                 f"match_keep_ratio must be in (0, 1], got {self.match_keep_ratio}"
+            )
+        if self.max_iters < 1:
+            raise InvalidParamsError(
+                f"max_iters must be >= 1, got {self.max_iters}"
+            )
+        if not (0.0 < self.confidence < 1.0):
+            raise InvalidParamsError(
+                f"confidence must be in (0, 1), got {self.confidence}"
             )
 
 

@@ -85,6 +85,59 @@ def test_homography_padded_invalid_points(rng):
     assert err < 5.0
 
 
+@pytest.mark.parametrize("outlier_frac", [0.5, 0.75])
+def test_homography_low_inlier_ratio(rng, outlier_frac):
+    """Adaptive termination (OpenCV RANSACUpdateNumIters semantics): at
+    25-50% inliers the loop must escalate past the first slabs and still
+    recover the model, like cv2.findHomography with maxIters=2000."""
+    src, dst, h_true, out_idx = _make_correspondences(
+        rng, n=240, outlier_frac=outlier_frac
+    )
+    n = src.shape[0]
+    true_inl = np.ones(n, bool)
+    true_inl[out_idx] = False
+    res = ransac.find_homography(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(n, bool),
+        jax.random.PRNGKey(3), method=constants.RANSAC,
+        reproj_threshold=3.0,
+    )
+    assert bool(res.ok)
+    err = _max_reproj_err(np.asarray(res.h, np.float64), src, dst, true_inl)
+    h_cv, _ = cv2.findHomography(src, dst, cv2.RANSAC, 3.0)
+    err_cv = _max_reproj_err(h_cv, src, dst, true_inl)
+    assert err < max(3.0 * err_cv, 3.0)
+    inl = np.asarray(res.inliers)
+    assert inl[true_inl].mean() > 0.9
+    assert inl[~true_inl].mean() < 0.1
+
+
+def test_homography_degenerate_samples_rejected(rng):
+    """A correspondence set dominated by one line must not produce a
+    wild H from collinear 4-point samples: with only 8 off-line points
+    carrying the model, the checkSubset-style rejection keeps the
+    estimate sane."""
+    n_line = 120
+    t = rng.uniform(0, 1000, n_line)
+    line = np.stack([t, 0.5 * t + 20.0], axis=1)  # collinear cloud
+    good = rng.uniform(0, 1000, (24, 2))
+    src = np.concatenate([line, good]).astype(np.float32)
+    h_true = np.array(
+        [[1.01, 0.02, 4.0], [-0.01, 0.98, 2.0], [0, 0, 1.0]], np.float64
+    )
+    p = np.concatenate([src, np.ones((src.shape[0], 1), np.float32)], 1)
+    dst = (p @ h_true.T)
+    dst = (dst[:, :2] / dst[:, 2:3]).astype(np.float32)
+    res = ransac.find_homography(
+        jnp.asarray(src), jnp.asarray(dst),
+        jnp.ones(src.shape[0], bool), jax.random.PRNGKey(4),
+    )
+    assert bool(res.ok)
+    err = _max_reproj_err(
+        np.asarray(res.h, np.float64), src, dst, np.ones(src.shape[0], bool)
+    )
+    assert err < 1.0  # noiseless correspondences -> near-exact recovery
+
+
 def test_homography_too_few_points(rng):
     src = rng.uniform(0, 100, (8, 2)).astype(np.float32)
     valid = np.zeros(8, bool)
