@@ -50,14 +50,22 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 _CHUNK_ITERS = 4
 
 
-def _ecc_warp_k() -> int:
-    """Residual-displacement bound for the Pallas warp inside ECC
-    iterations (see ops.warp_pallas: k >= 6 is required by the DMA
-    row-quantisation coverage proof; raise via env for extreme
-    motion)."""
+def _ecc_warp_k() -> Optional[int]:
+    """Residual-displacement bound override for the Pallas kernels in
+    ECC iterations.  ``None`` (default) = adaptive: the driver tries
+    k=3 first (the tap loop is O((2k+4)^2), so small k is ~3x cheaper)
+    and escalates to k=7 then to the XLA path when the in-loop domain
+    check flags a lane.  Set LIBSTACKER_ECC_WARP_K to pin a value."""
     import os
 
-    return int(os.environ.get("LIBSTACKER_ECC_WARP_K", "7"))
+    v = os.environ.get("LIBSTACKER_ECC_WARP_K")
+    return int(v) if v else None
+
+
+# adaptive escalation ladder: k=3 covers burst alignment (~1 deg
+# rotation at 4K tiles); k=7 covers ~2.5 deg; beyond that the exact
+# XLA-gather path takes over
+_K_LADDER = (3, 7)
 
 
 class EccResult(NamedTuple):
@@ -284,10 +292,10 @@ def _ecc_loop(
         failed = jnp.isnan(new_rho) | (lambda_d <= 0.0)
         lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
 
-        error_img = lam * template_zm - image_zm
-        error_proj = jnp.matmul(
-            jflat, error_img.reshape(-1), precision=_HIGHEST
-        )
+        # err = lam * template_zm - image_zm; its projection is the exact
+        # linear combination (same identity as the batched loop — keeps
+        # the two paths' trajectories bit-comparable and saves a pass)
+        error_proj = lam * template_proj - image_proj
         dp = hessian_inv @ error_proj
         new_m = _update_warp(motion_type, m, dp)
         new_m = jnp.where(failed, m, new_m)
@@ -425,11 +433,14 @@ def _ecc_loop_batched(
     eps,
     slab_iters: Optional[int],
     use_pallas: bool,
+    warp_k: int = 7,
 ) -> tuple:
-    """Explicitly-batched Gauss-Newton ECC slab.  With ``use_pallas`` the
-    three per-iteration warps (image, gx, gy for every lane) run as ONE
-    Pallas kernel over shared sources — the TPU fast path (the XLA
-    gather warp costs ~500ms per 4K image; the kernel ~9ms)."""
+    """Explicitly-batched Gauss-Newton ECC slab.  With ``use_pallas``
+    each iteration runs as ONE fused Pallas sweep (ops/ecc_pallas.py)
+    that warps, masks, builds the Jacobian and reduces to ~66 Gram-sum
+    scalars per lane in-tile — no image-sized intermediate ever returns
+    to HBM (the XLA path materialises [B,3,H,W] warps plus a [B,P,H,W]
+    Jacobian stack and is kept as the exact reference/fallback)."""
     b, hd, wd = templates_f.shape
     hs, ws = image_f.shape
     xg = jnp.arange(wd, dtype=jnp.float32)[None, :] * jnp.ones(
@@ -441,16 +452,22 @@ def _ecc_loop_batched(
     n_params = motion_type.num_params
     perspective = motion_type == MotionType.Homography
     srcs = jnp.stack([image_f, gx, gy])  # [3,H,W] shared across lanes
+    if use_pallas:
+        # the kernel uses one extent for both the output grid and the
+        # source bounds — true for every ECC path (template and input
+        # are the same size)
+        assert (hd, wd) == (hs, ws), (templates_f.shape, image_f.shape)
+        # pre-pad to (8,128)-aligned extents ONCE, outside the GN loop
+        # (the kernel's window-origin clip bounds require aligned dims)
+        hp = ((hs + 7) // 8) * 8
+        wp = ((ws + 127) // 128) * 128
+        if (hp, wp) != (hs, ws):
+            srcs = jnp.pad(srcs, ((0, 0), (0, hp - hs), (0, wp - ws)))
 
     def warp_all(m3b):
-        # [B,3,H,W]: every lane warps the 3 shared sources with its matrix
-        if use_pallas:
-            from . import warp_pallas
-
-            return warp_pallas.warp3_bilinear_pallas(
-                srcs, m3b, k=_ecc_warp_k()
-            )
-
+        # [B,3,H,W]: every lane warps the 3 shared sources with its
+        # matrix (XLA-gather reference path; the TPU path never
+        # materialises warped fields — see the fused-moments branch)
         def one_lane(m3):
             if perspective:
                 f = lambda s: warp.warp_perspective(
@@ -476,52 +493,102 @@ def _ecc_loop_batched(
         if slab_iters is not None:
             active = active & (it < it_slab_end)
         m3 = jax.vmap(_as_3x3)(m)
-        warped = warp_all(m3)
-        image_warped = warped[:, 0]
-        gxw = warped[:, 1]
-        gyw = warped[:, 2]
-        mask = jax.vmap(
-            lambda mm: warp.warp_valid_mask(mm, (hs, ws), (hd, wd),
-                                            inverse_map=True)
-        )(m3)
-        n = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)  # [B]
 
-        def mstats(x):
-            mean = jnp.sum(x * mask, axis=(1, 2)) / n
-            var = jnp.sum(mask * (x - mean[:, None, None]) ** 2, axis=(1, 2)) / n
-            return mean, jnp.sqrt(var)
+        if use_pallas:
+            # Fused TPU path: one Pallas sweep computes warp + mask +
+            # Jacobian in-tile and returns only the iteration's raw Gram
+            # sums; OpenCV's quantities are reconstructed from moments
+            # (exact identities, see ops/ecc_pallas.py docstring).
+            from . import ecc_pallas
 
-        img_mean, img_std = mstats(image_warped)
-        tmp_mean, tmp_std = mstats(templates_f)
-        image_zm = jnp.where(
-            mask > 0, image_warped - img_mean[:, None, None], image_warped
-        )
-        template_zm = mask * (templates_f - tmp_mean[:, None, None])
-        img_norm = jnp.sqrt(n) * img_std
-        tmp_norm = jnp.sqrt(n) * tmp_std
+            mom = ecc_pallas.ecc_iteration_moments(
+                srcs, templates_f, m3,
+                motion_type=motion_type, k=warp_k,
+                quant_affine=not perspective, true_hw=(hs, ws),
+                interpret=_ecc_interpret(), active=active,
+            )
+            (n_raw, s_mi, s_mii, s_mt, s_mtt, s_mti,
+             hessian, j_i, j_m, j_mt) = ecc_pallas.unpack_moments(
+                mom, motion_type
+            )
+            n = jnp.maximum(n_raw, 1.0)
+            img_mean = s_mi / n
+            img_std = jnp.sqrt(jnp.maximum(s_mii / n - img_mean**2, 0.0))
+            tmp_mean = s_mt / n
+            tmp_std = jnp.sqrt(jnp.maximum(s_mtt / n - tmp_mean**2, 0.0))
+            img_norm = jnp.sqrt(n) * img_std
+            tmp_norm = jnp.sqrt(n) * tmp_std
+            correlation = (
+                s_mti - img_mean * s_mt - tmp_mean * s_mi
+                + tmp_mean * img_mean * n_raw
+            )
+            image_proj = j_i - img_mean[:, None] * j_m
+            template_proj = j_mt - tmp_mean[:, None] * j_m
+        else:
+            warped = warp_all(m3)
+            image_warped = warped[:, 0]
+            gxw = warped[:, 1]
+            gyw = warped[:, 2]
+            mask = jax.vmap(
+                lambda mm: warp.warp_valid_mask(mm, (hs, ws), (hd, wd),
+                                                inverse_map=True)
+            )(m3)
+            n = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)  # [B]
 
-        jac = _jacobian_fields_batched(motion_type, gxw, gyw, xg, yg, m3)
-        jflat = jac.reshape(b, n_params, -1)
-        hessian = jnp.einsum(
-            "bpx,bqx->bpq", jflat, jflat, precision=_HIGHEST
-        )
+            def mstats(x):
+                mean = jnp.sum(x * mask, axis=(1, 2)) / n
+                var = jnp.sum(
+                    mask * (x - mean[:, None, None]) ** 2, axis=(1, 2)
+                ) / n
+                return mean, jnp.sqrt(var)
+
+            img_mean, img_std = mstats(image_warped)
+            tmp_mean, tmp_std = mstats(templates_f)
+            image_zm = jnp.where(
+                mask > 0, image_warped - img_mean[:, None, None],
+                image_warped,
+            )
+            template_zm = mask * (templates_f - tmp_mean[:, None, None])
+            img_norm = jnp.sqrt(n) * img_std
+            tmp_norm = jnp.sqrt(n) * tmp_std
+
+            jac = _jacobian_fields_batched(motion_type, gxw, gyw, xg, yg, m3)
+            jflat = jac.reshape(b, n_params, -1)
+            hessian = jnp.einsum(
+                "bpx,bqx->bpq", jflat, jflat, precision=_HIGHEST
+            )
+
+            izm = image_zm.reshape(b, -1)
+            tzm = template_zm.reshape(b, -1)
+            correlation = jnp.sum(tzm * izm, axis=1)
+            image_proj = jnp.einsum(
+                "bpx,bx->bp", jflat, izm, precision=_HIGHEST
+            )
+            template_proj = jnp.einsum(
+                "bpx,bx->bp", jflat, tzm, precision=_HIGHEST
+            )
+
         hessian_inv = jnp.linalg.inv(hessian)
-
-        izm = image_zm.reshape(b, -1)
-        tzm = template_zm.reshape(b, -1)
-        correlation = jnp.sum(tzm * izm, axis=1)
         new_rho = correlation / (img_norm * tmp_norm)
-
-        image_proj = jnp.einsum("bpx,bx->bp", jflat, izm, precision=_HIGHEST)
-        template_proj = jnp.einsum("bpx,bx->bp", jflat, tzm, precision=_HIGHEST)
         iph = jnp.einsum("bpq,bq->bp", hessian_inv, image_proj)
         lambda_n = img_norm**2 - jnp.sum(image_proj * iph, axis=1)
         lambda_d = correlation - jnp.sum(template_proj * iph, axis=1)
         failed = jnp.isnan(new_rho) | (lambda_d <= 0.0)
+        if use_pallas:
+            # a lane whose warp left the kernel's residual-displacement
+            # domain computed garbage stats this iteration: freeze it and
+            # flag failure (the host driver re-runs failures on the exact
+            # XLA path — see find_transform_ecc_batched)
+            from . import warp_pallas
+
+            failed = failed | ~warp_pallas.residual_domain_ok(
+                m3, hd, wd, k=warp_k
+            )
         lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
 
-        err = lam[:, None] * tzm - izm
-        error_proj = jnp.einsum("bpx,bx->bp", jflat, err, precision=_HIGHEST)
+        # err = lam * template_zm - image_zm, so its Jacobian projection
+        # is the exact linear combination — no third image-sized pass
+        error_proj = lam[:, None] * template_proj - image_proj
         dp = jnp.einsum("bpq,bq->bp", hessian_inv, error_proj)
         new_m = update_fn(m, dp)
         new_m = jnp.where(failed[:, None, None], m, new_m)
@@ -577,15 +644,17 @@ def _ecc_prepare_jit(templates, input_image, gauss_filt_size, motion_type):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("motion_type", "num_iters", "slab_iters", "use_pallas"),
+    static_argnames=(
+        "motion_type", "num_iters", "slab_iters", "use_pallas", "warp_k",
+    ),
 )
 def _ecc_slab_jit(
     templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
-    slab_iters, use_pallas=False,
+    slab_iters, use_pallas=False, warp_k=7,
 ):
     new_c = _ecc_loop_batched(
         templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
-        slab_iters, use_pallas,
+        slab_iters, use_pallas, warp_k,
     )
     m, rho, last_rho, it, ok = new_c
     done = (it >= num_iters) | (jnp.abs(rho - last_rho) < eps) | ~ok
@@ -667,38 +736,79 @@ def find_transform_ecc_batched(
         )
 
     n, h, w = templates.shape
+    if n == 0:
+        # empty lane set (e.g. a 1-frame burst's frames[1:]): nothing to
+        # solve — return empty, well-shaped results instead of tracing a
+        # zero-lane program
+        r = 3 if motion_type == MotionType.Homography else 2
+        return EccResult(
+            rho=jnp.zeros((0,), jnp.float32),
+            warp_matrix=jnp.zeros((0, r, 3), jnp.float32),
+            ok=jnp.zeros((0,), bool),
+            num_iters=jnp.zeros((0,), jnp.int32),
+        )
     if slab_iters is None:
         slab_iters = default_slab_iters(n, h, w)
-    templates_f, image_f, gx, gy, carry = _ecc_prepare_jit(
+    templates_f, image_f, gx, gy, carry0 = _ecc_prepare_jit(
         templates, input_image, gauss_filt_size, motion_type
     )
     if warp_init is not None:
-        carry = (
+        carry0 = (
             jnp.asarray(warp_init, jnp.float32),
-            carry[1], carry[2], carry[3], carry[4],
+            carry0[1], carry0[2], carry0[3], carry0[4],
         )
-    carry = (carry[0], carry[1], carry[2] - eps, carry[3], carry[4])
+    carry0 = (carry0[0], carry0[1], carry0[2] - eps, carry0[3], carry0[4])
+
+    def solve(use_pallas: bool, warp_k: int = 7) -> EccResult:
+        carry = carry0
+        while True:
+            res, carry, done = _ecc_slab_jit(
+                templates_f, image_f, gx, gy, carry, motion_type,
+                num_iters, eps, slab_iters, use_pallas=use_pallas,
+                warp_k=warp_k,
+            )
+            if bool(jax.device_get(jnp.all(done))):
+                return res
+
+    # Adaptive kernel band: the fused kernel's tap loop is O((2k+4)^2),
+    # so try the small band first and escalate — a lane flagged by the
+    # in-loop residual-domain check (or a genuine ECC failure) re-runs
+    # at the wider band, then on the exact XLA-gather path.  Escalation
+    # is rare: burst-alignment motion stays inside k=3.
     use_pallas = _pallas_ok(h, w)
+    env_k = _ecc_warp_k()
+    ladder = (env_k,) if env_k is not None else _K_LADDER
     res = None
-    while True:
-        res, carry, done = _ecc_slab_jit(
-            templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-            eps, slab_iters, use_pallas=use_pallas,
-        )
-        if bool(jax.device_get(jnp.all(done))):
-            break
+    if use_pallas:
+        for k in ladder:
+            res = solve(True, k)
+            if bool(jax.device_get(jnp.all(res.ok))):
+                return res
+    if res is None or not bool(jax.device_get(jnp.all(res.ok))):
+        res = solve(False)
     return res
 
 
 def _pallas_ok(h: int, w: int) -> bool:
-    """Use the Pallas warp kernel on TPU when the image fits its window
-    (small images and CPU keep the XLA-gather path)."""
+    """Use the fused Pallas iteration kernel on TPU when the image fits
+    its window (small images and CPU keep the XLA-gather path).
+    LIBSTACKER_FORCE_PALLAS=1 forces it on CPU (interpret-mode tests,
+    with LIBSTACKER_ECC_INTERPRET=1)."""
     import os
 
     if os.environ.get("LIBSTACKER_DISABLE_PALLAS"):
         return False
+    if os.environ.get("LIBSTACKER_FORCE_PALLAS"):
+        return h >= 160 and w >= 384
     try:
         backend = jax.default_backend()
     except Exception:
         return False
     return backend == "tpu" and h >= 160 and w >= 384
+
+
+def _ecc_interpret() -> bool:
+    """Interpret-mode switch for the fused iteration kernel (CPU CI)."""
+    import os
+
+    return bool(os.environ.get("LIBSTACKER_ECC_INTERPRET"))

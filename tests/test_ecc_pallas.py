@@ -1,0 +1,181 @@
+"""Fused ECC iteration kernel (ops/ecc_pallas.py) — interpret-mode
+parity vs the XLA reference path.
+
+The kernel returns the iteration's raw Gram sums; these tests check
+(a) the moments equal the ones computed from the XLA warp/mask/Jacobian
+fields, and (b) the full batched solve driven through the fused kernel
+converges to the same warp as the XLA path.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libstacker_tpu.ops import ecc as ecc_ops
+from libstacker_tpu.ops import ecc_pallas, filters, warp
+from libstacker_tpu.params import MotionType
+
+
+def _sources(rng, h=192, w=512, gauss=5):
+    img = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    image_f = filters.gaussian_blur(jnp.asarray(img), gauss)
+    dx = (-0.5, 0.0, 0.5)
+    gx = filters.sep_filter2d(image_f, dx, (1.0,), border="reflect101")
+    gy = filters.sep_filter2d(image_f, (1.0,), dx, border="reflect101")
+    return img, image_f, gx, gy
+
+
+def _reference_moments(tmpl, image_f, gx, gy, m3, motion_type):
+    """Moments computed from the XLA warp/mask/Jacobian fields —
+    mirrors the quantities _ecc_loop_batched's XLA branch builds."""
+    h, w = image_f.shape
+    perspective = motion_type == MotionType.Homography
+
+    def wt(img):
+        if perspective:
+            return warp.warp_perspective(
+                img, m3, (h, w), border_mode="constant", border_value=0.0,
+                inverse_map=True,
+            )
+        return warp.warp_affine(
+            img, m3[:2], (h, w), border_mode="constant", border_value=0.0,
+            inverse_map=True,
+        )
+
+    imw = np.asarray(wt(image_f))
+    gxw = np.asarray(wt(gx))
+    gyw = np.asarray(wt(gy))
+    mask = np.asarray(
+        warp.warp_valid_mask(m3, (h, w), (h, w), inverse_map=True)
+    )
+    xg = np.arange(w, dtype=np.float32)[None, :] * np.ones((h, 1), np.float32)
+    yg = np.arange(h, dtype=np.float32)[:, None] * np.ones((1, w), np.float32)
+    jac = np.asarray(
+        ecc_ops._jacobian_fields_batched(
+            motion_type, jnp.asarray(gxw)[None], jnp.asarray(gyw)[None],
+            jnp.asarray(xg), jnp.asarray(yg), jnp.asarray(m3)[None],
+        )
+    )[0]
+    p = jac.shape[0]
+    out = [
+        mask.sum(),
+        (mask * imw).sum(),
+        (mask * imw * imw).sum(),
+        (mask * tmpl).sum(),
+        (mask * tmpl * tmpl).sum(),
+        (mask * tmpl * imw).sum(),
+    ]
+    for a in range(p):
+        for b in range(a, p):
+            out.append((jac[a] * jac[b]).sum())
+    for a in range(p):
+        out.append((jac[a] * imw).sum())
+    for a in range(p):
+        out.append((jac[a] * mask).sum())
+    for a in range(p):
+        out.append((jac[a] * mask * tmpl).sum())
+    return np.asarray(out, np.float64)
+
+
+@pytest.mark.parametrize(
+    "motion",
+    [MotionType.Translation, MotionType.Euclidean, MotionType.Affine,
+     MotionType.Homography],
+)
+def test_moments_match_xla_fields(rng, motion):
+    img, image_f, gx, gy = _sources(rng)
+    h, w = img.shape
+    tmpl = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    rot = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), 0.8, 1.003)
+    rot[0, 2] += 2.25
+    rot[1, 2] -= 1.5
+    m3 = np.vstack([rot, [0, 0, 1]]).astype(np.float32)
+    if motion == MotionType.Translation:
+        m3 = np.eye(3, dtype=np.float32)
+        m3[0, 2], m3[1, 2] = 3.25, -2.5
+    perspective = motion == MotionType.Homography
+
+    srcs = jnp.stack([image_f, gx, gy])
+    got = np.asarray(
+        ecc_pallas.ecc_iteration_moments(
+            srcs, jnp.asarray(tmpl)[None], jnp.asarray(m3)[None],
+            motion_type=motion, quant_affine=not perspective,
+            interpret=True,
+        )
+    )[0]
+    want = _reference_moments(tmpl, image_f, gx, gy, m3, motion)
+    assert got.shape == want.shape
+    # The kernel and the XLA path compute source coordinates with
+    # different f32 op orders (FMA fusion), so a handful of pixels
+    # (~1e-4 of the image) sit on exact 1/32-bin rounding boundaries and
+    # flip by one interpolation step (same artifact test_warp_pallas
+    # allows with frac=1e-3).  Those flips perturb the small Jacobian
+    # moments by up to ~2e-3 relative; the large stats moments must
+    # still agree tightly.
+    np.testing.assert_allclose(got[:6], want[:6], rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-2)
+
+
+@pytest.mark.parametrize(
+    "motion", [MotionType.Translation, MotionType.Homography]
+)
+def test_fused_solve_matches_xla(rng, motion):
+    """find_transform_ecc_batched driven through the fused kernel
+    (forced + interpret mode) recovers the ground-truth shifts and
+    lands where the XLA path lands.
+
+    The two paths' iteration TRAJECTORIES legitimately differ (f32
+    op-order / 1/32-bin rounding flips perturb a fixed-point iteration),
+    so the assertion is solution quality, not bitwise state."""
+    h, w = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 1.5
+    ).astype(np.uint8)
+    shifts = [(2.0, -1.0), (-1.75, 1.25)]
+    tmpls = []
+    for dx, dy in shifts:
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        tmpls.append(cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w])
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    templates = jnp.asarray(np.stack(tmpls), jnp.float32)
+    input_image = jnp.asarray(ref, jnp.float32)
+
+    res_xla = ecc_ops.find_transform_ecc_batched(
+        templates, input_image, motion,
+        num_iters=50, eps=1e-5, gauss_filt_size=5,
+    )
+    os.environ["LIBSTACKER_FORCE_PALLAS"] = "1"
+    os.environ["LIBSTACKER_ECC_INTERPRET"] = "1"
+    try:
+        res_fused = ecc_ops.find_transform_ecc_batched(
+            templates, input_image, motion,
+            num_iters=50, eps=1e-5, gauss_filt_size=5,
+        )
+    finally:
+        del os.environ["LIBSTACKER_FORCE_PALLAS"]
+        del os.environ["LIBSTACKER_ECC_INTERPRET"]
+    assert np.asarray(res_fused.ok).all()
+    wf = np.asarray(res_fused.warp_matrix)
+    # ground truth: the warp's translation column recovers each shift
+    truth = np.asarray(shifts, np.float32)
+    np.testing.assert_allclose(wf[:, :2, 2], truth, atol=0.05)
+    # and the fused solution sits where the XLA solution sits
+    np.testing.assert_allclose(
+        wf, np.asarray(res_xla.warp_matrix), atol=0.03
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_fused.rho), np.asarray(res_xla.rho), atol=1e-3
+    )
