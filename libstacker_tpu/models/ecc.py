@@ -64,15 +64,21 @@ def _adjust_warp_for_scale(
 @functools.partial(jax.jit, static_argnames=("scale_hw",))
 def _ecc_grey_jit(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
     """Stage 1: grayscale (raw 0..255 f32) + optional INTER_AREA
-    scale-down of the whole burst."""
-    grey = color.rgb_to_gray_u8(frames_u8).astype(jnp.float32)
+    scale-down of the whole burst.
+
+    The resize runs on the uint8 grey and is rounded back to uint8
+    BEFORE the float cast, matching the reference's scale_image of the
+    uint8 grey Mat (src/lib.rs:918-920, src/utils.rs:204-211) —
+    resizing in float would drift from the oracle by up to 1 LSB."""
+    grey = color.rgb_to_gray_u8(frames_u8)
     if scale_hw is not None:
         grey = resize.resize(grey, scale_hw, interpolation=3)
-    return grey
+    return grey.astype(jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("motion_type", "scale_hw")
+    jax.jit,
+    static_argnames=("motion_type", "scale_hw", "allow_pallas", "pallas_k"),
 )
 def _ecc_warp_accumulate_jit(
     frames_u8: jnp.ndarray,
@@ -80,19 +86,54 @@ def _ecc_warp_accumulate_jit(
     oks: jnp.ndarray,
     motion_type: MotionType,
     scale_hw: Optional[tuple] = None,
+    allow_pallas: bool = True,
+    pallas_k: int = 7,
 ):
     """Stage 3: rescale warps if estimated on scaled greys
     (ref src/lib.rs:941-958), warp every frame onto frame 0's grid
     (forward application, BORDER_CONSTANT 0 — ref src/lib.rs:780-803),
-    masked sum over frames."""
+    masked sum over frames.  ``allow_pallas`` is the host-computed
+    kernel-domain dispatch decision (ops.warp_batch)."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
     frames_f32 = color.u8_to_f32(frames_u8)
     if scale_hw is not None:
         warps = _adjust_warp_for_scale(warps, motion_type, scale_hw, (h, w))
+    # failed lanes contribute nothing; keep their (frozen, finite) warps
+    # out of the kernel anyway in case of NaN
+    eye = jnp.eye(3, dtype=warps.dtype)[: warps.shape[1]]
+    warps = jnp.where(oks[:, None, None], warps, eye)
     perspective = motion_type == MotionType.Homography
-    warped = warp_frames_batch(frames_f32[1:], warps, perspective)
+    warped = warp_frames_batch(
+        frames_f32[1:], warps, perspective, allow_pallas=allow_pallas,
+        pallas_k=pallas_k,
+    )
     valid = oks.astype(jnp.float32)[:, None, None, None]
     return frames_f32[0] + jnp.sum(warped * valid, axis=0)
+
+
+def _warp_pick_k_host(
+    warps, oks, motion_type: MotionType, scale_hw, full_hw
+) -> Optional[int]:
+    """Host-side Pallas dispatch decision for stage 3: adjust the kept
+    lanes' warps for scale exactly like the jitted stage will, then pick
+    the smallest kernel band covering them (None -> XLA path; see
+    ops.warp_batch.pallas_pick_k)."""
+    from ..ops import warp_batch
+
+    m = np.asarray(jax.device_get(warps), np.float64)
+    ok = np.asarray(oks)
+    m = m[ok]
+    if m.shape[0] == 0:
+        return warp_batch.pallas_pick_k(m[:0], full_hw[0], full_hw[1])
+    if scale_hw is not None:
+        sx = full_hw[1] / scale_hw[1]
+        sy = full_hw[0] / scale_hw[0]
+        m[:, 0, 2] *= sx
+        m[:, 1, 2] *= sy
+        if motion_type == MotionType.Homography:
+            m[:, 2, 0] /= sx
+            m[:, 2, 1] /= sy
+    return warp_batch.pallas_pick_k(m, full_hw[0], full_hw[1])
 
 
 def ecc_stack_step_graph(
@@ -155,6 +196,16 @@ def ecc_match_arrays(
             )
         scale_hw = resize.scale_image_size(h, w, scale_down_width)
 
+    if n == 1:
+        # reference: stacked = sum / 1 = frame 0 (src/lib.rs:836-843)
+        out = frames[0].astype(np.float32) / 255.0
+        if return_stats:
+            from ..utils.tracing import PipelineStats
+
+            return out, PipelineStats(frames_total=1, frames_kept=1,
+                                      frames_dropped=0)
+        return out
+
     frames_j = jnp.asarray(frames)
     grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
     result = ecc_ops.find_transform_ecc_batched(
@@ -165,12 +216,17 @@ def ecc_match_arrays(
         eps=eps,
         gauss_filt_size=params.gauss_filt_size,
     )
+    warp_k = _warp_pick_k_host(
+        result.warp_matrix, result.ok, params.motion_type, scale_hw, (h, w)
+    )
     stacked_sum = _ecc_warp_accumulate_jit(
         frames_j,
         result.warp_matrix,
         result.ok,
         motion_type=params.motion_type,
         scale_hw=scale_hw,
+        allow_pallas=warp_k is not None,
+        pallas_k=warp_k or 7,
     )
     ok = np.asarray(result.ok)
     stats = None
@@ -230,7 +286,9 @@ def ecc_match_stream(
     frame 0; only the running sum stays resident (the reference's
     "memory efficient streaming processing" claim, src/lib.rs:106,
     realised as chunked device accumulation — SURVEY.md §5
-    checkpoint/streaming note)."""
+    checkpoint/streaming note).  Chunks are host-decoded one step ahead
+    on a background thread, and the final partial chunk is padded to
+    ``chunk_size`` so no per-burst-length recompile ever happens."""
     params.validate()
     files = list(files)
     if not files:
@@ -257,14 +315,9 @@ def ecc_match_stream(
     ref_grey = _ecc_grey_jit(ref_j, scale_hw=scale_hw)[0]
     acc = color.u8_to_f32(ref_j[0])
     all_ok = []
-    for s0 in range(1, n_total, chunk_size):
-        chunk_files = files[s0 : s0 + chunk_size]
-        frames = io.load_frames(chunk_files)
-        if frames.shape[1:3] != (h, w):
-            raise InvalidParamsError(
-                f"frame size mismatch in chunk starting at {chunk_files[0]}"
-            )
-        frames_j = jnp.asarray(frames)
+    for frames in io.prefetched_chunks(files, chunk_size, h, w):
+        n_real = frames.shape[0]
+        frames_j = jnp.asarray(io.pad_chunk(frames, chunk_size))
         grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
         result = ecc_ops.find_transform_ecc_batched(
             grey,
@@ -274,18 +327,28 @@ def ecc_match_stream(
             eps=eps,
             gauss_filt_size=params.gauss_filt_size,
         )
+        real = jnp.arange(chunk_size) < n_real
+        ok_lane = result.ok & real
+        warp_k = _warp_pick_k_host(
+            result.warp_matrix, ok_lane, params.motion_type, scale_hw,
+            (h, w),
+        )
         warps = result.warp_matrix
         if scale_hw is not None:
             warps = _adjust_warp_for_scale(
                 warps, params.motion_type, scale_hw, (h, w)
             )
+        eye = jnp.eye(3, dtype=warps.dtype)[: warps.shape[1]]
+        warps = jnp.where(ok_lane[:, None, None], warps, eye)
         warped = warp_frames_batch(
             color.u8_to_f32(frames_j), warps,
             params.motion_type == MotionType.Homography,
+            allow_pallas=warp_k is not None,
+            pallas_k=warp_k or 7,
         )
-        valid = result.ok.astype(jnp.float32)[:, None, None, None]
+        valid = ok_lane.astype(jnp.float32)[:, None, None, None]
         acc = acc + jnp.sum(warped * valid, axis=0)
-        all_ok.append(np.asarray(result.ok))
+        all_ok.append(np.asarray(result.ok)[:n_real])
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
     if not ok.all():

@@ -30,7 +30,7 @@ import numpy as np
 from .. import constants
 from ..errors import InvalidParamsError, NotEnoughFilesError
 from ..params import KeyPointMatchParameters
-from ..ops import color, matcher, orb, ransac, resize, warp
+from ..ops import color, matcher, orb, ransac, resize, warp, warp_batch
 from ..ops.warp_batch import warp_frames_batch
 from ..utils import io
 
@@ -84,7 +84,7 @@ def detect_features_chunked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("method", "num_hypotheses")
+    jax.jit, static_argnames=("method", "max_iters")
 )
 def _match_and_estimate(
     feats,
@@ -93,7 +93,8 @@ def _match_and_estimate(
     ransac_reproj_threshold: float,
     match_keep_ratio: float,
     match_ratio: float,
-    num_hypotheses: int = 512,
+    max_iters: int = 2000,
+    confidence: float = 0.995,
 ):
     """Stage 2: Hamming 2-NN matching against frame 0 + ratio/sort/keep
     filtering + vectorised RANSAC homography, vmapped over frames 1..N-1.
@@ -118,7 +119,8 @@ def _match_and_estimate(
             subkey,
             method=method,
             reproj_threshold=ransac_reproj_threshold,
-            num_hypotheses=num_hypotheses,
+            max_iters=max_iters,
+            confidence=confidence,
         )
         det = jnp.linalg.det(res.h)
         ok = enough & res.ok & (jnp.abs(det) >= 1e-6)  # ref src/lib.rs:279-287
@@ -131,27 +133,40 @@ def _match_and_estimate(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("border_mode", "scale_hw")
+    jax.jit,
+    static_argnames=("border_mode", "scale_hw", "allow_pallas", "pallas_k"),
 )
-def _warp_and_accumulate(
-    frames_u8: jnp.ndarray,
-    hs: jnp.ndarray,
-    oks: jnp.ndarray,
+def _warp_and_accumulate_chunk(
+    frames_u8: jnp.ndarray,  # [C,H,W,3] — current frames only, no frame 0
+    hs: jnp.ndarray,  # [C,3,3]
+    oks: jnp.ndarray,  # [C] bool
     border_mode: int,
     border_value,
     scale_hw: Optional[tuple] = None,
+    allow_pallas: bool = True,
+    pallas_k: int = 7,
 ):
-    """Stage 3: rescale the homographies if estimated on scaled frames,
-    perspective-warp every frame to frame 0's grid, masked sum."""
+    """Rescale the homographies if estimated on scaled frames,
+    perspective-warp every frame to the reference grid, masked sum
+    over the chunk.
+
+    ``allow_pallas`` is the host-computed Pallas-domain decision (see
+    ops.warp_batch.pallas_domain_ok_host): RANSAC homographies are
+    unbounded, so frames whose warp exceeds the kernel's in-tile
+    residual band must take the exact XLA-gather path."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
     frames_f32 = color.u8_to_f32(frames_u8)
     if scale_hw is not None:
         hs = _adjust_h_for_scale(hs, scale_hw, (h, w))
+    # dropped frames contribute nothing, but their (possibly wild or
+    # non-finite) matrices must not reach the warp: NaN * 0 == NaN
+    hs = jnp.where(oks[:, None, None], hs, jnp.eye(3, dtype=hs.dtype))
 
     if border_mode == constants.BORDER_CONSTANT:
         warped = warp_frames_batch(
-            frames_f32[1:], hs, perspective=True,
+            frames_f32, hs, perspective=True,
             border_value=jnp.asarray(border_value[:3], jnp.float32),
+            allow_pallas=allow_pallas, pallas_k=pallas_k,
         )
     else:
         def warp_one(frame, hmat):
@@ -163,9 +178,31 @@ def _warp_and_accumulate(
                 border_value=jnp.asarray(border_value[:3], jnp.float32),
             )
 
-        warped = jax.vmap(warp_one)(frames_f32[1:], hs)
+        warped = jax.vmap(warp_one)(frames_f32, hs)
     valid = oks.astype(jnp.float32)[:, None, None, None]
-    return frames_f32[0] + jnp.sum(warped * valid, axis=0)
+    return jnp.sum(warped * valid, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("border_mode", "scale_hw", "allow_pallas", "pallas_k"),
+)
+def _warp_and_accumulate(
+    frames_u8: jnp.ndarray,
+    hs: jnp.ndarray,
+    oks: jnp.ndarray,
+    border_mode: int,
+    border_value,
+    scale_hw: Optional[tuple] = None,
+    allow_pallas: bool = True,
+    pallas_k: int = 7,
+):
+    """Stage 3 for the whole-burst path: frame 0 plus the masked sum of
+    the aligned frames 1..N-1."""
+    return color.u8_to_f32(frames_u8[0]) + _warp_and_accumulate_chunk(
+        frames_u8[1:], hs, oks, border_mode, border_value,
+        scale_hw=scale_hw, allow_pallas=allow_pallas, pallas_k=pallas_k,
+    )
 
 
 def keypoint_match_arrays(
@@ -208,7 +245,22 @@ def keypoint_match_arrays(
         ransac_reproj_threshold=params.ransac_reproj_threshold,
         match_keep_ratio=params.match_keep_ratio,
         match_ratio=params.match_ratio,
+        max_iters=params.max_iters,
+        confidence=params.confidence,
     )
+    # Static Pallas-domain dispatch: pull the (tiny) matrices + masks to
+    # host, adjust for scale exactly like stage 3 will, and check every
+    # KEPT frame's warp against the kernel's residual band.
+    oks_np = np.asarray(oks)
+    hs_np = np.asarray(jax.device_get(hs), np.float64)
+    if scale_hw is not None:
+        sx, sy = w / scale_hw[1], h / scale_hw[0]
+        hs_np[:, 0, 2] *= sx
+        hs_np[:, 1, 2] *= sy
+        hs_np[:, 2, 0] /= sx
+        hs_np[:, 2, 1] /= sy
+    kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
+    warp_k = warp_batch.pallas_pick_k(kept_hs, h, w)
     stacked_sum = _warp_and_accumulate(
         frames_j,
         hs,
@@ -216,8 +268,10 @@ def keypoint_match_arrays(
         border_mode=params.border_mode,
         border_value=tuple(params.border_value),
         scale_hw=scale_hw,
+        allow_pallas=warp_k is not None,
+        pallas_k=warp_k or 7,
     )
-    oks = np.asarray(oks)
+    oks = oks_np
     kept = 1 + int(oks.sum())
     dropped = int((~oks).sum())
     out = np.asarray(stacked_sum) / kept
@@ -248,3 +302,87 @@ def keypoint_match(
     return keypoint_match_arrays(
         frames, params, scale_down_width, seed, return_stats
     )
+
+
+def keypoint_match_stream(
+    files: Sequence,
+    params: KeyPointMatchParameters = KeyPointMatchParameters(),
+    scale_down_width: Optional[float] = None,
+    seed: int = 0,
+    chunk_size: int = 16,
+):
+    """Streaming ``keypoint_match`` for bursts larger than HBM: frames
+    are decoded (one chunk ahead on a background thread), ORB-matched
+    against frame 0 and accumulated in chunks of ``chunk_size``; only
+    frame 0's features and the running sum stay resident.  The final
+    partial chunk is padded so no per-burst-length recompile happens.
+    Returns ``(dropped_count, stacked [H,W,3] float32 RGB)`` like
+    :func:`keypoint_match`."""
+    params.validate()
+    files = list(files)
+    if not files:
+        raise NotEnoughFilesError()
+
+    ref = io.load_frames(files[:1])
+    h, w = ref.shape[1:3]
+    scale_hw = None
+    if scale_down_width is not None:
+        if scale_down_width >= w:
+            raise InvalidParamsError(
+                "scale_down_to was larger (or equal) to the full image "
+                f"width: full_size:{w}, scale_down_to:{scale_down_width}"
+            )
+        scale_hw = resize.scale_image_size(h, w, scale_down_width)
+    if len(files) == 1:
+        return 0, ref[0].astype(np.float32) / 255.0
+
+    ref_j = jnp.asarray(ref)
+    feats0 = detect_features_chunked(ref_j, scale_hw=scale_hw)
+    acc = color.u8_to_f32(ref_j[0])
+    key = jax.random.PRNGKey(seed)
+    all_ok = []
+    for frames in io.prefetched_chunks(files, chunk_size, h, w):
+        n_real = frames.shape[0]
+        frames_j = jnp.asarray(io.pad_chunk(frames, chunk_size))
+        feats = detect_features_chunked(frames_j, scale_hw=scale_hw)
+        feats_all = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), feats0, feats
+        )
+        key, sub = jax.random.split(key)
+        hs, oks, _, _ = _match_and_estimate(
+            feats_all,
+            sub,
+            method=params.method,
+            ransac_reproj_threshold=params.ransac_reproj_threshold,
+            match_keep_ratio=params.match_keep_ratio,
+            match_ratio=params.match_ratio,
+            max_iters=params.max_iters,
+            confidence=params.confidence,
+        )
+        oks = oks & (jnp.arange(chunk_size) < n_real)
+        oks_np = np.asarray(oks)
+        hs_np = np.asarray(jax.device_get(hs), np.float64)
+        if scale_hw is not None:
+            sx, sy = w / scale_hw[1], h / scale_hw[0]
+            hs_np[:, 0, 2] *= sx
+            hs_np[:, 1, 2] *= sy
+            hs_np[:, 2, 0] /= sx
+            hs_np[:, 2, 1] /= sy
+        kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
+        warp_k = warp_batch.pallas_pick_k(kept_hs, h, w)
+        acc = acc + _warp_and_accumulate_chunk(
+            frames_j,
+            hs,
+            oks,
+            border_mode=params.border_mode,
+            border_value=tuple(params.border_value),
+            scale_hw=scale_hw,
+            allow_pallas=warp_k is not None,
+            pallas_k=warp_k or 7,
+        )
+        all_ok.append(oks_np[:n_real])
+
+    ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
+    kept = 1 + int(ok.sum())
+    dropped = int((~ok).sum())
+    return dropped, np.asarray(acc) / kept

@@ -16,8 +16,12 @@ from .errors import (  # noqa: F401
     StackerError,
     StackerIoError,
 )
-from .models.ecc import ecc_match, ecc_match_arrays  # noqa: F401
-from .models.keypoint import keypoint_match, keypoint_match_arrays  # noqa: F401
+from .models.ecc import ecc_match, ecc_match_arrays, ecc_match_stream  # noqa: F401
+from .models.keypoint import (  # noqa: F401
+    keypoint_match,
+    keypoint_match_arrays,
+    keypoint_match_stream,
+)
 from .params import (  # noqa: F401
     EccMatchParameters,
     KeyPointMatchParameters,

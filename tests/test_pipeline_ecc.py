@@ -95,6 +95,26 @@ def test_ecc_match_scale_guards(rng):
         ecc_match_arrays(frames, params, scale_down_width=10.0)  # too small
 
 
+def test_ecc_match_single_frame(rng):
+    """A 1-file input returns stacked/1 = frame 0, like the reference's
+    sum/total at src/lib.rs:836-843 (regression: used to crash on the
+    empty frames[1:] lane set)."""
+    frames = _make_burst(rng, n=1)
+    params = EccMatchParameters(
+        motion_type=MotionType.Homography, max_count=50, epsilon=1e-4,
+        gauss_filt_size=5,
+    )
+    out = ecc_match_arrays(frames, params)
+    np.testing.assert_allclose(
+        out, frames[0].astype(np.float32) / 255.0, atol=1e-7
+    )
+    out2, stats = ecc_match_arrays(frames, params, return_stats=True)
+    assert stats.frames_total == 1 and stats.frames_kept == 1
+    # scale guards still apply to 1-frame bursts
+    with pytest.raises(InvalidParamsError):
+        ecc_match_arrays(frames, params, scale_down_width=100.0)
+
+
 def test_ecc_match_stats(rng):
     frames = _make_burst(rng)
     params = EccMatchParameters(

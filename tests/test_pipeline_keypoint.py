@@ -8,8 +8,13 @@ reference's deterministic semantics."""
 import cv2
 import numpy as np
 import pytest
+from PIL import Image
 
-from libstacker_tpu import KeyPointMatchParameters, keypoint_match_arrays
+from libstacker_tpu import (
+    KeyPointMatchParameters,
+    keypoint_match_arrays,
+    keypoint_match_stream,
+)
 
 
 def _textured_burst(rng, n=4, h=240, w=320):
@@ -127,3 +132,23 @@ def test_keypoint_match_stats(rng):
     assert len(stats.match_counts) == 2
     assert all(c >= 5 for c in stats.match_counts)
     assert all(i >= 4 for i in stats.inlier_counts)
+
+
+def test_keypoint_match_stream_matches_batch(rng, tmp_path):
+    """Chunked streaming (chunk_size=2, 5 frames -> padded final chunk)
+    equals the whole-burst result within interpolation tolerance."""
+    frames, _ = _textured_burst(rng, n=5)
+    files = []
+    for i, f in enumerate(frames):
+        p = tmp_path / f"frame{i}.png"
+        Image.fromarray(f).save(p)
+        files.append(p)
+    dropped_b, batch = keypoint_match_arrays(frames, seed=7)
+    dropped_s, stream = keypoint_match_stream(files, seed=7, chunk_size=2)
+    assert dropped_s == dropped_b == 0
+    # RANSAC draws differ between the two paths (per-chunk keys), so
+    # compare stacked images, not homographies
+    m = 16
+    diff = np.abs(stream[m:-m, m:-m] - batch[m:-m, m:-m])
+    assert np.quantile(diff, 0.99) < 0.02
+    assert diff.max() < 0.2
