@@ -61,6 +61,52 @@ def shard_frames(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     return jax.device_put(frames, NamedSharding(mesh, P("data")))
 
 
+# --- multi-host (DCN) scale-out -------------------------------------------
+#
+# The reference has no distributed story at all (SURVEY.md §2c); this is
+# the SURVEY §7 phase-6 extension: standard `jax.distributed` process
+# initialisation, one global mesh whose 'data' axis spans hosts (frame
+# shards ride DCN only for the final psum; all per-frame work is local),
+# and a helper to assemble the global burst from per-process frames.
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Join (or bootstrap) a multi-host run: thin wrapper over
+    ``jax.distributed.initialize``.  On TPU pods the arguments are
+    auto-detected from the environment; on CPU/GPU pass coordinator
+    address, world size and rank explicitly."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+
+
+def make_global_mesh(data: Optional[int] = None, spatial: int = 1) -> Mesh:
+    """('data', 'spatial') mesh over ALL devices of a multi-process run
+    (``jax.devices()`` is global after ``init_distributed``).  Device
+    order keeps each process's local devices contiguous on the 'data'
+    axis, so the frame shards a process feeds stay on its own chips and
+    only the stacking psum crosses DCN."""
+    return make_mesh(jax.devices(), data=data, spatial=spatial)
+
+
+def shard_frames_global(frames_local: np.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Assemble the global [N_total,H,W,C] burst from each process's
+    local frames (every process passes its own shard; N_total =
+    num_processes * n_local).  The result is one global jax.Array with
+    the frame axis sharded over 'data' — feed it to
+    :func:`ecc_stack_step` unchanged."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.make_array_from_process_local_data(sharding, frames_local)
+
+
 def ecc_stack_step(
     frames_u8: jnp.ndarray,
     reference_grey: jnp.ndarray,
