@@ -6,11 +6,19 @@
    device program (vs the reference's Rayon loop, examples/main.rs:37-49);
 3. sort ascending by Tenengrad, print the table, drop the worst frame,
    reverse so the sharpest frame becomes the reference (frame 0);
-4. run all four pipeline variants (keypoint full/scaled, ECC
-   full/scaled) with phase timings;
+4. run the selected pipeline variants (keypoint full/scaled, ECC
+   full/scaled — all four by default) with phase timings;
 5. save the stacked images as PNGs (no GUI on TPU hosts).
 
 Usage:  python examples/stack_burst.py <image_dir> [--out outdir]
+        [--method keypoint|ecc|all] [--motion-type homography|...]
+        [--max-count N] [--epsilon E] [--gauss-filt-size K]
+        [--ransac-reproj-threshold T] [--match-ratio R]
+        [--match-keep-ratio R] [--scale-width W] [--no-scaled/--no-full]
+        [--keep-all] [--stream N]
+
+(The reference's README lists CLI options as an unfinished todo,
+README.md:85 — these flags cover every field of both parameter structs.)
 """
 
 import argparse
@@ -30,10 +38,44 @@ def save_png(path, img_f32_rgb):
 
 
 def main():
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(
+        description="Align and stack a burst of photos (sharpness-ranked "
+        "reference frame, keypoint and/or ECC alignment)."
+    )
     ap.add_argument("image_dir")
     ap.add_argument("--out", default="stacked_out")
-    ap.add_argument("--scale-width", type=float, default=400.0)
+    ap.add_argument("--scale-width", type=float, default=400.0,
+                    help="scale-down width for the scaled variants")
+    ap.add_argument("--method", choices=("keypoint", "ecc", "all"),
+                    default="all", help="which pipeline(s) to run")
+    ap.add_argument("--no-full", action="store_true",
+                    help="skip the full-resolution variants")
+    ap.add_argument("--no-scaled", action="store_true",
+                    help="skip the scale-down variants")
+    ap.add_argument("--keep-all", action="store_true",
+                    help="do not drop the least-sharp frame")
+    ap.add_argument("--stream", type=int, default=0, metavar="CHUNK",
+                    help="stream in chunks of CHUNK frames (bounded HBM) "
+                    "instead of whole-burst processing")
+    # KeyPointMatchParameters (ref src/lib.rs:49-73)
+    ap.add_argument("--homography-method", choices=("ransac", "lmeds"),
+                    default="ransac")
+    ap.add_argument("--ransac-reproj-threshold", type=float, default=5.0)
+    ap.add_argument("--match-ratio", type=float, default=0.9)
+    ap.add_argument("--match-keep-ratio", type=float, default=0.80)
+    ap.add_argument("--border-mode", type=int, default=0,
+                    help="cv2 BORDER_* integer for the keypoint warp")
+    ap.add_argument("--max-iters", type=int, default=2000,
+                    help="RANSAC hypothesis budget (cv2 maxIters)")
+    ap.add_argument("--confidence", type=float, default=0.995)
+    # EccMatchParameters (ref src/lib.rs:611-623)
+    ap.add_argument("--motion-type",
+                    choices=("translation", "euclidean", "affine",
+                             "homography"),
+                    default="homography")
+    ap.add_argument("--max-count", type=int, default=5000)
+    ap.add_argument("--epsilon", type=float, default=1e-5)
+    ap.add_argument("--gauss-filt-size", type=int, default=5)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -74,41 +116,65 @@ def main():
         )
 
     # drop worst, reverse so sharpest is the reference frame
-    keep = order[1:][::-1]
+    keep = order[::-1] if args.keep_all else order[1:][::-1]
     frames = frames[keep]
-    print(f"stacking {len(keep)} frames; reference = {files[keep[0]]}")
+    kept_files = [files[i] for i in keep]
+    print(f"stacking {len(keep)} frames; reference = {kept_files[0]}")
 
     os.makedirs(args.out, exist_ok=True)
     kp_params = KeyPointMatchParameters(
-        method=constants.RANSAC,
-        ransac_reproj_threshold=5.0,
-        match_ratio=0.9,
-        match_keep_ratio=0.80,
+        method=(constants.RANSAC if args.homography_method == "ransac"
+                else constants.LMEDS),
+        ransac_reproj_threshold=args.ransac_reproj_threshold,
+        match_ratio=args.match_ratio,
+        match_keep_ratio=args.match_keep_ratio,
+        border_mode=args.border_mode,
+        max_iters=args.max_iters,
+        confidence=args.confidence,
     )
     ecc_params = EccMatchParameters(
-        motion_type=MotionType.Homography,
-        max_count=5000,
-        epsilon=1e-5,
-        gauss_filt_size=5,
+        motion_type=MotionType[args.motion_type.capitalize()],
+        max_count=args.max_count,
+        epsilon=args.epsilon,
+        gauss_filt_size=args.gauss_filt_size,
     )
 
-    with timer.phase("keypoint_match (full res)"):
-        dropped, img = keypoint_match_arrays(frames, kp_params, None)
-    print(f"keypoint_match dropped frames: {dropped}")
-    save_png(os.path.join(args.out, "keypoint_full.png"), img)
+    scales = []
+    if not args.no_full:
+        scales.append(None)
+    if not args.no_scaled:
+        scales.append(args.scale_width)
 
-    with timer.phase(f"keypoint_match (width {args.scale_width:.0f})"):
-        dropped, img = keypoint_match_arrays(frames, kp_params, args.scale_width)
-    print(f"keypoint_match(scaled) dropped frames: {dropped}")
-    save_png(os.path.join(args.out, "keypoint_scaled.png"), img)
+    if args.stream > 0:
+        from libstacker_tpu import ecc_match_stream, keypoint_match_stream
 
-    with timer.phase("ecc_match (full res)"):
-        img = ecc_match_arrays(frames, ecc_params, None)
-    save_png(os.path.join(args.out, "ecc_full.png"), img)
-
-    with timer.phase(f"ecc_match (width {args.scale_width:.0f})"):
-        img = ecc_match_arrays(frames, ecc_params, args.scale_width)
-    save_png(os.path.join(args.out, "ecc_scaled.png"), img)
+        for sw in scales:
+            tag = "full" if sw is None else f"w{sw:.0f}"
+            if args.method in ("keypoint", "all"):
+                with timer.phase(f"keypoint_match_stream ({tag})"):
+                    dropped, img = keypoint_match_stream(
+                        kept_files, kp_params, sw, chunk_size=args.stream
+                    )
+                print(f"keypoint stream({tag}) dropped: {dropped}")
+                save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img)
+            if args.method in ("ecc", "all"):
+                with timer.phase(f"ecc_match_stream ({tag})"):
+                    img = ecc_match_stream(
+                        kept_files, ecc_params, sw, chunk_size=args.stream
+                    )
+                save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
+    else:
+        for sw in scales:
+            tag = "full" if sw is None else f"w{sw:.0f}"
+            if args.method in ("keypoint", "all"):
+                with timer.phase(f"keypoint_match ({tag})"):
+                    dropped, img = keypoint_match_arrays(frames, kp_params, sw)
+                print(f"keypoint_match({tag}) dropped frames: {dropped}")
+                save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img)
+            if args.method in ("ecc", "all"):
+                with timer.phase(f"ecc_match ({tag})"):
+                    img = ecc_match_arrays(frames, ecc_params, sw)
+                save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
 
     print(timer.report())
     print(f"stacked images written to {args.out}/")
