@@ -84,11 +84,14 @@ def run_tpu(frames):
     would otherwise dominate; production hosts fetch over PCIe."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from libstacker_tpu.models import keypoint as kp
+    from libstacker_tpu.ops import warp_batch
 
     fj = jnp.asarray(frames)
     key = jax.random.PRNGKey(0)
+    h, w = frames.shape[1:3]
 
     def once():
         feats = kp.detect_features_chunked(fj)
@@ -96,8 +99,15 @@ def run_tpu(frames):
             feats, key, method=8, ransac_reproj_threshold=5.0,
             match_keep_ratio=0.8, match_ratio=0.9,
         )
+        # production dispatch: pick the warp kernel's residual band on
+        # host from the estimated matrices (keypoint_match_arrays does
+        # exactly this)
+        warp_k = warp_batch.pallas_pick_k(
+            np.asarray(jax.device_get(hs), np.float64), h, w
+        )
         acc = kp._warp_and_accumulate(
-            fj, hs, oks, border_mode=0, border_value=(0.0,) * 4
+            fj, hs, oks, border_mode=0, border_value=(0.0,) * 4,
+            allow_pallas=warp_k is not None, pallas_k=warp_k or 7,
         )
         kept = 1 + jnp.sum(oks.astype(jnp.int32))
         stacked = acc / kept.astype(jnp.float32)

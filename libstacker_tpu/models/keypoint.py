@@ -72,7 +72,10 @@ def detect_features_chunked(
         h, w = frames_u8.shape[1], frames_u8.shape[2]
     if chunk is None:
         budget = int(3e9)  # bytes of transient detection state
-        per_frame = 20 * h * w * 4
+        # the fused FAST formulation (ops/fast.py) keeps ~8 image-sized
+        # live buffers per frame after XLA fusion (was ~20 with the
+        # rolled/stacked form)
+        per_frame = 8 * h * w * 4
         chunk = max(1, min(n, budget // max(per_frame, 1)))
     if chunk >= n:
         return _grey_and_detect(frames_u8, scale_hw=scale_hw)

@@ -29,11 +29,6 @@ CIRCLE_OFFSETS = (
 )
 
 
-def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift so out[y,x] = img[y+dy, x+dx]; border garbage is masked later."""
-    return jnp.roll(img, shift=(-dy, -dx), axis=(-2, -1))
-
-
 def fast_score(
     img: jnp.ndarray, threshold: int = 20
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -41,25 +36,43 @@ def fast_score(
 
     Returns (corner_mask [H,W] bool, score [H,W] float32) before NMS.
     Pixels within 3 of the border are never corners (OpenCV skips them).
+
+    XLA-fusion-friendly formulation: the 16 circle neighbours are STATIC
+    slices of one edge-padded buffer and the arc min/max tree is a
+    Python-level list rotation — pure elementwise chains the compiler
+    fuses into a couple of passes over HBM.  (The previous jnp.roll +
+    stacked-[16,H,W] form materialised ~40 image-sized buffers and made
+    4K detection HBM-bound enough to require host chunking.)
     """
     x = img.astype(jnp.float32)
     h, w = x.shape[-2], x.shape[-1]
     t = jnp.float32(threshold)
 
-    e = jnp.stack(
-        [_shift2d(x, dy, dx) - x for (dx, dy) in CIRCLE_OFFSETS], axis=0
-    )  # [16, H, W]; e > 0 where neighbour brighter
+    xp = jnp.pad(x, 3, mode="edge")  # border pixels are masked below
+    e = [
+        jax.lax.slice(xp, (3 + dy, 3 + dx), (3 + dy + h, 3 + dx + w)) - x
+        for (dx, dy) in CIRCLE_OFFSETS
+    ]  # 16 x [H, W]; e[k] > 0 where neighbour k is brighter
 
     def arc9_min(v):
-        # min over circular windows of length 9 starting at each k
-        w2 = jnp.minimum(v, jnp.roll(v, -1, axis=0))
-        w4 = jnp.minimum(w2, jnp.roll(w2, -2, axis=0))
-        w8 = jnp.minimum(w4, jnp.roll(w4, -4, axis=0))
-        w9 = jnp.minimum(w8, jnp.roll(v, -8, axis=0))
-        return w9
+        # min over circular windows of length 9 starting at each k;
+        # log-doubling with list rotation (no data movement)
+        w2 = [jnp.minimum(v[i], v[(i + 1) % 16]) for i in range(16)]
+        w4 = [jnp.minimum(w2[i], w2[(i + 2) % 16]) for i in range(16)]
+        w8 = [jnp.minimum(w4[i], w4[(i + 4) % 16]) for i in range(16)]
+        return [jnp.minimum(w8[i], v[(i + 8) % 16]) for i in range(16)]
 
-    tb = jnp.max(arc9_min(e), axis=0)  # bright-arc strength
-    td = jnp.max(arc9_min(-e), axis=0)  # dark-arc strength
+    def list_max(v):
+        while len(v) > 1:
+            v = [
+                jnp.maximum(v[i], v[i + len(v) // 2])
+                for i in range(len(v) // 2)
+            ] + (v[len(v) - 1 :] if len(v) % 2 else [])
+            # (len is always a power of two here: 16 -> 8 -> 4 -> 2 -> 1)
+        return v[0]
+
+    tb = list_max(arc9_min(e))  # bright-arc strength
+    td = list_max(arc9_min([-ei for ei in e]))  # dark-arc strength
     corner = (tb > t) | (td > t)
     score = jnp.maximum(tb, td) - 1.0
 
@@ -77,13 +90,17 @@ def fast_detect(
     corner, score = fast_score(img, threshold)
     if not nonmax:
         return corner, score
-    neigh = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            neigh.append(_shift2d(score, dy, dx))
-    nmax = jnp.max(jnp.stack(neigh), axis=0)
+    h, w = score.shape
+    sp = jnp.pad(score, 1)  # zero pad: scores are >= 0, borders masked
+    neigh = [
+        jax.lax.slice(sp, (1 + dy, 1 + dx), (1 + dy + h, 1 + dx + w))
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    ]
+    nmax = neigh[0]
+    for nb in neigh[1:]:
+        nmax = jnp.maximum(nmax, nb)
     keep = corner & (score > nmax)
     return keep, jnp.where(keep, score, 0.0)
 
@@ -117,27 +134,13 @@ def top_k_keypoints(
     return TopKeypoints(ys=ys, xs=xs, score=vals, valid=vals > 0.0)
 
 
-def harris_response_at(
-    img: jnp.ndarray,
-    ys: jnp.ndarray,
-    xs: jnp.ndarray,
-    block_size: int = 7,
-    harris_k: float = 0.04,
+def harris_from_patches(
+    patch: jnp.ndarray, block_size: int = 7, harris_k: float = 0.04
 ) -> jnp.ndarray:
-    """Harris corner response at given pixel locations, matching ORB's
+    """Harris response from [K, b+2, b+2] pixel patches, matching ORB's
     HarrisResponses (orb.cpp): 3x3 Sobel gradients
     (Ix = 2*(p[x+1]-p[x-1]) + the two diagonal row differences),
     7x7 block sums, response = (ab - c^2 - k (a+b)^2) * (1/(4*7*255))^4."""
-    x = img.astype(jnp.float32)
-    r = block_size // 2
-    # patch of (block+2)^2 around each kp for gradient support
-    offs = jnp.arange(-r - 1, r + 2)
-    py = ys[:, None, None] + offs[None, :, None]
-    px = xs[:, None, None] + offs[None, None, :]
-    h, w = x.shape
-    py = jnp.clip(py, 0, h - 1)
-    px = jnp.clip(px, 0, w - 1)
-    patch = x[py, px]  # [K, b+2, b+2]
     dx = patch[:, :, 2:] - patch[:, :, :-2]  # [K, b+2, b]
     dy = patch[:, 2:, :] - patch[:, :-2, :]  # [K, b, b+2]
     ix = 2.0 * dx[:, 1:-1, :] + dx[:, :-2, :] + dx[:, 2:, :]
@@ -148,3 +151,26 @@ def harris_response_at(
     scale = 1.0 / (4.0 * block_size * 255.0)
     scale_sq_sq = scale * scale * scale * scale
     return (a * b - c * c - harris_k * (a + b) ** 2) * scale_sq_sq
+
+
+def harris_response_at(
+    img: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    block_size: int = 7,
+    harris_k: float = 0.04,
+) -> jnp.ndarray:
+    """Harris corner response at given pixel locations (gather form;
+    the ORB pipeline computes the same thing from its Pallas-extracted
+    patches — see :func:`harris_from_patches`)."""
+    x = img.astype(jnp.float32)
+    r = block_size // 2
+    # patch of (block+2)^2 around each kp for gradient support
+    offs = jnp.arange(-r - 1, r + 2)
+    py = ys[:, None, None] + offs[None, :, None]
+    px = xs[:, None, None] + offs[None, None, :]
+    h, w = x.shape
+    py = jnp.clip(py, 0, h - 1)
+    px = jnp.clip(px, 0, w - 1)
+    patch = x[py, px]  # [K, b+2, b+2]
+    return harris_from_patches(patch, block_size, harris_k)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
-from . import fast, filters, resize
+from . import fast, filters, orb_pallas, resize
 
 try:
     from ._orb_pattern import ORB_PATTERN
@@ -96,47 +96,49 @@ def _ic_angle_weights(half_patch: int = 15):
     return wu, wv
 
 
-def _gather_patches(img: jnp.ndarray, ys, xs, radius: int) -> jnp.ndarray:
-    """[K] centers -> [K, 2r+1, 2r+1] patches with clamped indexing."""
-    offs = jnp.arange(-radius, radius + 1)
-    py = jnp.clip(ys[:, None, None] + offs[None, :, None], 0, img.shape[0] - 1)
-    px = jnp.clip(xs[:, None, None] + offs[None, None, :], 0, img.shape[1] - 1)
-    return img[py, px]
-
-
-def _ic_angles(img: jnp.ndarray, ys, xs) -> jnp.ndarray:
-    """Intensity-centroid orientation (degrees in [0,360)) at keypoints."""
+def _ic_angles_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation (degrees in [0,360)) from
+    [K, 37, 37] keypoint patches (ops/orb_pallas layout; the radius-15
+    circular weights sit in the central 31x31)."""
     wu, wv = _ic_angle_weights()
     wu, wv = jnp.asarray(wu), jnp.asarray(wv)
-    patches = _gather_patches(img.astype(jnp.float32), ys, xs, 15)
-    m10 = jnp.sum(patches * wu, axis=(1, 2))
-    m01 = jnp.sum(patches * wv, axis=(1, 2))
+    c = orb_pallas.PATCH_RADIUS
+    sub = patches[:, c - 15 : c + 16, c - 15 : c + 16]
+    m10 = jnp.sum(sub * wu, axis=(1, 2))
+    m01 = jnp.sum(sub * wv, axis=(1, 2))
     ang = jnp.degrees(jnp.arctan2(m01, m10))
     return jnp.where(ang < 0, ang + 360.0, ang)
 
 
-def _rbrief_descriptors(blur_img: jnp.ndarray, ys, xs, angles_deg) -> jnp.ndarray:
-    """Steered rBRIEF bits -> [K,32] uint8 (LSB-first packing)."""
+def _rbrief_from_patches(patches: jnp.ndarray, angles_deg) -> jnp.ndarray:
+    """Steered rBRIEF bits from [K, 37, 37] blurred-image patches ->
+    [K,32] uint8 (LSB-first packing).
+
+    The rotation-dependent taps are resolved with two one-hot MXU
+    einsums (row selection then column selection) instead of gathers:
+    |pattern| <= 13 so every rotated offset lies within +-18 = the
+    patch radius (ORB's edge_threshold 31 keeps taps in-image, matching
+    OpenCV's unclamped GET_VALUE)."""
     pat = jnp.asarray(ORB_PATTERN, dtype=jnp.float32)  # [256,4]
     ang = jnp.deg2rad(angles_deg)
     a = jnp.cos(ang)[:, None]
     b = jnp.sin(ang)[:, None]
     # OpenCV: col off = round(x*a - y*b), row off = round(x*b + y*a)
-    px1, py1, px2, py2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
-    rx1 = jnp.round(px1[None] * a - py1[None] * b).astype(jnp.int32)
-    ry1 = jnp.round(px1[None] * b + py1[None] * a).astype(jnp.int32)
-    rx2 = jnp.round(px2[None] * a - py2[None] * b).astype(jnp.int32)
-    ry2 = jnp.round(px2[None] * b + py2[None] * a).astype(jnp.int32)
-    h, w = blur_img.shape
-    bi = blur_img.astype(jnp.int32) if blur_img.dtype == jnp.uint8 else blur_img
-
-    def sample(ry, rx):
-        gy = jnp.clip(ys[:, None] + ry, 0, h - 1)
-        gx = jnp.clip(xs[:, None] + rx, 0, w - 1)
-        return bi[gy, gx]
-
-    v1 = sample(ry1, rx1)
-    v2 = sample(ry2, rx2)
+    px_ = jnp.concatenate([pat[:, 0], pat[:, 2]])  # [512]
+    py_ = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    rx = jnp.round(px_[None] * a - py_[None] * b).astype(jnp.int32)  # [K,512]
+    ry = jnp.round(px_[None] * b + py_[None] * a).astype(jnp.int32)
+    c = orb_pallas.PATCH_RADIUS
+    side = orb_pallas.PATCH_SIDE
+    rows1h = jax.nn.one_hot(ry + c, side, dtype=jnp.float32)  # [K,512,37]
+    cols1h = jax.nn.one_hot(rx + c, side, dtype=jnp.float32)
+    picked_rows = jnp.einsum(
+        "kbr,krc->kbc", rows1h, patches,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [K,512,37]
+    vals = jnp.sum(picked_rows * cols1h, axis=-1)  # [K,512]
+    v1 = vals[:, :256]
+    v2 = vals[:, 256:]
     bits = (v1 < v2).astype(jnp.uint8)  # [K,256]
     weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
     bytes_ = jnp.sum(
@@ -185,17 +187,25 @@ def orb_detect_and_compute(
         )
         mask = mask & border_ok
         cand = fast.top_k_keypoints(mask, score, min(2 * quota, lh * lw))
-        harris = fast.harris_response_at(level_img, cand.ys, cand.xs)
+        # one window-DMA per candidate (ops/orb_pallas); every later
+        # stage is static-slice / one-hot math over the patches
+        cand_patches = orb_pallas.extract_patches(
+            level_img.astype(jnp.float32), cand.ys, cand.xs
+        )
+        pr = orb_pallas.PATCH_RADIUS
+        hsub = cand_patches[:, pr - 4 : pr + 5, pr - 4 : pr + 5]
+        harris = fast.harris_from_patches(hsub)
         harris = jnp.where(cand.valid, harris, -jnp.inf)
         hval, hidx = jax.lax.top_k(harris, quota)
         kys = cand.ys[hidx]
         kxs = cand.xs[hidx]
         kvalid = jnp.isfinite(hval) & cand.valid[hidx]
-        angles = _ic_angles(level_img, kys, kxs)
+        angles = _ic_angles_from_patches(cand_patches[hidx])
         blur = filters.gaussian_blur(
             level_img.astype(jnp.float32), 7, 2.0, border="reflect101"
         )
-        desc = _rbrief_descriptors(blur, kys, kxs, angles)
+        blur_patches = orb_pallas.extract_patches(blur, kys, kxs)
+        desc = _rbrief_from_patches(blur_patches, angles)
         xy = jnp.stack(
             [kxs.astype(jnp.float32) * scale, kys.astype(jnp.float32) * scale],
             axis=1,
