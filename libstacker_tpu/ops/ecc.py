@@ -366,22 +366,34 @@ def find_transform_ecc_batched_graph(
     gauss_filt_size: int = 5,
 ) -> EccResult:
     """In-graph batched ECC (traceable inside jit / shard_map): one warp
-    per template frame against a shared input image.  The shared input's
-    blur+gradients are hoisted out of the vmap.  Prefer
-    :func:`find_transform_ecc_batched` at the host level — it slices the
-    solve into bounded device programs."""
+    per template frame against a shared input image.  On TPU the solve
+    runs through the fused Pallas iteration kernel (fixed k=7 band — no
+    host escalation ladder in-graph; out-of-band lanes report
+    ok=False).  Prefer :func:`find_transform_ecc_batched` at the host
+    level — it slices the solve into bounded device programs (the TPU
+    runtime kills single long-running programs) and escalates failed
+    lanes to the exact XLA path."""
     templates_f, image_f, gx, gy = _prepare_inputs(
         templates, input_image, gauss_filt_size
     )
+    n, h, w = templates_f.shape
     warp0 = identity_warp(motion_type)
-
-    def solve_one(tmpl):
-        res, _ = _ecc_loop(
-            tmpl, image_f, gx, gy, warp0, motion_type, num_iters, eps
-        )
-        return res
-
-    return jax.vmap(solve_one)(templates_f)
+    # tie the carry init to the input data so the carry has the same
+    # varying-manual-axes type as the body output under shard_map
+    vzero = templates_f[0, 0, 0] * 0.0
+    carry = (
+        jnp.tile(warp0[None], (n, 1, 1)) + vzero,
+        jnp.full((n,), -1.0, jnp.float32) + vzero,
+        jnp.full((n,), -float(eps), jnp.float32) + vzero,
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), bool) & (vzero == 0.0),
+    )
+    final = _ecc_loop_batched(
+        templates_f, image_f, gx, gy, carry, motion_type, num_iters,
+        eps, None, _pallas_ok(h, w),
+    )
+    m, rho, _, it, ok = final
+    return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
 
 
 def _jacobian_fields_batched(

@@ -163,6 +163,85 @@ def ecc_stack_step(
     return fn(frames_u8, reference_grey)
 
 
+def warp_rows_sharded(
+    frame: jnp.ndarray,  # [H, W] or [H, W, C] float32, rows on 'spatial'
+    m3: jnp.ndarray,  # [3, 3] forward map (replicated)
+    mesh: Mesh,
+    halo: int = 64,
+    perspective: bool = True,
+) -> jnp.ndarray:
+    """Warp one very large frame with its ROWS sharded over 'spatial':
+    each shard exchanges ``halo`` boundary rows with both neighbours via
+    ``ppermute`` and resamples its own row range from the extended
+    strip — the 2-D analogue of context parallelism (SURVEY.md §5
+    long-context note; extends the halo scheme beyond sharpness).
+
+    Correctness domain: every output pixel's source row must lie within
+    ``halo`` rows of its own position (|vertical displacement| <= halo
+    - 1 after bilinear support).  Burst-alignment warps are a few
+    pixels; raise ``halo`` for larger motion.  Out-of-domain taps fall
+    to BORDER_CONSTANT 0 exactly like pixels mapping off-frame.
+    """
+    nsp = mesh.shape["spatial"]
+    h = frame.shape[0]
+    w = frame.shape[1]
+    if h % nsp != 0:
+        raise ValueError(f"H={h} must divide the spatial axis ({nsp})")
+    h_loc = h // nsp
+    if halo > h_loc:
+        raise ValueError(f"halo {halo} exceeds shard height {h_loc}")
+    minv = warp.invert_3x3(
+        m3 if m3.shape == (3, 3) else warp.affine_to_3x3(m3)
+    )
+
+    def local(rows_local):
+        idx = jax.lax.axis_index("spatial")
+        up = [(i, (i + 1) % nsp) for i in range(nsp)]
+        down = [(i, (i - 1) % nsp) for i in range(nsp)]
+        top_halo = jax.lax.ppermute(rows_local[-halo:], "spatial", up)
+        bot_halo = jax.lax.ppermute(rows_local[:halo], "spatial", down)
+        ext = jnp.concatenate([top_halo, rows_local, bot_halo], axis=0)
+        # zero the wrapped halos at the global top/bottom edges so they
+        # behave like BORDER_CONSTANT outside the frame
+        r = jnp.arange(ext.shape[0])
+        top_bad = (idx == 0) & (r < halo)
+        bot_bad = (idx == nsp - 1) & (r >= halo + h_loc)
+        bad = (top_bad | bot_bad)
+        ext = jnp.where(
+            bad[:, None] if ext.ndim == 2 else bad[:, None, None], 0.0, ext
+        )
+        # output row y_global = idx*h_loc + y_local; the extended strip
+        # starts at global row idx*h_loc - halo.  Shift the inverse map
+        # into strip coordinates on both sides.
+        row0 = (idx * h_loc).astype(jnp.float32)
+        shift_out = jnp.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, row0], [0.0, 0.0, 1.0]],
+            jnp.float32,
+        )  # local out coords -> global out coords
+        shift_src = jnp.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, -(row0 - halo)], [0.0, 0.0, 1.0]],
+            jnp.float32,
+        )  # global src coords -> strip coords
+        m_local = shift_src @ minv @ shift_out
+        out = warp.warp_perspective(
+            ext, m_local, (h_loc, w), border_mode="constant",
+            border_value=0.0, inverse_map=True,
+        )
+        # taps whose GLOBAL source row left the halo band read zeros from
+        # the strip border; that matches BORDER_CONSTANT only when the
+        # caller respects the halo domain (documented above)
+        return out
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("spatial"),),
+        out_specs=P("spatial"),
+        check_vma=False,
+    )
+    return fn(frame)
+
+
 def sharpness_teng_spatial(
     frames: jnp.ndarray, mesh: Mesh, k_size: int = 3
 ) -> jnp.ndarray:

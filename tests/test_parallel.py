@@ -60,3 +60,36 @@ def test_spatial_sharpness_matches_dense(burst):
     got = np.asarray(pmesh.sharpness_teng_spatial(greys, m))
     expected = np.asarray(sharpness.sharpness_tenengrad(greys, 3))
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_warp_rows_sharded_matches_dense(rng):
+    """Row-sharded warp with ppermute halo exchange equals the dense
+    single-device warp for in-halo-domain motions (small rotation +
+    shift), including the global top/bottom border behavior."""
+    from libstacker_tpu.ops import warp
+
+    h, w = 256, 320
+    img = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    rot = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), 1.0, 1.002)
+    rot[0, 2] += 3.5
+    rot[1, 2] -= 12.0  # pushes rows across shard boundaries
+    m3 = np.vstack([rot, [0, 0, 1]]).astype(np.float32)
+
+    dense = np.asarray(
+        warp.warp_perspective(jnp.asarray(img), jnp.asarray(m3), (h, w))
+    )
+    m = pmesh.make_mesh(jax.devices(), data=2, spatial=4)
+    img_sharded = jax.device_put(
+        jnp.asarray(img),
+        jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec("spatial")),
+    )
+    with m:
+        got = np.asarray(
+            pmesh.warp_rows_sharded(img_sharded, jnp.asarray(m3), m, halo=32)
+        )
+    diff = np.abs(got - dense)
+    # f32 matrix-composition rounding can flip rare 1/32-bin taps
+    assert (diff > 1e-4).mean() < 1e-3, (diff > 1e-4).mean()
+    assert diff.max() < 3.0
