@@ -171,7 +171,9 @@ def load_frames(
         from . import native_loader
 
         if native_loader.available() and all(
-            str(f).lower().endswith((".jpg", ".jpeg", ".png")) for f in files
+            str(f).lower().endswith((".jpg", ".jpeg", ".png", ".tif",
+                                     ".tiff"))
+            for f in files
         ):
             try:
                 return native_loader.load_frames_native(

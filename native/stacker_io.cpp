@@ -21,6 +21,7 @@
 
 #include <jpeglib.h>
 #include <png.h>
+#include <tiffio.h>
 
 namespace {
 
@@ -141,12 +142,56 @@ int decode_png(FILE* f, uint8_t* out, int64_t want_h, int64_t want_w,
   return kOk;
 }
 
+// --- TIFF ---------------------------------------------------------------
+
+int decode_tiff(const char* path, uint8_t* out, int64_t want_h,
+                int64_t want_w, int64_t* got_h, int64_t* got_w,
+                bool probe_only) {
+  TIFFSetWarningHandler(nullptr);  // silence tag warnings on the pool
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return kErrDecode;
+  uint32_t w32 = 0, h32 = 0;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w32);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h32);
+  *got_h = (int64_t)h32;
+  *got_w = (int64_t)w32;
+  if (probe_only) {
+    TIFFClose(tif);
+    return kOk;
+  }
+  if ((int64_t)h32 != want_h || (int64_t)w32 != want_w) {
+    TIFFClose(tif);
+    return kErrSize;
+  }
+  // The RGBA convenience path handles every TIFF flavour (incl. 16-bit,
+  // which libtiff scales to 8 bits) at the cost of one extra buffer.
+  std::vector<uint32_t> rgba((size_t)w32 * (size_t)h32);
+  if (!TIFFReadRGBAImageOriented(tif, w32, h32, rgba.data(),
+                                 ORIENTATION_TOPLEFT, 0)) {
+    TIFFClose(tif);
+    return kErrDecode;
+  }
+  TIFFClose(tif);
+  const int64_t npx = (int64_t)w32 * (int64_t)h32;
+  for (int64_t i = 0; i < npx; ++i) {
+    const uint32_t px = rgba[(size_t)i];
+    out[i * 3 + 0] = (uint8_t)TIFFGetR(px);
+    out[i * 3 + 1] = (uint8_t)TIFFGetG(px);
+    out[i * 3 + 2] = (uint8_t)TIFFGetB(px);
+  }
+  return kOk;
+}
+
 int decode_one(const char* path, uint8_t* out, int64_t want_h, int64_t want_w,
                int64_t* got_h, int64_t* got_w, bool probe_only) {
+  std::string p(path);
+  if (has_suffix(p, ".tif") || has_suffix(p, ".tiff")) {
+    // libtiff opens by path (its own IO layer)
+    return decode_tiff(path, out, want_h, want_w, got_h, got_w, probe_only);
+  }
   FILE* f = fopen(path, "rb");
   if (!f) return kErrOpen;
   int rc;
-  std::string p(path);
   if (has_suffix(p, ".png")) {
     rc = decode_png(f, out, want_h, want_w, got_h, got_w, probe_only);
   } else if (has_suffix(p, ".jpg") || has_suffix(p, ".jpeg")) {

@@ -67,6 +67,21 @@ def test_native_gray_matches_host(image_dir, rng):
     )
 
 
+def test_native_loader_tiff(tmp_path, rng):
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    paths = []
+    want = []
+    for i in range(3):
+        arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        p = tmp_path / f"f{i}.tif"
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+        want.append(arr)
+    got = native_loader.load_frames_native(paths, 0)
+    np.testing.assert_array_equal(got, np.stack(want))
+
+
 def test_imread_16bit(tmp_path, rng):
     """16-bit PNG: imread_unchanged preserves uint16; imread_rgb scales
     to 8 bits by dropping the low byte (documented deviation — the
