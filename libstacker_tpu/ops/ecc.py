@@ -67,6 +67,10 @@ def _ecc_warp_k() -> Optional[int]:
 # XLA-gather path takes over
 _K_LADDER = (3, 7)
 
+# lanes per batched solve: bounds the fused kernel's SMEM accumulator
+# and each device program's size; bigger bursts chunk at the host level
+_MAX_SOLVE_LANES = 64
+
 
 class EccResult(NamedTuple):
     rho: jnp.ndarray  # correlation coefficient, [] or [N]
@@ -725,6 +729,29 @@ def find_transform_ecc_batched(
     2x-downscaled octaves, then refined at full resolution from that
     init — same converged warp, a fraction of the full-res iterations.
     """
+    n_all = templates.shape[0]
+    if n_all > _MAX_SOLVE_LANES:
+        # Host-level lane chunking: the fused kernel's SMEM moment
+        # accumulator is [B, n_out] with ~64-byte scalar padding, so a
+        # several-hundred-lane burst would overflow the ~1MB SMEM; and
+        # bounded lane groups also keep the per-slab program size sane.
+        parts = []
+        for s0 in range(0, n_all, _MAX_SOLVE_LANES):
+            e0 = min(s0 + _MAX_SOLVE_LANES, n_all)
+            parts.append(
+                find_transform_ecc_batched(
+                    templates[s0:e0], input_image, motion_type, num_iters,
+                    eps, gauss_filt_size, slab_iters, coarse_levels,
+                    warp_init[s0:e0] if warp_init is not None else None,
+                )
+            )
+        return EccResult(
+            rho=jnp.concatenate([p.rho for p in parts]),
+            warp_matrix=jnp.concatenate([p.warp_matrix for p in parts]),
+            ok=jnp.concatenate([p.ok for p in parts]),
+            num_iters=jnp.concatenate([p.num_iters for p in parts]),
+        )
+
     if coarse_levels > 0:
         from . import resize as _resize
 

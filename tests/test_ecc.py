@@ -123,6 +123,27 @@ def test_ecc_batched_matches_single():
     )
 
 
+def test_ecc_lane_chunking(monkeypatch):
+    """Bursts beyond _MAX_SOLVE_LANES split into host-level lane groups
+    (SMEM accumulator bound); results must equal the unchunked solve."""
+    ref, cur1 = _make_pair(MotionType.Translation, seed=5)
+    batch = jnp.stack([jnp.asarray(cur1)] * 6)
+    full = ecc_ops.find_transform_ecc_batched(
+        batch, jnp.asarray(ref), motion_type=MotionType.Translation,
+        num_iters=20, eps=1e-4, gauss_filt_size=5,
+    )
+    monkeypatch.setattr(ecc_ops, "_MAX_SOLVE_LANES", 4)
+    chunked = ecc_ops.find_transform_ecc_batched(
+        batch, jnp.asarray(ref), motion_type=MotionType.Translation,
+        num_iters=20, eps=1e-4, gauss_filt_size=5,
+    )
+    assert np.asarray(chunked.ok).all()
+    np.testing.assert_allclose(
+        np.asarray(chunked.warp_matrix), np.asarray(full.warp_matrix),
+        atol=1e-6,
+    )
+
+
 def test_ecc_epsilon_early_stop():
     ref, cur = _make_pair(MotionType.Translation)
     res = ecc_ops.find_transform_ecc(
