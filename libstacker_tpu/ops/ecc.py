@@ -91,48 +91,6 @@ def _as_3x3(m: jnp.ndarray) -> jnp.ndarray:
     return m if m.shape[-2] == 3 else warp.affine_to_3x3(m)
 
 
-def _masked_mean_std(x: jnp.ndarray, mask: jnp.ndarray, n: jnp.ndarray):
-    mean = jnp.sum(x * mask) / n
-    var = jnp.sum(mask * (x - mean) ** 2) / n
-    return mean, jnp.sqrt(var)
-
-
-def _jacobian_fields(
-    motion_type: MotionType,
-    gxw: jnp.ndarray,
-    gyw: jnp.ndarray,
-    xg: jnp.ndarray,
-    yg: jnp.ndarray,
-    m3: jnp.ndarray,
-) -> jnp.ndarray:
-    """Stack the per-parameter Jacobian images [P, H, W], matching
-    OpenCV's image_jacobian_{translation,euclidean,affine,homo}_ECC."""
-    if motion_type == MotionType.Translation:
-        return jnp.stack([gxw, gyw])
-    if motion_type == MotionType.Euclidean:
-        h0 = m3[0, 0]  # cos(theta)
-        h1 = m3[1, 0]  # sin(theta)
-        hat_x = -xg * h1 - yg * h0
-        hat_y = xg * h0 - yg * h1
-        return jnp.stack([gxw * hat_x + gyw * hat_y, gxw, gyw])
-    if motion_type == MotionType.Affine:
-        return jnp.stack([gxw * xg, gyw * xg, gxw * yg, gyw * yg, gxw, gyw])
-    # Homography
-    h0, h1, h2 = m3[0, 0], m3[1, 0], m3[2, 0]
-    h3, h4, h5 = m3[0, 1], m3[1, 1], m3[2, 1]
-    h6, h7 = m3[0, 2], m3[1, 2]
-    den = xg * h2 + yg * h5 + 1.0
-    inv_den = 1.0 / den
-    hat_x = (xg * h0 + yg * h3 + h6) * inv_den
-    hat_y = (xg * h1 + yg * h4 + h7) * inv_den
-    gxd = gxw * inv_den
-    gyd = gyw * inv_den
-    tmp = hat_x * gxd + hat_y * gyd
-    return jnp.stack(
-        [gxd * xg, gyd * xg, -tmp * xg, gxd * yg, gyd * yg, -tmp * yg, gxd, gyd]
-    )
-
-
 def _update_warp(
     motion_type: MotionType, m: jnp.ndarray, dp: jnp.ndarray
 ) -> jnp.ndarray:
@@ -161,10 +119,6 @@ def _update_warp(
     return m + upd
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("motion_type", "num_iters", "gauss_filt_size"),
-)
 def find_transform_ecc(
     template: jnp.ndarray,
     input_image: jnp.ndarray,
@@ -185,167 +139,31 @@ def find_transform_ecc(
 
     ``template`` / ``input_image``: [H,W] uint8 or float (raw 0..255
     scale, like OpenCV's internal convertTo(CV_32F) without rescaling).
+
+    Runs through the host-slabbed batched driver: the solve is sliced
+    into bounded device programs (the TPU runtime kills long-running
+    ones) and uses the fused Pallas iteration kernel on TPU.  For a
+    fully in-graph (traceable) solve use
+    :func:`find_transform_ecc_batched_graph`.
     """
-    template_f = filters.gaussian_blur(
-        template.astype(jnp.float32), gauss_filt_size
+    res = find_transform_ecc_batched(
+        jnp.asarray(template)[None],
+        input_image,
+        motion_type=motion_type,
+        num_iters=num_iters,
+        eps=eps,
+        gauss_filt_size=gauss_filt_size,
+        warp_init=(
+            None if warp_init is None
+            else jnp.asarray(warp_init, jnp.float32)[None]
+        ),
     )
-    image_f = filters.gaussian_blur(
-        input_image.astype(jnp.float32), gauss_filt_size
+    return EccResult(
+        rho=res.rho[0],
+        warp_matrix=res.warp_matrix[0],
+        ok=res.ok[0],
+        num_iters=res.num_iters[0],
     )
-    dx = (-0.5, 0.0, 0.5)
-    gx = filters.sep_filter2d(image_f, dx, (1.0,), border="reflect101")
-    gy = filters.sep_filter2d(image_f, (1.0,), dx, border="reflect101")
-
-    if warp_init is None:
-        warp_init = identity_warp(motion_type)
-    res, _ = _ecc_loop(
-        template_f,
-        image_f,
-        gx,
-        gy,
-        jnp.asarray(warp_init, dtype=jnp.float32),
-        motion_type,
-        num_iters,
-        eps,
-    )
-    return res
-
-
-def _ecc_loop(
-    template_f: jnp.ndarray,
-    image_f: jnp.ndarray,
-    gx: jnp.ndarray,
-    gy: jnp.ndarray,
-    warp_init: jnp.ndarray,
-    motion_type: MotionType,
-    num_iters: int,
-    eps: float,
-    start_carry=None,
-    slab_iters: Optional[int] = None,
-) -> EccResult:
-    """Core Gauss-Newton iteration.  With ``slab_iters`` set, runs at
-    most that many additional iterations from ``start_carry`` — the
-    building block for host-sliced solving (single long-running device
-    programs trip the TPU runtime watchdog, so pipelines slice the solve
-    into bounded slabs and loop on host)."""
-    hd, wd = template_f.shape
-    hs, ws = image_f.shape
-    xg = jnp.arange(wd, dtype=jnp.float32)[None, :] * jnp.ones(
-        (hd, 1), dtype=jnp.float32
-    )
-    yg = jnp.arange(hd, dtype=jnp.float32)[:, None] * jnp.ones(
-        (1, wd), dtype=jnp.float32
-    )
-    n_params = motion_type.num_params
-    perspective = motion_type == MotionType.Homography
-
-    def warp_to_template(img, m3):
-        if perspective:
-            return warp.warp_perspective(
-                img, m3, (hd, wd), border_mode="constant", border_value=0.0,
-                inverse_map=True,
-            )
-        return warp.warp_affine(
-            img, m3[:2], (hd, wd), border_mode="constant", border_value=0.0,
-            inverse_map=True,
-        )
-
-    def iter_body(carry, _):
-        m, rho, last_rho, it, ok = carry
-        # OpenCV's loop-top termination test: run while iterations remain
-        # AND |rho - last_rho| >= eps AND no failure.  Inactive lanes are
-        # frozen via masking (the chunked-scan form below keeps TPU
-        # compile times sane: a raw gather-in-while_loop pathologically
-        # slows the Mosaic/XLA pipeline).
-        active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
-        if slab_iters is not None:
-            active = active & (it < it_slab_end)
-        m3 = _as_3x3(m)
-        image_warped = warp_to_template(image_f, m3)
-        gxw = warp_to_template(gx, m3)
-        gyw = warp_to_template(gy, m3)
-        mask = warp.warp_valid_mask(m3, (hs, ws), (hd, wd), inverse_map=True)
-        n = jnp.maximum(jnp.sum(mask), 1.0)
-
-        img_mean, img_std = _masked_mean_std(image_warped, mask, n)
-        tmp_mean, tmp_std = _masked_mean_std(template_f, mask, n)
-        # OpenCV subtracts the mean only on masked pixels; unmasked warped
-        # pixels keep their (border-constant) values, template ZM is zeroed.
-        image_zm = jnp.where(mask > 0, image_warped - img_mean, image_warped)
-        template_zm = mask * (template_f - tmp_mean)
-        img_norm = jnp.sqrt(n) * img_std
-        tmp_norm = jnp.sqrt(n) * tmp_std
-
-        jac = _jacobian_fields(motion_type, gxw, gyw, xg, yg, m3)
-        jflat = jac.reshape(n_params, -1)
-        hessian = jnp.matmul(jflat, jflat.T, precision=_HIGHEST)
-        hessian_inv = jnp.linalg.inv(hessian)
-
-        correlation = jnp.sum(template_zm * image_zm)
-        new_rho = correlation / (img_norm * tmp_norm)
-
-        image_proj = jnp.matmul(
-            jflat, image_zm.reshape(-1), precision=_HIGHEST
-        )
-        template_proj = jnp.matmul(
-            jflat, template_zm.reshape(-1), precision=_HIGHEST
-        )
-        image_proj_hess = hessian_inv @ image_proj
-        lambda_n = img_norm * img_norm - jnp.dot(image_proj, image_proj_hess)
-        lambda_d = correlation - jnp.dot(template_proj, image_proj_hess)
-        failed = jnp.isnan(new_rho) | (lambda_d <= 0.0)
-        lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
-
-        # err = lam * template_zm - image_zm; its projection is the exact
-        # linear combination (same identity as the batched loop — keeps
-        # the two paths' trajectories bit-comparable and saves a pass)
-        error_proj = lam * template_proj - image_proj
-        dp = hessian_inv @ error_proj
-        new_m = _update_warp(motion_type, m, dp)
-        new_m = jnp.where(failed, m, new_m)
-
-        upd = active & ~failed
-        out = (
-            jnp.where(upd, new_m, m),
-            jnp.where(
-                active,
-                jnp.where(failed, jnp.float32(-1.0), new_rho.astype(jnp.float32)),
-                rho,
-            ),
-            jnp.where(active, rho, last_rho),
-            jnp.where(active, it + 1, it),
-            ok & ~(active & failed),
-        )
-        return out, None
-
-    def chunk_body(carry):
-        carry, _ = jax.lax.scan(iter_body, carry, None, length=_CHUNK_ITERS)
-        return carry
-
-    def chunk_cond(carry):
-        m, rho, last_rho, it, ok = carry
-        active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
-        if slab_iters is not None:
-            active = active & (it < it_slab_end)
-        return jnp.any(active)
-
-    # `vzero` ties the carry init to the input data so the carry has the
-    # same varying-manual-axes type as the body output under shard_map.
-    vzero = template_f[0, 0] * 0.0
-    if start_carry is None:
-        init = (
-            warp_init + vzero,
-            jnp.float32(-1.0) + vzero,
-            jnp.float32(-eps) + vzero,
-            jnp.int32(0),
-            vzero == 0.0,
-        )
-    else:
-        init = start_carry
-    it_slab_end = init[3] + (slab_iters if slab_iters is not None else 0)
-    carry = jax.lax.while_loop(chunk_cond, chunk_body, init)
-    m, rho, _, it, ok = carry
-    return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it), carry
 
 
 def _prepare_inputs(templates, input_image, gauss_filt_size):

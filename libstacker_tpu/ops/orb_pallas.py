@@ -1,8 +1,10 @@
 """Pallas TPU kernel: per-keypoint patch extraction.
 
 The ORB stages that follow detection (Harris re-ranking, the
-intensity-centroid angle and steered rBRIEF sampling) need small pixel
-neighbourhoods around each keypoint.  As XLA gathers these dominate the
+intensity-centroid angle and steered rBRIEF sampling — OpenCV's
+``ORB::detect_and_compute``, called by the reference at
+src/utils.rs:174-183) need small pixel neighbourhoods around each
+keypoint.  As XLA gathers these dominate the
 whole keypoint pipeline on TPU (~2.8M gathered elements per 4K frame at
 ~25 ms); this kernel replaces them with one window DMA per keypoint:
 

@@ -1,0 +1,69 @@
+"""Example-app smoke test: the CLI is the reference workflow
+(examples/main.rs counterpart) and its flags cover both parameter
+structs — drive it end-to-end on a tiny burst."""
+
+import sys
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def tiny_burst(tmp_path, rng):
+    h, w = 120, 160
+    small = rng.integers(0, 256, size=(h // 8, w // 8), dtype=np.uint8)
+    base = cv2.resize(small, (w * 2, h * 2), interpolation=cv2.INTER_NEAREST)
+    base = cv2.GaussianBlur(base, (3, 3), 0.8)
+    for i in range(4):
+        dx, dy = (rng.uniform(-2, 2, 2) if i else (0.0, 0.0))
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        crop = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        if i == 2:
+            crop = cv2.GaussianBlur(crop, (0, 0), 2.5)  # the droppable one
+        Image.fromarray(np.stack([crop] * 3, -1)).save(
+            tmp_path / f"frame{i}.png"
+        )
+    return tmp_path
+
+
+def _run_cli(args):
+    import examples.stack_burst as app
+
+    old = sys.argv
+    sys.argv = ["stack_burst.py"] + args
+    try:
+        return app.main()
+    finally:
+        sys.argv = old
+
+
+def test_cli_ecc_scaled(tiny_burst, tmp_path, capsys):
+    out = tmp_path / "out"
+    rc = _run_cli(
+        [str(tiny_burst), "--out", str(out), "--method", "ecc",
+         "--no-full", "--scale-width", "64", "--max-count", "30",
+         "--epsilon", "1e-3", "--motion-type", "translation"]
+    )
+    assert rc == 0
+    img = np.asarray(Image.open(out / "ecc_w64.png"))
+    assert img.shape == (120, 160, 3)
+    text = capsys.readouterr().out
+    # sharpness ranking must put the blurred frame last (dropped)
+    assert "frame2" in text.splitlines()[1]
+
+
+def test_cli_keypoint_stream(tiny_burst, tmp_path):
+    out = tmp_path / "out2"
+    rc = _run_cli(
+        [str(tiny_burst), "--out", str(out), "--method", "keypoint",
+         "--no-scaled", "--keep-all", "--stream", "2",
+         "--match-ratio", "0.95"]
+    )
+    assert rc == 0
+    assert (out / "keypoint_full.png").exists()
