@@ -79,10 +79,23 @@ def detect_features_chunked(
         chunk = max(1, min(n, budget // max(per_frame, 1)))
     if chunk >= n:
         return _grey_and_detect(frames_u8, scale_hw=scale_hw)
+    # balance chunk sizes (ceil(n / nchunks)) so tail padding wastes at
+    # most nchunks-1 frames of detection across the whole burst
+    chunk = -(-n // (-(-n // chunk)))
     parts = []
     for s0 in range(0, n, chunk):
         e = min(s0 + chunk, n)
-        parts.append(_grey_and_detect(frames_u8[s0:e], scale_hw=scale_hw))
+        sub = frames_u8[s0:e]
+        if e - s0 < chunk:
+            # pad the tail chunk to the full chunk shape (repeat the
+            # last frame) so every chunk hits ONE compiled program; the
+            # padded frames' features are sliced off below
+            reps = jnp.repeat(sub[-1:], chunk - (e - s0), axis=0)
+            sub = jnp.concatenate([sub, reps], axis=0)
+        feats = _grey_and_detect(sub, scale_hw=scale_hw)
+        if e - s0 < chunk:
+            feats = jax.tree.map(lambda x: x[: e - s0], feats)
+        parts.append(feats)
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
 
