@@ -616,7 +616,10 @@ def find_transform_ecc_batched(
         )
     carry0 = (carry0[0], carry0[1], carry0[2] - eps, carry0[3], carry0[4])
 
-    def solve(use_pallas: bool, warp_k: int = 7) -> EccResult:
+    def solve(use_pallas: bool, warp_k: int = 7):
+        """-> (result, all_ok).  One host round-trip per slab: the
+        all-done and all-ok flags come back in a single tiny transfer
+        (the dev tunnel's RTT would otherwise double per slab)."""
         carry = carry0
         while True:
             res, carry, done = _ecc_slab_jit(
@@ -624,8 +627,11 @@ def find_transform_ecc_batched(
                 num_iters, eps, slab_iters, use_pallas=use_pallas,
                 warp_k=warp_k,
             )
-            if bool(jax.device_get(jnp.all(done))):
-                return res
+            flags = jax.device_get(
+                jnp.stack([jnp.all(done), jnp.all(res.ok)])
+            )
+            if bool(flags[0]):
+                return res, bool(flags[1])
 
     # Adaptive kernel band: the fused kernel's tap loop is O((2k+4)^2),
     # so try the small band first and escalate — a lane flagged by the
@@ -638,11 +644,13 @@ def find_transform_ecc_batched(
     res = None
     if use_pallas:
         for k in ladder:
-            res = solve(True, k)
-            if bool(jax.device_get(jnp.all(res.ok))):
+            res, all_ok = solve(True, k)
+            if all_ok:
                 return res
-    if res is None or not bool(jax.device_get(jnp.all(res.ok))):
-        res = solve(False)
+    if res is None:
+        res, all_ok = solve(False)
+    elif not all_ok:
+        res, _ = solve(False)
     return res
 
 
