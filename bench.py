@@ -11,6 +11,7 @@ benchmarks/measure_cpu_baseline.py — the reference publishes no numbers,
 SURVEY.md §6).
 """
 
+import functools
 import json
 import os
 import sys
@@ -139,7 +140,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from libstacker_tpu.ops import color, ecc as ecc_ops
+    from libstacker_tpu.ops import color, ecc as ecc_ops, warp_batch
     from libstacker_tpu.ops.warp_batch import warp_frames_batch
     from libstacker_tpu.params import MotionType
 
@@ -156,38 +157,62 @@ def main():
     t0 = time.perf_counter()
     frames_j = jnp.asarray(frames)
     frames_j.block_until_ready()
-    log(f"upload took {time.perf_counter()-t0:.1f}s")
+    upload_s = time.perf_counter() - t0
+    log(f"upload took {upload_s:.1f}s")
 
-    def align_chunk(grey_chunk, ref_grey):
-        # host-slabbed batched solve (bounded device programs)
-        res = ecc_ops.find_transform_ecc_batched(
-            grey_chunk, ref_grey,
+    def align_all(grey_all):
+        # ONE whole-burst solve: the driver slices it into bounded lane
+        # groups internally and drives all their slab loops interleaved
+        # with one host sync per round (the r2 per-chunk serial driver
+        # paid a tunnel RTT per chunk per slab)
+        return ecc_ops.find_transform_ecc_batched(
+            grey_all[1:], grey_all[0],
             motion_type=MotionType.Homography,
             num_iters=NUM_ITERS, eps=EPS, gauss_filt_size=GAUSS,
         )
-        return res.warp_matrix, res.ok
 
-    @jax.jit
-    def warp_accum(frames_chunk_u8, warps, oks, acc):
+    @functools.partial(jax.jit, static_argnames=("warp_k",))
+    def warp_accum(frames_chunk_u8, warps, oks, acc, warp_k=7):
         f32 = color.u8_to_f32(frames_chunk_u8)
-        warped = warp_frames_batch(f32, warps, perspective=True)
+        warps = jnp.where(
+            oks[:, None, None], warps, jnp.eye(3, dtype=warps.dtype)
+        )
+        warped = warp_frames_batch(f32, warps, perspective=True,
+                                   pallas_k=warp_k)
         valid = oks.astype(jnp.float32)[:, None, None, None]
         return acc + jnp.sum(warped * valid, axis=0)
 
-    def run_once(frames_j):
-        # one batched grey conversion for the whole burst (HBM-resident)
-        grey_all = prep(frames_j)
-        ref_grey = grey_all[0]
+    def warp_stack(frames_j, res, stage=None):
+        # host-side stage-3 dispatch: smallest kernel band covering the
+        # solved warps (k=3's tap loop is ~3x cheaper than k=7's)
+        warp_k = warp_batch.pallas_pick_k(res.warp_matrix, H, W) or 7
         acc = color.u8_to_f32(frames_j[0]).astype(jnp.float32)
-        n_ok = jnp.int32(1)
         for s in range(1, N_FRAMES, CHUNK):
             e = min(s + CHUNK, N_FRAMES)
-            grey_chunk = grey_all[s:e]
-            warps, oks = align_chunk(grey_chunk, ref_grey)
-            acc = warp_accum(frames_j[s:e], warps, oks, acc)
-            n_ok = n_ok + jnp.sum(oks.astype(jnp.int32))
+            acc = warp_accum(
+                frames_j[s:e], res.warp_matrix[s - 1 : e - 1],
+                res.ok[s - 1 : e - 1], acc, warp_k=warp_k,
+            )
+        n_ok = 1 + jnp.sum(res.ok.astype(jnp.int32))
         stacked = acc / n_ok.astype(jnp.float32)
         return float(stacked[0, 0, 0]), stacked
+
+    def run_once(frames_j, stage=None):
+        t0 = time.perf_counter()
+        grey_all = prep(frames_j)
+        if stage is not None:
+            grey_all.block_until_ready()
+            stage["grey_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+        res = align_all(grey_all)
+        if stage is not None:
+            jax.block_until_ready(res.warp_matrix)
+            stage["solve_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+        out = warp_stack(frames_j, res)
+        if stage is not None:
+            stage["warp_stack_s"] = round(time.perf_counter() - t0, 3)
+        return out
 
     parity = None
     if jax.default_backend() == "tpu" and not os.environ.get(
@@ -208,6 +233,13 @@ def main():
     fps = N_FRAMES / dt
     log(f"aligned+stacked {N_FRAMES} frames at {H}x{W} in {dt:.2f}s -> {fps:.2f} fps")
 
+    # attributable per-stage split (separate pass: the stage syncs
+    # would perturb the headline) — r2 VERDICT item 9
+    stage = {}
+    run_once(frames_j, stage=stage)
+    stage["upload_s"] = round(upload_s, 2)
+    log(f"stages: {stage}")
+
     baseline_fps = None
     bl_path = os.path.join(os.path.dirname(__file__), "benchmarks", "cpu_baseline.json")
     if os.path.exists(bl_path):
@@ -223,6 +255,7 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(vs, 2) if vs else None,
         "warmup_s": round(warmup_s, 1),
+        "stages": stage,
     }
     if parity is not None:
         out["kernel_parity_ok"] = parity["ok"]

@@ -150,7 +150,9 @@ def _match_and_estimate(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("border_mode", "scale_hw", "allow_pallas", "pallas_k"),
+    static_argnames=(
+        "border_mode", "scale_hw", "allow_pallas", "pallas_k", "apron"
+    ),
 )
 def _warp_and_accumulate_chunk(
     frames_u8: jnp.ndarray,  # [C,H,W,3] — current frames only, no frame 0
@@ -161,6 +163,7 @@ def _warp_and_accumulate_chunk(
     scale_hw: Optional[tuple] = None,
     allow_pallas: bool = True,
     pallas_k: int = 7,
+    apron: int = 0,
 ):
     """Rescale the homographies if estimated on scaled frames,
     perspective-warp every frame to the reference grid, masked sum
@@ -169,7 +172,10 @@ def _warp_and_accumulate_chunk(
     ``allow_pallas`` is the host-computed Pallas-domain decision (see
     ops.warp_batch.pallas_domain_ok_host): RANSAC homographies are
     unbounded, so frames whose warp exceeds the kernel's in-tile
-    residual band must take the exact XLA-gather path."""
+    residual band must take the exact XLA-gather path.  Every border
+    mode runs at kernel speed — non-constant modes via the
+    apron-extended source (ops.warp_batch; ``apron`` from
+    pallas_required_apron, host-computed like ``pallas_k``)."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
     frames_f32 = color.u8_to_f32(frames_u8)
     if scale_hw is not None:
@@ -178,30 +184,21 @@ def _warp_and_accumulate_chunk(
     # non-finite) matrices must not reach the warp: NaN * 0 == NaN
     hs = jnp.where(oks[:, None, None], hs, jnp.eye(3, dtype=hs.dtype))
 
-    if border_mode == constants.BORDER_CONSTANT:
-        warped = warp_frames_batch(
-            frames_f32, hs, perspective=True,
-            border_value=jnp.asarray(border_value[:3], jnp.float32),
-            allow_pallas=allow_pallas, pallas_k=pallas_k,
-        )
-    else:
-        def warp_one(frame, hmat):
-            return warp.warp_perspective(
-                frame,
-                hmat,
-                (h, w),
-                border_mode=border_mode,
-                border_value=jnp.asarray(border_value[:3], jnp.float32),
-            )
-
-        warped = jax.vmap(warp_one)(frames_f32, hs)
+    warped = warp_frames_batch(
+        frames_f32, hs, perspective=True,
+        border_value=jnp.asarray(border_value[:3], jnp.float32),
+        allow_pallas=allow_pallas, pallas_k=pallas_k,
+        border_mode=border_mode, apron=apron,
+    )
     valid = oks.astype(jnp.float32)[:, None, None, None]
     return jnp.sum(warped * valid, axis=0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("border_mode", "scale_hw", "allow_pallas", "pallas_k"),
+    static_argnames=(
+        "border_mode", "scale_hw", "allow_pallas", "pallas_k", "apron"
+    ),
 )
 def _warp_and_accumulate(
     frames_u8: jnp.ndarray,
@@ -212,13 +209,30 @@ def _warp_and_accumulate(
     scale_hw: Optional[tuple] = None,
     allow_pallas: bool = True,
     pallas_k: int = 7,
+    apron: int = 0,
 ):
     """Stage 3 for the whole-burst path: frame 0 plus the masked sum of
     the aligned frames 1..N-1."""
     return color.u8_to_f32(frames_u8[0]) + _warp_and_accumulate_chunk(
         frames_u8[1:], hs, oks, border_mode, border_value,
         scale_hw=scale_hw, allow_pallas=allow_pallas, pallas_k=pallas_k,
+        apron=apron,
     )
+
+
+def _pallas_warp_dispatch(kept_hs, h: int, w: int, border_mode: int):
+    """Host-side stage-3 dispatch: pick the kernel band covering every
+    kept homography, plus the source apron when the border mode is an
+    index-mapping one.  -> (warp_k or None, apron)."""
+    warp_k = warp_batch.pallas_pick_k(kept_hs, h, w)
+    apron = 0
+    if warp_k is not None:
+        border = constants.border_mode_name(border_mode)
+        if border in warp_batch._PAD_MODES:
+            apron = warp_batch.pallas_required_apron(kept_hs, h, w, warp_k)
+            if apron is None:
+                warp_k, apron = None, 0
+    return warp_k, apron
 
 
 def keypoint_match_arrays(
@@ -250,7 +264,17 @@ def keypoint_match_arrays(
         scale_hw = resize.scale_image_size(h, w, scale_down_width)
 
     if n == 1:
-        return 0, frames[0].astype(np.float32) / 255.0
+        # reference: single-frame stack is frame 0 itself; keep the
+        # return arity consistent with the n>1 path (mirrors
+        # models/ecc.py's n==1 guard)
+        out = frames[0].astype(np.float32) / 255.0
+        if return_stats:
+            from ..utils.tracing import PipelineStats
+
+            return 0, out, PipelineStats(
+                frames_total=1, frames_kept=1, frames_dropped=0
+            )
+        return 0, out
 
     frames_j = jnp.asarray(frames)
     feats = detect_features_chunked(frames_j, scale_hw=scale_hw)
@@ -276,7 +300,7 @@ def keypoint_match_arrays(
         hs_np[:, 2, 0] /= sx
         hs_np[:, 2, 1] /= sy
     kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
-    warp_k = warp_batch.pallas_pick_k(kept_hs, h, w)
+    warp_k, apron = _pallas_warp_dispatch(kept_hs, h, w, params.border_mode)
     stacked_sum = _warp_and_accumulate(
         frames_j,
         hs,
@@ -286,6 +310,7 @@ def keypoint_match_arrays(
         scale_hw=scale_hw,
         allow_pallas=warp_k is not None,
         pallas_k=warp_k or 7,
+        apron=apron,
     )
     oks = oks_np
     kept = 1 + int(oks.sum())
@@ -385,7 +410,9 @@ def keypoint_match_stream(
             hs_np[:, 2, 0] /= sx
             hs_np[:, 2, 1] /= sy
         kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
-        warp_k = warp_batch.pallas_pick_k(kept_hs, h, w)
+        warp_k, apron = _pallas_warp_dispatch(
+            kept_hs, h, w, params.border_mode
+        )
         acc = acc + _warp_and_accumulate_chunk(
             frames_j,
             hs,
@@ -395,6 +422,7 @@ def keypoint_match_stream(
             scale_hw=scale_hw,
             allow_pallas=warp_k is not None,
             pallas_k=warp_k or 7,
+            apron=apron,
         )
         all_ok.append(oks_np[:n_real])
 

@@ -59,7 +59,20 @@ def _ecc_warp_k() -> Optional[int]:
     import os
 
     v = os.environ.get("LIBSTACKER_ECC_WARP_K")
-    return int(v) if v else None
+    if not v:
+        return None
+    try:
+        k = int(v)
+    except ValueError:
+        raise ValueError(
+            f"LIBSTACKER_ECC_WARP_K must be an integer in 1..40, got {v!r}"
+        ) from None
+    if not 1 <= k <= 40:
+        raise ValueError(
+            f"LIBSTACKER_ECC_WARP_K must be in 1..40 (kernel residual "
+            f"band), got {k}"
+        )
+    return k
 
 
 # adaptive escalation ladder: k=3 covers burst alignment (~1 deg
@@ -189,12 +202,19 @@ def find_transform_ecc_batched_graph(
 ) -> EccResult:
     """In-graph batched ECC (traceable inside jit / shard_map): one warp
     per template frame against a shared input image.  On TPU the solve
-    runs through the fused Pallas iteration kernel (fixed k=7 band — no
-    host escalation ladder in-graph; out-of-band lanes report
-    ok=False).  Prefer :func:`find_transform_ecc_batched` at the host
-    level — it slices the solve into bounded device programs (the TPU
-    runtime kills single long-running programs) and escalates failed
-    lanes to the exact XLA path."""
+    runs through the fused Pallas iteration kernel with an IN-GRAPH
+    k=3 -> k=7 escalation ladder: lanes flagged by the k=3 residual-
+    domain check are warm-started from their frozen warps into a second
+    while_loop at k=7 (which exits immediately — one condition eval —
+    when nothing escalated).  Lanes outside even the k=7 band report
+    ok=False; a final in-graph domain check makes ``ok`` a rigorous
+    guarantee that the returned warp sits inside the k=7 band, so
+    callers (the sharded ``ecc_stack_step``) can feed ok-lanes straight
+    into the Pallas stacking warp.  Prefer
+    :func:`find_transform_ecc_batched` at the host level — it slices
+    the solve into bounded device programs (the TPU runtime kills
+    single long-running programs) and rescues escaped lanes on the
+    exact XLA path."""
     templates_f, image_f, gx, gy = _prepare_inputs(
         templates, input_image, gauss_filt_size
     )
@@ -209,12 +229,51 @@ def find_transform_ecc_batched_graph(
         jnp.full((n,), -float(eps), jnp.float32) + vzero,
         jnp.zeros((n,), jnp.int32),
         jnp.ones((n,), bool) & (vzero == 0.0),
+        jnp.zeros((n,), bool) | (vzero != 0.0),
     )
-    final = _ecc_loop_batched(
-        templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-        eps, None, _pallas_ok(h, w),
+    use_pallas = _pallas_ok(h, w) and tuple(image_f.shape) == (h, w)
+    if not use_pallas:
+        final = _ecc_loop_batched(
+            templates_f, image_f, gx, gy, carry, motion_type, num_iters,
+            eps, None, False,
+        )
+        m, rho, _, it, ok, _ = final
+        return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
+
+    for ki, k in enumerate(_K_LADDER):
+        if ki > 0:
+            # warm-start ONLY the domain-escalated lanes at the wider
+            # band (converged lanes enter the next loop inactive)
+            m, rho, last_rho, it, ok, esc = carry
+            re = esc & ~ok
+            carry = (
+                m,
+                jnp.where(re, jnp.float32(-1.0), rho),
+                jnp.where(re, jnp.float32(-float(eps)), last_rho),
+                jnp.where(re, 0, it),
+                ok | re,
+                esc & ~re,
+            )
+        carry = _ecc_loop_batched(
+            templates_f, image_f, gx, gy, carry, motion_type, num_iters,
+            eps, None, True, k,
+        )
+    m, rho, _, it, ok, _ = carry
+    from . import warp_pallas
+
+    # final band check on the returned warp (the in-loop check ran on
+    # the PRE-update iterate) — in both directions: the solve consumed
+    # M as the inverse map, but the stacking warp consumes inv(M)
+    # (forward OpenCV semantics, ref src/lib.rs:780-803)
+    m3 = jax.vmap(_as_3x3)(m)
+    k_last = _K_LADDER[-1]
+    ok = (
+        ok
+        & warp_pallas.residual_domain_ok(m3, h, w, k=k_last)
+        & warp_pallas.residual_domain_ok(
+            jnp.linalg.inv(m3), h, w, k=k_last
+        )
     )
-    m, rho, _, it, ok = final
     return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
 
 
@@ -322,7 +381,7 @@ def _ecc_loop_batched(
     )
 
     def iter_body(c, _):
-        m, rho, last_rho, it, ok = c
+        m, rho, last_rho, it, ok, esc = c
         active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
         if slab_iters is not None:
             active = active & (it < it_slab_end)
@@ -410,14 +469,22 @@ def _ecc_loop_batched(
         failed = jnp.isnan(new_rho) | (lambda_d <= 0.0)
         if use_pallas:
             # a lane whose warp left the kernel's residual-displacement
-            # domain computed garbage stats this iteration: freeze it and
-            # flag failure (the host driver re-runs failures on the exact
-            # XLA path — see find_transform_ecc_batched)
+            # domain computed garbage stats this iteration: freeze it,
+            # flag failure AND mark it escalatable — the host driver
+            # re-runs only these lanes at the wider band / exact XLA
+            # path, warm-started from the frozen warp.  Genuine ECC
+            # failures (NaN rho, lambda_d <= 0 on in-band stats) fail
+            # identically in OpenCV and are NOT escalated.  A domain-bad
+            # warp can also produce NaN stats, so domain_bad takes
+            # precedence in the classification.
             from . import warp_pallas
 
-            failed = failed | ~warp_pallas.residual_domain_ok(
+            domain_bad = ~warp_pallas.residual_domain_ok(
                 m3, hd, wd, k=warp_k
             )
+            failed = failed | domain_bad
+        else:
+            domain_bad = jnp.zeros_like(failed)
         lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
 
         # err = lam * template_zm - image_zm, so its Jacobian projection
@@ -436,6 +503,7 @@ def _ecc_loop_batched(
             jnp.where(active, rho, last_rho),
             jnp.where(active, it + 1, it),
             ok & ~(active & failed),
+            esc | (active & domain_bad),
         )
         return out, None
 
@@ -446,7 +514,7 @@ def _ecc_loop_batched(
         return c
 
     def chunk_cond(c):
-        m, rho, last_rho, it, ok = c
+        m, rho, last_rho, it, ok, _ = c
         active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
         if slab_iters is not None:
             active = active & (it < it_slab_end)
@@ -456,13 +524,26 @@ def _ecc_loop_batched(
     return jax.lax.while_loop(chunk_cond, chunk_body, carry)
 
 
+@functools.partial(jax.jit, static_argnames=("gauss_filt_size",))
+def _ecc_prepare_input_jit(input_image, gauss_filt_size):
+    """Input-side fields (blur + gradients) — shared by every lane
+    group, computed once per burst."""
+    image_f = filters.gaussian_blur(
+        input_image.astype(jnp.float32), gauss_filt_size
+    )
+    dx = (-0.5, 0.0, 0.5)
+    gx = filters.sep_filter2d(image_f, dx, (1.0,), border="reflect101")
+    gy = filters.sep_filter2d(image_f, (1.0,), dx, border="reflect101")
+    return image_f, gx, gy
+
+
 @functools.partial(
-    jax.jit,
-    static_argnames=("motion_type", "gauss_filt_size"),
+    jax.jit, static_argnames=("motion_type", "gauss_filt_size")
 )
-def _ecc_prepare_jit(templates, input_image, gauss_filt_size, motion_type):
-    templates_f, image_f, gx, gy = _prepare_inputs(
-        templates, input_image, gauss_filt_size
+def _ecc_prepare_templates_jit(templates, gauss_filt_size, motion_type):
+    """Per-group template blur + fresh solve carry."""
+    templates_f = filters.gaussian_blur(
+        templates.astype(jnp.float32), gauss_filt_size
     )
     n = templates_f.shape[0]
     warp0 = identity_warp(motion_type)
@@ -472,8 +553,9 @@ def _ecc_prepare_jit(templates, input_image, gauss_filt_size, motion_type):
         jnp.zeros((n,), jnp.float32),  # filled with -eps by caller
         jnp.zeros((n,), jnp.int32),
         jnp.ones((n,), bool),
+        jnp.zeros((n,), bool),  # esc: lane failed on a domain check
     )
-    return templates_f, image_f, gx, gy, carry
+    return templates_f, carry
 
 
 @functools.partial(
@@ -490,7 +572,7 @@ def _ecc_slab_jit(
         templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
         slab_iters, use_pallas, warp_k,
     )
-    m, rho, last_rho, it, ok = new_c
+    m, rho, last_rho, it, ok, _ = new_c
     done = (it >= num_iters) | (jnp.abs(rho - last_rho) < eps) | ~ok
     res = EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
     return res, new_c, done
@@ -547,29 +629,6 @@ def find_transform_ecc_batched(
     2x-downscaled octaves, then refined at full resolution from that
     init — same converged warp, a fraction of the full-res iterations.
     """
-    n_all = templates.shape[0]
-    if n_all > _MAX_SOLVE_LANES:
-        # Host-level lane chunking: the fused kernel's SMEM moment
-        # accumulator is [B, n_out] with ~64-byte scalar padding, so a
-        # several-hundred-lane burst would overflow the ~1MB SMEM; and
-        # bounded lane groups also keep the per-slab program size sane.
-        parts = []
-        for s0 in range(0, n_all, _MAX_SOLVE_LANES):
-            e0 = min(s0 + _MAX_SOLVE_LANES, n_all)
-            parts.append(
-                find_transform_ecc_batched(
-                    templates[s0:e0], input_image, motion_type, num_iters,
-                    eps, gauss_filt_size, slab_iters, coarse_levels,
-                    warp_init[s0:e0] if warp_init is not None else None,
-                )
-            )
-        return EccResult(
-            rho=jnp.concatenate([p.rho for p in parts]),
-            warp_matrix=jnp.concatenate([p.warp_matrix for p in parts]),
-            ok=jnp.concatenate([p.ok for p in parts]),
-            num_iters=jnp.concatenate([p.num_iters for p in parts]),
-        )
-
     if coarse_levels > 0:
         from . import resize as _resize
 
@@ -604,54 +663,135 @@ def find_transform_ecc_batched(
             ok=jnp.zeros((0,), bool),
             num_iters=jnp.zeros((0,), jnp.int32),
         )
-    if slab_iters is None:
-        slab_iters = default_slab_iters(n, h, w)
-    templates_f, image_f, gx, gy, carry0 = _ecc_prepare_jit(
-        templates, input_image, gauss_filt_size, motion_type
+    # Lane grouping: each group is one bounded device program per slab
+    # (watchdog), sized so a slab covers >= ~4 GN iterations; the fused
+    # kernel's SMEM moment accumulator also caps a group at
+    # _MAX_SOLVE_LANES.  ALL groups' slab loops are driven interleaved:
+    # every dispatch is async, so a whole round of slabs across every
+    # group costs ONE host sync (the dev tunnel's ~100 ms RTT per sync
+    # made the r2 per-chunk serial driver the headline bottleneck).
+    group_n = min(
+        _MAX_SOLVE_LANES, max(1, int(4e8) // max(1, 4 * h * w))
     )
-    if warp_init is not None:
-        carry0 = (
-            jnp.asarray(warp_init, jnp.float32),
-            carry0[1], carry0[2], carry0[3], carry0[4],
-        )
-    carry0 = (carry0[0], carry0[1], carry0[2] - eps, carry0[3], carry0[4])
+    image_f, gx, gy = _ecc_prepare_input_jit(input_image, gauss_filt_size)
 
-    def solve(use_pallas: bool, warp_k: int = 7):
-        """-> (result, all_ok).  One host round-trip per slab: the
-        all-done and all-ok flags come back in a single tiny transfer
-        (the dev tunnel's RTT would otherwise double per slab)."""
-        carry = carry0
-        while True:
-            res, carry, done = _ecc_slab_jit(
-                templates_f, image_f, gx, gy, carry, motion_type,
-                num_iters, eps, slab_iters, use_pallas=use_pallas,
-                warp_k=warp_k,
-            )
-            flags = jax.device_get(
-                jnp.stack([jnp.all(done), jnp.all(res.ok)])
-            )
-            if bool(flags[0]):
-                return res, bool(flags[1])
+    class _Group:
+        __slots__ = ("templates_f", "carry", "slab_iters", "res", "done",
+                     "all_ok")
+
+    groups = []
+    for s0 in range(0, n, group_n):
+        e0 = min(s0 + group_n, n)
+        g = _Group()
+        g.templates_f, carry = _ecc_prepare_templates_jit(
+            templates[s0:e0], gauss_filt_size, motion_type
+        )
+        if warp_init is not None:
+            carry = (
+                jnp.asarray(warp_init[s0:e0], jnp.float32),
+            ) + carry[1:]
+        g.carry = (carry[0], carry[1], carry[2] - eps) + carry[3:]
+        g.slab_iters = (
+            slab_iters if slab_iters is not None
+            else default_slab_iters(e0 - s0, h, w)
+        )
+        g.res = g.done = None
+        g.all_ok = False
+        groups.append(g)
+
+    def drive(indices, use_pallas: bool, warp_k: int = 7):
+        """Run every listed group's slab loop to completion.  Per round:
+        dispatch ``disp`` slabs for each pending group back-to-back
+        (async), then fetch ALL groups' done/ok flags in one transfer.
+        ``disp`` grows geometrically — a drained (all-lanes-inactive)
+        slab program is nearly free on device, so overshooting beats
+        extra syncs."""
+        pend = list(indices)
+        disp = 1
+        while pend:
+            flag_rows = []
+            for gi in pend:
+                g = groups[gi]
+                for _ in range(disp):
+                    g.res, g.carry, g.done = _ecc_slab_jit(
+                        g.templates_f, image_f, gx, gy, g.carry,
+                        motion_type, num_iters, eps, g.slab_iters,
+                        use_pallas=use_pallas, warp_k=warp_k,
+                    )
+                flag_rows.append(
+                    jnp.stack([jnp.all(g.done), jnp.all(g.res.ok)])
+                )
+            flags = jax.device_get(jnp.stack(flag_rows))
+            nxt = []
+            for row, gi in zip(flags, pend):
+                groups[gi].all_ok = bool(row[1])
+                if not bool(row[0]):
+                    nxt.append(gi)
+            pend = nxt
+            disp = min(disp * 2, 8)
+
+    def reactivate(carry):
+        """Warm-start ONLY the domain-escalatable failed lanes: keep
+        their frozen (best in-band) warps, reset rho/iteration budget
+        like a fresh solve at the wider band, leave every other lane
+        untouched (they stay inactive inside the loop)."""
+        m, rho, last_rho, it, ok, esc = carry
+        re = esc & ~ok
+        return (
+            m,
+            jnp.where(re, jnp.float32(-1.0), rho),
+            jnp.where(re, jnp.float32(-eps), last_rho),
+            jnp.where(re, 0, it),
+            ok | re,
+            esc & ~re,
+        )
 
     # Adaptive kernel band: the fused kernel's tap loop is O((2k+4)^2),
     # so try the small band first and escalate — a lane flagged by the
-    # in-loop residual-domain check (or a genuine ECC failure) re-runs
-    # at the wider band, then on the exact XLA-gather path.  Escalation
-    # is rare: burst-alignment motion stays inside k=3.
-    use_pallas = _pallas_ok(h, w)
-    env_k = _ecc_warp_k()
-    ladder = (env_k,) if env_k is not None else _K_LADDER
-    res = None
-    if use_pallas:
+    # in-loop residual-domain check re-runs at the wider band, then on
+    # the exact XLA-gather path, warm-started from its frozen warp and
+    # alone (converged lanes stay masked out).  Genuine ECC failures
+    # (NaN rho / lambda_d <= 0) fail identically in OpenCV and are never
+    # escalated.  Escalation is rare: burst motion stays inside k=3.
+    use_pallas = _pallas_ok(h, w) and tuple(input_image.shape) == (h, w)
+    all_idx = list(range(len(groups)))
+    if not use_pallas:
+        drive(all_idx, False)
+    else:
+        env_k = _ecc_warp_k()
+        ladder = (env_k,) if env_k is not None else _K_LADDER
+        remaining = all_idx
         for k in ladder:
-            res, all_ok = solve(True, k)
-            if all_ok:
-                return res
-    if res is None:
-        res, all_ok = solve(False)
-    elif not all_ok:
-        res, _ = solve(False)
-    return res
+            drive(remaining, True, k)
+            maybe = [gi for gi in remaining if not groups[gi].all_ok]
+            if not maybe:
+                remaining = []
+                break
+            # one small transfer: which of the failed groups have
+            # domain-escalatable lanes (vs genuine ECC failures, which
+            # OpenCV fails too and we never escalate)
+            esc_any = jax.device_get(
+                jnp.stack(
+                    [jnp.any(groups[gi].carry[5] & ~groups[gi].carry[4])
+                     for gi in maybe]
+                )
+            )
+            remaining = []
+            for gi, ea in zip(maybe, esc_any):
+                if bool(ea):
+                    groups[gi].carry = reactivate(groups[gi].carry)
+                    remaining.append(gi)
+            if not remaining:
+                break
+        if remaining:
+            drive(remaining, False)
+
+    return EccResult(
+        rho=jnp.concatenate([g.res.rho for g in groups]),
+        warp_matrix=jnp.concatenate([g.res.warp_matrix for g in groups]),
+        ok=jnp.concatenate([g.res.ok for g in groups]),
+        num_iters=jnp.concatenate([g.res.num_iters for g in groups]),
+    )
 
 
 def _pallas_ok(h: int, w: int) -> bool:

@@ -1,0 +1,254 @@
+"""Pallas TPU kernel: one-pass FAST-9/16 corner detection + NMS.
+
+The dense XLA formulation in ops/fast.py is correct but multi-pass —
+the 16 circle slices, the ~64-op arc min/max tree and the NMS each
+re-touch HBM-sized intermediates, costing ~5 ms/frame at 4K on v5e
+(the last plain-XLA hot stage of the keypoint path, r2 VERDICT item 1).
+This kernel computes the whole thing — segment test, cornerScore, 3x3
+non-max suppression, interior/edge-threshold masking — in ONE sweep:
+
+- grid over (frame, tile-rows, tile-cols), tiles of (128, 128);
+- per tile, a (144, 384) source window is DMA'd into VMEM (static
+  origin: the image is pre-padded by 8 rows top / 128 cols left plus
+  aligned bottom/right slack, so every tile's halo window starts at an
+  (8, 128)-aligned offset with no dynamic rolls);
+- the FAST circle taps are static slices of the window, the arc tree
+  is the same list-rotation log-doubling as ops/fast.py, and NMS
+  compares the tile's scores against the 1-px-halo scores computed in
+  the same pass;
+- output is the NMS'd score map (score > 0 <=> kept corner, since
+  cornerScore >= threshold > 1), masked to the interior and to ORB's
+  ``edge_threshold`` band — the caller goes straight to top-k.
+
+Semantics identical to ops/fast.py::fast_detect (itself matched to
+OpenCV FAST type 9_16 with nonmaxSuppression, SURVEY.md N4; reference
+call site src/utils.rs:174-183) plus the fused border mask of
+models/keypoint's detection stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fast import CIRCLE_OFFSETS
+
+_TH = 128
+_TW = 128
+_PAD_T = 8  # top padding rows (>= 4-px halo, 8-aligned)
+_PAD_L = 128  # left padding cols (>= 4-px halo, 128-aligned)
+_WH = _TH + 2 * _PAD_T  # 144: window rows (tile + halo capacity)
+_WW = _TW + 2 * _PAD_L  # 384: window cols
+
+
+def _fast_kernel(
+    src_ref,  # ANY [N, HP, WP] f32 (padded: image at [PAD_T:, PAD_L:])
+    out_ref,  # VMEM [1, TH, TW] f32 — NMS'd score map tile
+    scratch,  # VMEM [2, WH, WW]
+    sem,  # DMA semaphores [2]
+    *,
+    h: int,
+    w: int,
+    ny: int,
+    nx: int,
+    threshold: float,
+    border: int,
+):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    nb = pl.num_programs(0)
+
+    def start_dma(b_, ti_, tj_, slot):
+        pltpu.make_async_copy(
+            src_ref.at[b_, pl.ds(ti_ * _TH, _WH), pl.ds(tj_ * _TW, _WW)],
+            scratch.at[slot],
+            sem.at[slot],
+        ).start()
+
+    # double-buffered window pipeline across grid steps
+    step = (b * ny + ti) * nx + tj
+    total = nb * ny * nx
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        start_dma(b, ti, tj, slot)
+
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        tj_n = jax.lax.rem(nstep, nx)
+        ti_n = jax.lax.rem(nstep // nx, ny)
+        b_n = nstep // (nx * ny)
+        start_dma(b_n, ti_n, tj_n, jax.lax.rem(nstep, 2))
+
+    pltpu.make_async_copy(
+        src_ref.at[0, pl.ds(0, _WH), pl.ds(0, _WW)],  # shape-only
+        scratch.at[slot],
+        sem.at[slot],
+    ).wait()
+    win = scratch[slot]
+
+    # scores are needed on the tile plus a 1-px halo (for NMS): an
+    # extended (TH+2, TW+2) region.  Its pixel (0,0) is the tile's
+    # (-1,-1), sitting at window coords (PAD_T-1, PAD_L-1).
+    eh, ew = _TH + 2, _TW + 2
+    oy, ox = _PAD_T - 1, _PAD_L - 1
+    c = win[oy : oy + eh, ox : ox + ew]
+    t = jnp.float32(threshold)
+    e = [
+        win[oy + dy : oy + dy + eh, ox + dx : ox + dx + ew] - c
+        for (dx, dy) in CIRCLE_OFFSETS
+    ]
+
+    def arc9_min(v):
+        w2 = [jnp.minimum(v[i], v[(i + 1) % 16]) for i in range(16)]
+        w4 = [jnp.minimum(w2[i], w2[(i + 2) % 16]) for i in range(16)]
+        w8 = [jnp.minimum(w4[i], w4[(i + 4) % 16]) for i in range(16)]
+        return [jnp.minimum(w8[i], v[(i + 8) % 16]) for i in range(16)]
+
+    def list_max(v):
+        while len(v) > 1:
+            v = [
+                jnp.maximum(v[i], v[i + len(v) // 2])
+                for i in range(len(v) // 2)
+            ]
+        return v[0]
+
+    tb = list_max(arc9_min(e))
+    td = list_max(arc9_min([-ei for ei in e]))
+    corner = (tb > t) | (td > t)
+    score = jnp.maximum(tb, td) - 1.0
+
+    # interior + ORB edge_threshold band, in GLOBAL image coords
+    gy = (ti * _TH - 1) + jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0)
+    gx = (tj * _TW - 1) + jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1)
+    lo = max(3, border)
+    keep_region = (
+        (gy >= lo) & (gy < h - lo) & (gx >= lo) & (gx < w - lo)
+    )
+    score = jnp.where(corner & keep_region, score, 0.0)
+
+    # 3x3 NMS: tile pixels (center of the extended region) must be
+    # strictly greater than every neighbour's score
+    center = score[1 : 1 + _TH, 1 : 1 + _TW]
+    nmax = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            nb_ = score[1 + dy : 1 + dy + _TH, 1 + dx : 1 + dx + _TW]
+            nmax = nb_ if nmax is None else jnp.maximum(nmax, nb_)
+    out_ref[0, :, :] = jnp.where(center > nmax, center, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "border", "interpret")
+)
+def fast_scores_batched(
+    imgs: jnp.ndarray,  # [N, H, W] uint8 or float
+    threshold: int = 20,
+    border: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[N,H,W] images -> [N,H,W] f32 NMS'd FAST score maps (score > 0
+    <=> kept corner).  ``border`` additionally masks ORB's
+    edge_threshold band.  One fused pass per tile; natively batched
+    (the frame axis is a grid dimension — a vmapped pallas_call would
+    give the ANY-space source a per-batch index map, which the TPU
+    lowering rejects)."""
+    n, h, w = imgs.shape
+    x = imgs.astype(jnp.float32)
+    ny = pl.cdiv(h, _TH)
+    nx = pl.cdiv(w, _TW)
+    # pad: PAD_T top rows + PAD_L left cols; bottom/right so that every
+    # tile's window [ti*TH, ti*TH + WH) x [tj*TW, tj*TW + WW) is in
+    # range.  Values are irrelevant (keep_region masks them) — zeros.
+    hp = (ny - 1) * _TH + _WH
+    wp = (nx - 1) * _TW + _WW
+    x = jnp.pad(x, ((0, 0), (_PAD_T, hp - h - _PAD_T),
+                    (_PAD_L, wp - w - _PAD_L)))
+
+    kernel = functools.partial(
+        _fast_kernel, h=h, w=w, ny=ny, nx=nx,
+        threshold=float(threshold), border=int(border),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        grid=(n, ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, _TH, _TW), lambda b, i, j: (b, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, _WH, _WW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _core_for(threshold: int, border: int):
+    """custom_vmap wrapper per static (threshold, border): vmap over
+    frames maps onto the natively batched kernel instead of lifting the
+    pallas_call (which the TPU lowering rejects for ANY-space inputs)."""
+
+    @jax.custom_batching.custom_vmap
+    def core(img):
+        return fast_scores_batched(
+            img[None], threshold=threshold, border=border,
+            interpret=_interpret(),
+        )[0]
+
+    @core.def_vmap
+    def _vmap(axis_size, in_batched, img):
+        (ib,) = in_batched
+        if not ib:
+            img = jnp.broadcast_to(img[None], (axis_size,) + img.shape)
+        return (
+            fast_scores_batched(
+                img, threshold=threshold, border=border,
+                interpret=_interpret(),
+            ),
+            True,
+        )
+
+    return core
+
+
+def _interpret() -> bool:
+    import os
+
+    return bool(os.environ.get("LIBSTACKER_FAST_INTERPRET"))
+
+
+def fast_scores(img: jnp.ndarray, threshold: int = 20,
+                border: int = 0) -> jnp.ndarray:
+    """Single-image [H,W] -> [H,W] NMS'd score map (vmap-safe: batching
+    maps onto the natively batched kernel).  ``threshold``/``border``
+    must be Python ints (static)."""
+    return _core_for(int(threshold), int(border))(img)
+
+
+def usable(h: int, w: int) -> bool:
+    """Kernel dispatch gate: TPU (or forced) and a window-sized image."""
+    import os
+
+    if os.environ.get("LIBSTACKER_DISABLE_PALLAS"):
+        return False
+    ok_size = h >= 16 and w >= 16
+    if os.environ.get("LIBSTACKER_FORCE_PALLAS"):
+        return ok_size
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu" and ok_size

@@ -3,16 +3,43 @@
 Warps an [N,H,W,C] burst with per-frame matrices (forward OpenCV
 semantics: the matrix is inverted internally like warpPerspective,
 ref src/lib.rs:291-299): uses the Pallas tiled kernel on TPU for large
-frames (ops.warp_pallas), the XLA-gather path elsewhere.  Only
-BORDER_CONSTANT goes through the kernel.
+frames (ops.warp_pallas), the XLA-gather path elsewhere.
+
+Border modes at kernel speed (the reference feeds
+``params.border_mode`` straight into OpenCV's C++ warp,
+src/lib.rs:66-72, 291-299): BORDER_CONSTANT and BORDER_TRANSPARENT run
+the kernel directly (TRANSPARENT with a zero destination base is
+tap-wise identical to CONSTANT 0 — see ops.warp._sample_bilinear); the
+index-mapping modes (REPLICATE / REFLECT / REFLECT_101 / WRAP) warp an
+**apron-extended** source: the source is pre-extended by ``apron``
+pixels with the mode's semantics (one cheap XLA pad per burst), the
+inverse matrices are shifted by the apron, and the BORDER_CONSTANT
+kernel runs against the extended source onto the original output grid.
+Because the apron shift is integer it commutes exactly with OpenCV's
+1/32-px coordinate quantisation, so the result is bit-identical to the
+XLA borderInterpolate path whenever every tap lands inside the apron —
+which :func:`pallas_required_apron` guarantees on the host.
 """
 
 from __future__ import annotations
+
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 
 from . import warp
+
+# jnp.pad modes implementing OpenCV borderInterpolate semantics
+_PAD_MODES = {
+    "replicate": "edge",
+    "reflect101": "reflect",
+    "reflect": "symmetric",
+    "wrap": "wrap",
+}
+
+# beyond this the pad cost outgrows the kernel win; fall back to XLA
+_MAX_APRON = 512
 
 
 def _pallas_usable(h: int, w: int) -> bool:
@@ -20,11 +47,21 @@ def _pallas_usable(h: int, w: int) -> bool:
 
     if os.environ.get("LIBSTACKER_DISABLE_PALLAS"):
         return False
+    if os.environ.get("LIBSTACKER_FORCE_PALLAS"):
+        return h >= 160 and w >= 384
     try:
         backend = jax.default_backend()
     except Exception:
         return False
     return backend == "tpu" and h >= 160 and w >= 384
+
+
+def _warp_interpret() -> bool:
+    """Interpret-mode switch for the warp kernel (CPU CI, paired with
+    LIBSTACKER_FORCE_PALLAS like the ECC kernel's switch)."""
+    import os
+
+    return bool(os.environ.get("LIBSTACKER_WARP_INTERPRET"))
 
 
 def pallas_pick_k(mats, h: int, w: int, ks=(3, 7)):
@@ -67,6 +104,67 @@ def pallas_domain_ok_host(mats, h: int, w: int, k: int = 7) -> bool:
     return bool(np.asarray(ok).all())
 
 
+def pallas_required_apron(
+    mats, h: int, w: int, k: int
+) -> Optional[int]:
+    """Host-side: the smallest source apron (px) that keeps every
+    bilinear tap of every FORWARD matrix inside the extended source.
+
+    Valid only for matrices that already passed
+    :func:`pallas_domain_ok_host` at band ``k``: the domain check bounds
+    every pixel's source DISPLACEMENT within ``k + 0.5`` px of its tile
+    samples', so sampling source coordinates on each tile's 3x3 grid
+    (corners capture the position term, which varies by the full tile
+    extent) plus a ``k + 2`` margin (0.5 centre rounding + 1 floor tap
+    + in-between variation) covers the continuous field.  Returns None
+    when the needed apron exceeds ``_MAX_APRON`` (fall back to the XLA
+    path)."""
+    import numpy as np
+
+    m = np.asarray(jax.device_get(mats), np.float64)
+    if m.shape[0] == 0:
+        return 0
+    m3 = m if m.shape[-2] == 3 else np.concatenate(
+        [m, np.tile(np.asarray([[[0.0, 0.0, 1.0]]]), (m.shape[0], 1, 1))],
+        axis=1,
+    )
+    if not np.all(np.isfinite(m3)):
+        return None
+    minv = np.linalg.inv(m3)
+    th = tw = 128
+    oy = np.arange((h + th - 1) // th, dtype=np.float64) * th
+    ox = np.arange((w + tw - 1) // tw, dtype=np.float64) * tw
+    offs = np.asarray(
+        [[0, 0], [0, tw / 2], [0, tw],
+         [th / 2, 0], [th / 2, tw / 2], [th / 2, tw],
+         [th, 0], [th, tw / 2], [th, tw]],
+        np.float64,
+    )
+    py = (oy[:, None, None] + 0 * ox[None, :, None]
+          + offs[None, None, :, 0]).reshape(1, -1)
+    px = (0 * oy[:, None, None] + ox[None, :, None]
+          + offs[None, None, :, 1]).reshape(1, -1)
+    # clamp phantom samples of edge tiles to the real output extent
+    py = np.minimum(py, h - 1.0)
+    px = np.minimum(px, w - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        den = minv[:, 2, 0, None] * px + minv[:, 2, 1, None] * py \
+            + minv[:, 2, 2, None]
+        sx = (minv[:, 0, 0, None] * px + minv[:, 0, 1, None] * py
+              + minv[:, 0, 2, None]) / den
+        sy = (minv[:, 1, 0, None] * px + minv[:, 1, 1, None] * py
+              + minv[:, 1, 2, None]) / den
+    exc = max(
+        0.0,
+        float(np.max(-sx)), float(np.max(sx - (w - 1))),
+        float(np.max(-sy)), float(np.max(sy - (h - 1))),
+    )
+    if not np.isfinite(exc):
+        return None
+    apron = int(np.ceil(exc)) + k + 2
+    return apron if apron <= _MAX_APRON else None
+
+
 def warp_frames_batch(
     frames: jnp.ndarray,  # [N,H,W,C] or [N,H,W] float32
     mats: jnp.ndarray,  # [N,3,3] (or [N,2,3] affine), forward maps
@@ -74,50 +172,80 @@ def warp_frames_batch(
     border_value=0.0,
     allow_pallas: bool = True,
     pallas_k: int = 7,
+    border_mode: Union[int, str] = "constant",
+    apron: int = 0,
 ) -> jnp.ndarray:
-    """Warp each frame onto its own grid with BORDER_CONSTANT.
+    """Warp each frame onto its own grid with the given border mode.
 
     ``allow_pallas``: static host-computed dispatch decision (see
     :func:`pallas_domain_ok_host`) — the Pallas kernel's correctness
     domain is a k-pixel bound on in-tile warp-field variation, so
     callers with potentially-large warps must pre-check.  ``pallas_k``
-    is the band that check validated (see :func:`pallas_pick_k`)."""
+    is the band that check validated (see :func:`pallas_pick_k`).
+    Non-constant index-mapping border modes additionally need ``apron``
+    from :func:`pallas_required_apron` (see module docstring); pass
+    ``allow_pallas=False`` when it returned None."""
     has_c = frames.ndim == 4
     n = frames.shape[0]
     h, w = frames.shape[1], frames.shape[2]
+    border, border_value = warp._resolve_border(border_mode, border_value)
     m3 = mats if mats.shape[-2] == 3 else jax.vmap(warp.affine_to_3x3)(mats)
-    if allow_pallas and _pallas_usable(h, w):
+    kernel_ok = allow_pallas and _pallas_usable(h, w) and (
+        border in ("constant", "transparent")
+        or (border in _PAD_MODES and 0 < apron <= _MAX_APRON)
+    )
+    if kernel_ok:
         from . import warp_pallas
 
         minv = jnp.linalg.inv(m3.astype(jnp.float32))
+        if border == "transparent":
+            # zero destination base: tap-wise identical to CONSTANT 0
+            border_value = 0.0
+        out_hw = None
+        src_frames = frames
+        if border in _PAD_MODES:
+            p = apron
+            pad = ((0, 0), (p, p), (p, p)) + (((0, 0),) if has_c else ())
+            src_frames = jnp.pad(frames, pad, mode=_PAD_MODES[border])
+            # source coords shift by +apron on both axes: rows 0,1 of
+            # the inverse map gain apron * row 2 (exact — the integer
+            # shift commutes with the 1/32 quantisation)
+            minv = minv.at[:, 0, :].add(float(p) * minv[:, 2, :])
+            minv = minv.at[:, 1, :].add(float(p) * minv[:, 2, :])
+            out_hw = (h, w)
+            border_value = 0.0  # unreachable by construction of apron
+        sh, sw = src_frames.shape[1], src_frames.shape[2]
         bv = jnp.broadcast_to(
             jnp.asarray(border_value, jnp.float32).reshape(-1),
             (frames.shape[-1],) if has_c else (1,),
         )
+        interpret = _warp_interpret()
         if has_c:
             c = frames.shape[-1]
-            src = jnp.moveaxis(frames, -1, 1).reshape(n * c, h, w)
+            src = jnp.moveaxis(src_frames, -1, 1).reshape(n * c, sh, sw)
             m_rep = jnp.repeat(minv, c, axis=0)
             bvs = jnp.tile(jnp.broadcast_to(bv, (c,)), (n,))
             out = warp_pallas.warp_bilinear_pallas(
                 src, m_rep, border_value=bvs,
-                quant_affine=not perspective, k=pallas_k,
+                quant_affine=not perspective, k=pallas_k, out_hw=out_hw,
+                interpret=interpret,
             )
             out = out.reshape(n, c, h, w)
             return jnp.moveaxis(out, 1, -1)
         return warp_pallas.warp_bilinear_pallas(
-            frames, minv, border_value=jnp.broadcast_to(bv[:1], (n,)),
-            quant_affine=not perspective, k=pallas_k,
+            src_frames, minv, border_value=jnp.broadcast_to(bv[:1], (n,)),
+            quant_affine=not perspective, k=pallas_k, out_hw=out_hw,
+            interpret=interpret,
         )
 
     def warp_one(frame, m):
         if perspective:
             return warp.warp_perspective(
-                frame, m, (h, w), border_mode="constant",
+                frame, m, (h, w), border_mode=border,
                 border_value=border_value,
             )
         return warp.warp_affine(
-            frame, m[:2], (h, w), border_mode="constant",
+            frame, m[:2], (h, w), border_mode=border,
             border_value=border_value,
         )
 

@@ -65,13 +65,24 @@ def residual_domain_ok(
     """Per-matrix check of the kernel's correctness domain -> [G] bool.
 
     The kernel tolerates a residual source displacement of at most
-    ``k + 1`` pixels around each tile-centre displacement (see module
-    docstring).  For every output tile, evaluate the displacement field
-    ``d(p) = M(p) - p`` at the tile centre and 4 corners and bound the
-    in-tile spread; 0.5 px covers the centre-rounding, another 0.5 px
-    the projective curvature between corner samples (second-order in
-    the perspective terms — negligible for any non-degenerate matrix
-    that passes the spread test itself).  NaN/inf matrices fail.
+    ``k + 1`` pixels around each tile-centre displacement, rounded to
+    the nearest integer (see module docstring).  For every output tile,
+    evaluate the displacement field ``d(p) = M(p) - p`` on a 3x3 sample
+    grid (centre, mid-edges, corners) and bound the in-tile spread;
+    0.5 px is reserved for the centre rounding.  For an affine map the
+    field is linear in the tile coordinates, so the corner samples
+    attain the true in-tile maximum exactly; for a projective map the
+    field additionally curves between samples, bounded ANALYTICALLY
+    from the perspective row and the tile extent (rather than a fixed
+    allowance): writing den(p) = D_c (1 + e(u)) about the tile centre
+    with |e| <= e_m = (|m20| tw + |m21| th) / (2 |D_c|), the deviation
+    of s(p) from its linearisation is at most
+    ``r = e_m/(1-e_m) * R + e_m^2/(1-e_m) * S`` per axis (R = sampled
+    field variation, S = sampled |s| magnitude — from the exact
+    expansion 1/(1+e) = 1 - e + e^2/(1+e)), and the true spread exceeds
+    the sampled spread by at most 4r.  Tiles with e_m >= 0.5 (a
+    denominator pole near the tile) fail outright.  NaN/inf matrices
+    fail.
 
     ``m3``: [G, 3, 3] INVERSE maps (what the kernel consumes).
     Traceable (pure jnp by default) so ECC can run it per iteration
@@ -81,16 +92,23 @@ def residual_domain_ok(
     th, tw = tile
     ny = (h + th - 1) // th
     nx = (w + tw - 1) // tw
-    # tile origins + 5 sample offsets (centre first)
+    # tile origins + 3x3 sample offsets (centre first)
     oy = (xp.arange(ny, dtype=xp.float32) * th)[:, None]
     ox = (xp.arange(nx, dtype=xp.float32) * tw)[None, :]
+    hy, hx = th * 0.5, tw * 0.5
     offs = xp.asarray(
-        [[th * 0.5, tw * 0.5], [0, 0], [0, tw], [th, 0], [th, tw]],
+        [
+            [hy, hx],
+            [0, 0], [0, hx], [0, tw],
+            [hy, 0], [hy, tw],
+            [th, 0], [th, hx], [th, tw],
+        ],
         xp.float32,
-    )  # [5, (y,x)]
-    py = (oy + ox * 0.0)[..., None] + offs[None, None, :, 0]  # [ny,nx,5]
+    )  # [9, (y,x)]
+    ns = offs.shape[0]
+    py = (oy + ox * 0.0)[..., None] + offs[None, None, :, 0]  # [ny,nx,9]
     px = (ox + oy * 0.0)[..., None] + offs[None, None, :, 1]
-    py = py.reshape(-1)  # [T*5]
+    py = py.reshape(-1)  # [T*9]
     px = px.reshape(-1)
     m = m3.astype(xp.float32)
     with _np_err_ignore(xp):
@@ -100,13 +118,33 @@ def residual_domain_ok(
               + m[:, 0, 2, None]) * inv
         sy = (m[:, 1, 0, None] * px + m[:, 1, 1, None] * py
               + m[:, 1, 2, None]) * inv
-        ddx = (sx - px).reshape(-1, ny * nx, 5)  # [G, T, 5]
-        ddy = (sy - py).reshape(-1, ny * nx, 5)
-        spread_x = xp.max(xp.abs(ddx[..., 1:] - ddx[..., :1]), axis=(1, 2))
-        spread_y = xp.max(xp.abs(ddy[..., 1:] - ddy[..., :1]), axis=(1, 2))
-        spread = xp.maximum(spread_x, spread_y)
-    # NaN spread (degenerate matrix) compares False -> out of domain
-    return spread <= xp.float32(k)  # k+1 band minus the 1 px margins
+        ddx = (sx - px).reshape(-1, ny * nx, ns)  # [G, T, 9]
+        ddy = (sy - py).reshape(-1, ny * nx, ns)
+        spread = xp.maximum(  # [G, T] per-tile sampled spread
+            xp.max(xp.abs(ddx[..., 1:] - ddx[..., :1]), axis=2),
+            xp.max(xp.abs(ddy[..., 1:] - ddy[..., :1]), axis=2),
+        )
+        # analytic projective-curvature allowance (zero for affine maps)
+        den_c = den.reshape(-1, ny * nx, ns)[..., 0]  # [G, T] tile centres
+        e_m = (
+            xp.abs(m[:, 2, 0, None]) * hx + xp.abs(m[:, 2, 1, None]) * hy
+        ) / xp.maximum(xp.abs(den_c), xp.float32(1e-30))
+        sxr = sx.reshape(-1, ny * nx, ns)
+        syr = sy.reshape(-1, ny * nx, ns)
+        r_fld = xp.maximum(
+            xp.max(xp.abs(sxr - sxr[..., :1]), axis=2),
+            xp.max(xp.abs(syr - syr[..., :1]), axis=2),
+        )  # [G, T] sampled per-axis field variation
+        s_abs = xp.maximum(
+            xp.max(xp.abs(sxr), axis=2), xp.max(xp.abs(syr), axis=2)
+        )
+        denom = xp.maximum(1.0 - e_m, xp.float32(1e-6))
+        curv = 4.0 * (e_m / denom * r_fld + e_m * e_m / denom * s_abs)
+        # NaN spread (degenerate matrix) compares False -> out of
+        # domain; the kernel band is k+1, minus 0.5 px centre rounding
+        # and the per-tile analytic curvature allowance
+        tile_ok = (e_m < 0.5) & (spread + curv <= xp.float32(k) + 0.5)
+    return xp.all(tile_ok, axis=1)
 
 
 def _np_err_ignore(xp):
@@ -325,7 +363,9 @@ def _warp_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile", "quant_affine", "interpret", "true_hw"),
+    static_argnames=(
+        "k", "tile", "quant_affine", "interpret", "true_hw", "out_hw"
+    ),
 )
 def warp_bilinear_pallas(
     src: jnp.ndarray,
@@ -337,16 +377,21 @@ def warp_bilinear_pallas(
     quant_affine: bool = False,
     interpret: bool = False,
     true_hw: Optional[Tuple[int, int]] = None,
+    out_hw: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Warp a batch of images with per-image 3x3 matrices (inverse-map
     semantics: dst(x,y) = src(M @ (x,y,1)), BORDER_CONSTANT).
 
-    ``src``: [S, H, W] float32; ``m3``: [G, 3, 3]; returns [G, H, W].
-    ``src_index`` ([G] int32, default arange) maps each output slot to a
-    source image — lets B frame-lanes warp the same S shared sources
-    (ECC warps image+gx+gy per lane) without duplicating HBM reads.
-    Non-(8,128)-aligned sizes are zero-padded internally; callers in hot
-    loops can pre-pad once and pass the real extent via ``true_hw``.
+    ``src``: [S, H, W] float32; ``m3``: [G, 3, 3]; returns
+    [G, *out_hw] (``out_hw`` defaults to the source extent — pass it
+    when the output grid differs from the source, e.g. the non-constant
+    border modes in ops.warp_batch warp an apron-extended source onto
+    the original grid).  ``src_index`` ([G] int32, default arange) maps
+    each output slot to a source image — lets B frame-lanes warp the
+    same S shared sources (ECC warps image+gx+gy per lane) without
+    duplicating HBM reads.  Non-(8,128)-aligned sizes are zero-padded
+    internally; callers in hot loops can pre-pad once and pass the real
+    extent via ``true_hw``.
     """
     s_n, h_in, w_in = src.shape
     if true_hw is not None:
@@ -362,6 +407,7 @@ def warp_bilinear_pallas(
         hp, wp = _round_up(h, 8), _round_up(w, 128)
         if (hp, wp) != (h, w):
             src = jnp.pad(src, ((0, 0), (0, hp - h), (0, wp - w)))
+    oh, ow = out_hw if out_hw is not None else (h, w)
     g = m3.shape[0]
     th, tw = tile
     wh = ((th + 2 * k + 10 + 7) // 8) * 8
@@ -379,7 +425,7 @@ def warp_bilinear_pallas(
             f"image {h}x{w} too small for pallas warp window {wh}x{ww}; "
             "use ops.warp instead"
         )
-    grid = (g, pl.cdiv(h, th), pl.cdiv(w, tw))
+    grid = (g, pl.cdiv(oh, th), pl.cdiv(ow, tw))
     mflat = m3.reshape(g, 9).astype(jnp.float32)
     bv = jnp.asarray(border_value, jnp.float32).reshape(-1)
     if bv.size == 1:
@@ -397,14 +443,14 @@ def warp_bilinear_pallas(
         axis=1,
     )  # [G, 12]
 
-    ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
+    ny, nx = pl.cdiv(oh, th), pl.cdiv(ow, tw)
     kernel = functools.partial(
         _warp_kernel, th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
         ny=ny, nx=nx, quant_affine=quant_affine,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((g, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, oh, ow), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full [G,12] param table

@@ -122,35 +122,48 @@ def ecc_stack_step(
     ``reference_grey``: [H,W] float32 (frame 0's grey, replicated).
 
     Per shard: grey-convert local frames, batched-ECC them against the
-    replicated reference, warp, partial-sum; then ``psum`` over 'data'
-    replaces the reference's try_reduce (src/lib.rs:819-833).
+    replicated reference (the in-graph k=3/k=7 ladder solve), warp via
+    the SAME fast-kernel dispatch the single-chip pipelines use
+    (``warp_frames_batch`` — the Pallas tiled kernel on TPU; the
+    graph solve's final domain check guarantees every ok-lane's warp
+    sits inside the kernel's k=7 band in both directions), partial-sum;
+    then ``psum`` over 'data' replaces the reference's try_reduce
+    (src/lib.rs:819-833).
     Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool).
     """
+    from ..ops.ecc import _MAX_SOLVE_LANES
+    from ..ops.warp_batch import warp_frames_batch
+
     h, w = reference_grey.shape
 
     def local_step(frames_local, ref_grey):
         grey = color.rgb_to_gray_u8(frames_local).astype(jnp.float32)
         f32 = color.u8_to_f32(frames_local)
-        res = ecc_ops.find_transform_ecc_batched_graph(
-            grey,
-            ref_grey,
-            motion_type=motion_type,
-            num_iters=num_iters,
-            eps=eps,
-            gauss_filt_size=gauss_filt_size,
-        )
+        n_loc = grey.shape[0]
+        # static lane-group chunking: the fused kernel's SMEM moment
+        # accumulator bounds one batched solve at _MAX_SOLVE_LANES
+        parts = []
+        for s0 in range(0, n_loc, _MAX_SOLVE_LANES):
+            parts.append(
+                ecc_ops.find_transform_ecc_batched_graph(
+                    grey[s0 : s0 + _MAX_SOLVE_LANES],
+                    ref_grey,
+                    motion_type=motion_type,
+                    num_iters=num_iters,
+                    eps=eps,
+                    gauss_filt_size=gauss_filt_size,
+                )
+            )
+        warps = jnp.concatenate([p.warp_matrix for p in parts])
+        res_ok = jnp.concatenate([p.ok for p in parts])
         perspective = motion_type == MotionType.Homography
-
-        def warp_one(frame, m):
-            if perspective:
-                return warp.warp_perspective(frame, m, (h, w))
-            return warp.warp_affine(frame, m[:2], (h, w))
-
-        warped = jax.vmap(warp_one)(f32, res.warp_matrix)
-        valid = res.ok.astype(jnp.float32)[:, None, None, None]
+        eye = jnp.eye(3, dtype=warps.dtype)[: warps.shape[1]]
+        warps = jnp.where(res_ok[:, None, None], warps, eye)
+        warped = warp_frames_batch(f32, warps, perspective=perspective)
+        valid = res_ok.astype(jnp.float32)[:, None, None, None]
         partial = jnp.sum(warped * valid, axis=0)
         total = jax.lax.psum(partial, "data")
-        ok = jax.lax.all_gather(res.ok, "data", tiled=True)
+        ok = jax.lax.all_gather(res_ok, "data", tiled=True)
         return total, ok
 
     fn = shard_map(

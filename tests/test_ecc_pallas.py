@@ -179,3 +179,124 @@ def test_fused_solve_matches_xla(rng, motion):
     np.testing.assert_allclose(
         np.asarray(res_fused.rho), np.asarray(res_xla.rho), atol=1e-3
     )
+
+
+def test_env_warp_k_validated(monkeypatch):
+    """LIBSTACKER_ECC_WARP_K outside 1..40 (or non-integer) raises a
+    clear error at parse time, not a deep tracing failure (r2 ADVICE)."""
+    monkeypatch.setenv("LIBSTACKER_ECC_WARP_K", "0")
+    with pytest.raises(ValueError, match="LIBSTACKER_ECC_WARP_K"):
+        ecc_ops._ecc_warp_k()
+    monkeypatch.setenv("LIBSTACKER_ECC_WARP_K", "banana")
+    with pytest.raises(ValueError, match="LIBSTACKER_ECC_WARP_K"):
+        ecc_ops._ecc_warp_k()
+    monkeypatch.setenv("LIBSTACKER_ECC_WARP_K", "41")
+    with pytest.raises(ValueError, match="LIBSTACKER_ECC_WARP_K"):
+        ecc_ops._ecc_warp_k()
+    monkeypatch.setenv("LIBSTACKER_ECC_WARP_K", "7")
+    assert ecc_ops._ecc_warp_k() == 7
+
+
+def test_template_smaller_than_input_uses_xla(monkeypatch):
+    """A template smaller than the input image (supported by
+    cv2.findTransformECC and the XLA branch) must dispatch to the exact
+    XLA path instead of asserting inside the fused-kernel branch
+    (r2 ADVICE, medium)."""
+    rng = np.random.default_rng(42)  # local: keep the shared session
+    # rng stream unshifted for later tests (their draws are order-dependent)
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    hs, ws = 256, 640
+    ht, wt = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((hs, ws)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    # template: an interior crop at a small offset (ECC is a local
+    # optimiser — the offset must sit in the convergence basin)
+    x0, y0 = 3, 2
+    tmpl = base[y0 : y0 + ht, x0 : x0 + wt].copy()
+    res = ecc_ops.find_transform_ecc_batched(
+        jnp.asarray(tmpl)[None], jnp.asarray(base),
+        MotionType.Translation, num_iters=60, eps=1e-5, gauss_filt_size=5,
+    )
+    assert bool(np.asarray(res.ok)[0])
+    got = np.asarray(res.warp_matrix)[0, :2, 2]
+    np.testing.assert_allclose(got, [x0, y0], atol=0.1)
+
+
+def test_per_lane_ladder_escalation(monkeypatch):
+    """One out-of-band lane escalates ALONE: the k=7 re-solve is
+    warm-started from the lane's frozen warp while already-converged
+    lanes enter it inactive (r2 VERDICT item 6 / ADVICE).  White-box:
+    spy on the slab dispatch and inspect the carry handed to the first
+    k=7 slab."""
+    rng = np.random.default_rng(43)  # local: see note above
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    h, w = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 2.0
+    ).astype(np.uint8)
+    # lane 0: pure shift; lane 1: 3.5 deg rotation — the in-tile
+    # residual spread about the tile centre is ~theta * half_tile_diag
+    # = 0.061 * 90.5 = 5.5 px: inside k=7's band (7.5) but outside
+    # k=3's (3.5)
+    m_shift = np.array([[1, 0, 2.0], [0, 1, -1.0], [0, 0, 1]], np.float32)
+    m_rot = np.vstack(
+        [cv2.getRotationMatrix2D((w, h), 3.5, 1.0), [0, 0, 1]]
+    ).astype(np.float32)
+    tmpls, inits = [], []
+    for m in (m_shift, m_rot):
+        cur = cv2.warpPerspective(
+            base.astype(np.float32), m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        tmpls.append(cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w])
+        # crop-coordinate version of the warp for the warm init
+        off = np.array([[1, 0, w // 2], [0, 1, h // 2], [0, 0, 1]], np.float32)
+        mc = np.linalg.inv(off) @ m @ off
+        inits.append((mc / mc[2, 2])[:2].astype(np.float32))
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w].astype(np.float32)
+    # lane 0 starts at identity; lane 1 starts AT the rotation (out of
+    # k=3's residual band -> flagged by the in-loop domain check on its
+    # first iteration and frozen there)
+    warp_init = np.stack([np.eye(2, 3, dtype=np.float32), inits[1]])
+
+    calls = []
+    orig = ecc_ops._ecc_slab_jit
+
+    def spy(templates_f, image_f, gx, gy, carry, motion_type, num_iters,
+            eps, slab_iters, use_pallas=False, warp_k=7):
+        calls.append(
+            (use_pallas, warp_k,
+             np.asarray(carry[0]), np.asarray(carry[1]),
+             np.asarray(carry[2]), np.asarray(carry[3]),
+             np.asarray(carry[4]), np.asarray(carry[5]))
+        )
+        return orig(templates_f, image_f, gx, gy, carry, motion_type,
+                    num_iters, eps, slab_iters, use_pallas=use_pallas,
+                    warp_k=warp_k)
+
+    monkeypatch.setattr(ecc_ops, "_ecc_slab_jit", spy)
+    res = ecc_ops.find_transform_ecc_batched(
+        jnp.asarray(np.stack(tmpls), jnp.float32), jnp.asarray(ref),
+        MotionType.Affine, num_iters=80, eps=1e-4, gauss_filt_size=5,
+        warp_init=jnp.asarray(warp_init),
+    )
+    ok = np.asarray(res.ok)
+    assert ok.all(), f"escalation failed: ok={ok} rho={np.asarray(res.rho)}"
+    wm = np.asarray(res.warp_matrix)
+    np.testing.assert_allclose(wm[0, :2, 2], [2.0, -1.0], atol=0.1)
+    np.testing.assert_allclose(wm[1], inits[1], atol=0.05)
+
+    k7_calls = [c for c in calls if c[0] and c[1] == 7]
+    assert k7_calls, "no escalated k=7 slab was dispatched"
+    _, _, m0, rho0, last_rho0, it0, ok0, esc0 = k7_calls[0]
+    # lane 1 was reactivated: fresh budget, warm-started from its frozen
+    # (rotation) warp, escalate flag cleared
+    assert it0[1] == 0 and rho0[1] == -1.0 and ok0[1] and not esc0[1]
+    np.testing.assert_allclose(m0[1], inits[1], atol=1e-5)
+    # lane 0 enters the k=7 solve already converged (inactive): its
+    # iteration count is untouched and its termination test holds
+    assert it0[0] > 0
+    assert abs(rho0[0] - last_rho0[0]) < 1e-4
