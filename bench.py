@@ -221,6 +221,45 @@ def main():
         log("on-device kernel parity check...")
         parity = parity_check(H, W)
 
+    sharded_ok = None
+    if os.environ.get("BENCH_SHARDED"):
+        # exercise the multi-chip code path (shard_map + in-graph ladder
+        # solve + Pallas stacking warp) on the real chip: a 1-device
+        # mesh runs the identical sharded program the v5e-8 would
+        log("sharded-path smoke (1-device mesh, 8 frames)...")
+        from libstacker_tpu.ops import color
+        from libstacker_tpu.parallel import mesh as pmesh
+
+        n_s = 8
+        sub = jnp.asarray(frames[:n_s])
+        ref_grey = color.rgb_to_gray_u8(sub[0]).astype(jnp.float32)
+        m1 = pmesh.make_mesh(jax.devices()[:1], data=1, spatial=1)
+        t0 = time.perf_counter()
+        with m1:
+            stacked_sum, oks = pmesh.ecc_stack_step(
+                sub, ref_grey, m1, motion_type=MotionType.Homography,
+                num_iters=NUM_ITERS, eps=EPS, gauss_filt_size=GAUSS,
+            )
+        sh = np.asarray(stacked_sum[:2, :2, 0])
+        dt = time.perf_counter() - t0
+        ok_np = np.asarray(oks)
+        # dense reference for the same frames through the host driver
+        grey8 = prep(sub)
+        res = ecc_ops.find_transform_ecc_batched(
+            grey8[1:], grey8[0], motion_type=MotionType.Homography,
+            num_iters=NUM_ITERS, eps=EPS, gauss_filt_size=GAUSS,
+        )
+        acc = warp_accum(
+            sub[1:], res.warp_matrix, res.ok,
+            color.u8_to_f32(sub[0]).astype(jnp.float32), warp_k=7,
+        )
+        dense = np.asarray(acc[:2, :2, 0])
+        rel = float(np.max(np.abs(sh - dense) / (np.abs(dense) + 1e-6)))
+        sharded_ok = bool(ok_np.all()) and rel < 1e-3
+        log(f"sharded smoke: ok={ok_np.all()} rel={rel:.2e} "
+            f"({dt:.1f}s incl compile) -> "
+            f"{'OK' if sharded_ok else 'MISMATCH'}")
+
     log("warmup/compile...")
     t0 = time.perf_counter()
     run_once(frames_j)
@@ -259,6 +298,8 @@ def main():
     }
     if parity is not None:
         out["kernel_parity_ok"] = parity["ok"]
+    if sharded_ok is not None:
+        out["sharded_smoke_ok"] = sharded_ok
     print(json.dumps(out))
 
 

@@ -117,7 +117,33 @@ def run_tpu(frames):
     t0 = time.perf_counter()
     _, kept = once()
     dt = time.perf_counter() - t0
-    return frames.shape[0] / dt, kept
+
+    # attributable per-stage split (separate pass — the stage syncs
+    # would perturb the headline)
+    stage = {}
+    t0s = time.perf_counter()
+    feats = kp.detect_features_chunked(fj)
+    jax.block_until_ready(feats.xy)
+    _ = float(feats.xy[0, 0, 0])
+    stage["detect_s"] = round(time.perf_counter() - t0s, 3)
+    t0s = time.perf_counter()
+    hs, oks, mc, ic = kp._match_and_estimate(
+        feats, key, method=8, ransac_reproj_threshold=5.0,
+        match_keep_ratio=0.8, match_ratio=0.9,
+    )
+    hs_np = np.asarray(jax.device_get(hs), np.float64)
+    stage["match_ransac_s"] = round(time.perf_counter() - t0s, 3)
+    t0s = time.perf_counter()
+    warp_k = warp_batch.pallas_pick_k(hs_np, h, w)
+    acc = kp._warp_and_accumulate(
+        fj, hs, oks, border_mode=0, border_value=(0.0,) * 4,
+        allow_pallas=warp_k is not None, pallas_k=warp_k or 7,
+    )
+    _ = float(acc[0, 0, 0])
+    stage["warp_stack_s"] = round(time.perf_counter() - t0s, 3)
+    stage["warp_k"] = warp_k
+    print(f"stages: {stage}", file=sys.stderr)
+    return frames.shape[0] / dt, kept, stage
 
 
 def main():
@@ -128,23 +154,23 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     frames = make_textured_burst(args.frames, args.h, args.w)
+    stage = None
     if args.cpu:
         fps, kept = run_cpu(frames)
         impl = "opencv_cpu"
     else:
-        fps, kept = run_tpu(frames)
+        fps, kept, stage = run_tpu(frames)
         impl = "libstacker_tpu"
-    print(
-        json.dumps(
-            {
-                "metric": f"keypoint_{args.frames}f_{args.h}x{args.w}_align_stack",
-                "impl": impl,
-                "value": round(fps, 3),
-                "unit": "frames/sec",
-                "frames_kept": int(kept),
-            }
-        )
-    )
+    out = {
+        "metric": f"keypoint_{args.frames}f_{args.h}x{args.w}_align_stack",
+        "impl": impl,
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "frames_kept": int(kept),
+    }
+    if stage is not None:
+        out["stages"] = stage
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

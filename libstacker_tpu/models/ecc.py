@@ -315,9 +315,27 @@ def ecc_match_stream(
     ref_grey = _ecc_grey_jit(ref_j, scale_hw=scale_hw)[0]
     acc = color.u8_to_f32(ref_j[0])
     all_ok = []
-    for frames in io.prefetched_chunks(files, chunk_size, h, w):
-        n_real = frames.shape[0]
-        frames_j = jnp.asarray(io.pad_chunk(frames, chunk_size))
+    # True async H2D double-buffering (SURVEY §7 phase 6): the NEXT
+    # chunk's device_put is issued before this chunk's solve dispatches,
+    # so the upload rides the transfer engine while the solve runs
+    # (decode-ahead already overlaps on a host thread in
+    # io.prefetched_chunks).  Tail pads are the REFERENCE frame, whose
+    # lanes converge in ~2 iterations (see io.pad_chunk).
+    gen = io.prefetched_chunks(files, chunk_size, h, w)
+
+    def put_next():
+        frames = next(gen, None)
+        if frames is None:
+            return None
+        return (
+            jax.device_put(io.pad_chunk(frames, chunk_size, fill=ref[0])),
+            frames.shape[0],
+        )
+
+    cur = put_next()
+    while cur is not None:
+        frames_j, n_real = cur
+        cur = put_next()
         grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
         result = ecc_ops.find_transform_ecc_batched(
             grey,

@@ -75,10 +75,13 @@ def _ecc_warp_k() -> Optional[int]:
     return k
 
 
-# adaptive escalation ladder: k=3 covers burst alignment (~1 deg
-# rotation at 4K tiles); k=7 covers ~2.5 deg; beyond that the exact
-# XLA-gather path takes over
-_K_LADDER = (3, 7)
+# adaptive escalation ladder — the kernels' tap loop is O((2k+4)^2),
+# so each rung is ~2.8x cheaper than the next: k=1 covers near-pure
+# translations (in-tile spread < 1.5 px, i.e. rotations to ~1 deg at
+# 128px tiles — typical handheld bursts), k=3 to ~2 deg, k=7 to
+# ~4.7 deg; beyond that the exact XLA-gather path takes over.
+# Escalation re-solves ONLY the flagged lanes, warm-started.
+_K_LADDER = (1, 3, 7)
 
 # lanes per batched solve: bounds the fused kernel's SMEM accumulator
 # and each device program's size; bigger bursts chunk at the host level

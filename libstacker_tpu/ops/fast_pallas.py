@@ -84,7 +84,10 @@ def _fast_kernel(
         nstep = step + 1
         tj_n = jax.lax.rem(nstep, nx)
         ti_n = jax.lax.rem(nstep // nx, ny)
-        b_n = nstep // (nx * ny)
+        # clamp: the pl.when guard already excludes the overflow case,
+        # but Mosaic's static range analysis bounds the affine index
+        # without it and rejects the slice at b_n == nb
+        b_n = jnp.minimum(nstep // (nx * ny), nb - 1)
         start_dma(b_n, ti_n, tj_n, jax.lax.rem(nstep, 2))
 
     pltpu.make_async_copy(
@@ -125,13 +128,10 @@ def _fast_kernel(
     corner = (tb > t) | (td > t)
     score = jnp.maximum(tb, td) - 1.0
 
-    # interior + ORB edge_threshold band, in GLOBAL image coords
+    # interior mask (FAST's own 3-px border), in GLOBAL image coords
     gy = (ti * _TH - 1) + jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0)
     gx = (tj * _TW - 1) + jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1)
-    lo = max(3, border)
-    keep_region = (
-        (gy >= lo) & (gy < h - lo) & (gx >= lo) & (gx < w - lo)
-    )
+    keep_region = (gy >= 3) & (gy < h - 3) & (gx >= 3) & (gx < w - 3)
     score = jnp.where(corner & keep_region, score, 0.0)
 
     # 3x3 NMS: tile pixels (center of the extended region) must be
@@ -144,7 +144,19 @@ def _fast_kernel(
                 continue
             nb_ = score[1 + dy : 1 + dy + _TH, 1 + dx : 1 + dx + _TW]
             nmax = nb_ if nmax is None else jnp.maximum(nmax, nb_)
-    out_ref[0, :, :] = jnp.where(center > nmax, center, 0.0)
+    out = jnp.where(center > nmax, center, 0.0)
+    if border > 3:
+        # ORB's edge_threshold filter runs AFTER detection + NMS
+        # (OpenCV runByImageBorder) — a border-band neighbour still
+        # suppresses an interior corner
+        cgy = gy[1 : 1 + _TH, 1 : 1 + _TW]
+        cgx = gx[1 : 1 + _TH, 1 : 1 + _TW]
+        in_border = (
+            (cgy >= border) & (cgy < h - border)
+            & (cgx >= border) & (cgx < w - border)
+        )
+        out = jnp.where(in_border, out, 0.0)
+    out_ref[0, :, :] = out
 
 
 @functools.partial(
@@ -239,16 +251,23 @@ def fast_scores(img: jnp.ndarray, threshold: int = 20,
 
 
 def usable(h: int, w: int) -> bool:
-    """Kernel dispatch gate: TPU (or forced) and a window-sized image."""
+    """Kernel dispatch gate — OPT-IN (LIBSTACKER_FAST_PALLAS=1 or the
+    test-mode force/interpret envs).
+
+    Measured on v5e (r3): this one-pass kernel runs a 4K frame in
+    ~9.1 ms vs ~7.2 ms for the XLA formulation in ops/fast.py — the
+    16 circle taps + 8 NMS neighbours are shifted VMEM slices, and each
+    lane-crossing shift costs a vector permute on the VPU, while XLA's
+    shifted operands lower to plain offset HBM reads.  The kernel is
+    kept (exact-parity, tested) as the building block for a future
+    fused detect+top-k pass; the default detection path stays XLA."""
     import os
 
     if os.environ.get("LIBSTACKER_DISABLE_PALLAS"):
         return False
-    ok_size = h >= 16 and w >= 16
-    if os.environ.get("LIBSTACKER_FORCE_PALLAS"):
-        return ok_size
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        return False
-    return backend == "tpu" and ok_size
+    # deliberately NOT keyed on LIBSTACKER_FORCE_PALLAS: that env
+    # drives the warp/ECC/patch kernels in tests that don't set this
+    # kernel's interpret switch
+    return bool(os.environ.get("LIBSTACKER_FAST_PALLAS")) and (
+        h >= 16 and w >= 16
+    )

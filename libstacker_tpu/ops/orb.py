@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
-from . import fast, filters, orb_pallas, resize
+from . import fast, fast_pallas, filters, orb_pallas, resize
 
 try:
     from ._orb_pattern import ORB_PATTERN
@@ -96,18 +96,42 @@ def _ic_angle_weights(half_patch: int = 15):
     return wu, wv
 
 
-def _ic_angles_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+def _ic_angles_from_patches(
+    patches: jnp.ndarray, center: int = orb_pallas.PATCH_RADIUS
+) -> jnp.ndarray:
     """Intensity-centroid orientation (degrees in [0,360)) from
-    [K, 37, 37] keypoint patches (ops/orb_pallas layout; the radius-15
-    circular weights sit in the central 31x31)."""
+    [K, side, side] keypoint patches (ops/orb_pallas layout; the
+    radius-15 circular weights sit in the central 31x31 around
+    ``center``)."""
     wu, wv = _ic_angle_weights()
     wu, wv = jnp.asarray(wu), jnp.asarray(wv)
-    c = orb_pallas.PATCH_RADIUS
+    c = center
     sub = patches[:, c - 15 : c + 16, c - 15 : c + 16]
     m10 = jnp.sum(sub * wu, axis=(1, 2))
     m01 = jnp.sum(sub * wv, axis=(1, 2))
     ang = jnp.degrees(jnp.arctan2(m01, m10))
     return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def _blur_patches_valid(patches: jnp.ndarray) -> jnp.ndarray:
+    """GaussianBlur(7x7, sigma 2) of [K, 43, 43] raw patches, VALID
+    mode -> [K, 37, 37]: identical to blurring the whole level image
+    and extracting 37x37 (rBRIEF's blur, orb.cpp GaussianBlur before
+    computeOrbDescriptors), because ORB's edge_threshold 31 keeps the
+    blur support of every tap inside the image — so the border rule
+    never engages.  Blurring a few hundred 43x43 patches replaces a
+    full-image blur per pyramid level."""
+    kern = filters.gaussian_kernel(7, 2.0)
+    side = orb_pallas.PATCH_SIDE
+    rows = None
+    for i, kw in enumerate(kern):
+        term = kw * patches[:, i : i + side, :]
+        rows = term if rows is None else rows + term
+    out = None
+    for i, kw in enumerate(kern):
+        term = kw * rows[:, :, i : i + side]
+        out = term if out is None else out + term
+    return out
 
 
 def _rbrief_from_patches(patches: jnp.ndarray, angles_deg) -> jnp.ndarray:
@@ -176,35 +200,45 @@ def orb_detect_and_compute(
         quota = quotas[level]
         if quota == 0 or lh <= 2 * edge_threshold or lw <= 2 * edge_threshold:
             continue
-        mask, score = fast.fast_detect(level_img, fast_threshold)
-        ys_g = jnp.arange(lh)[:, None]
-        xs_g = jnp.arange(lw)[None, :]
-        border_ok = (
-            (xs_g >= edge_threshold)
-            & (xs_g < lw - edge_threshold)
-            & (ys_g >= edge_threshold)
-            & (ys_g < lh - edge_threshold)
-        )
-        mask = mask & border_ok
+        if fast_pallas.usable(lh, lw):
+            # one-pass fused FAST-9/16 + cornerScore + NMS +
+            # edge_threshold band (ops/fast_pallas)
+            score = fast_pallas.fast_scores(
+                level_img, fast_threshold, edge_threshold
+            )
+            mask = score > 0.0
+        else:
+            mask, score = fast.fast_detect(level_img, fast_threshold)
+            ys_g = jnp.arange(lh)[:, None]
+            xs_g = jnp.arange(lw)[None, :]
+            border_ok = (
+                (xs_g >= edge_threshold)
+                & (xs_g < lw - edge_threshold)
+                & (ys_g >= edge_threshold)
+                & (ys_g < lh - edge_threshold)
+            )
+            mask = mask & border_ok
         cand = fast.top_k_keypoints(mask, score, min(2 * quota, lh * lw))
-        # one window-DMA per candidate (ops/orb_pallas); every later
+        # ONE window-DMA per candidate (ops/orb_pallas) at the blur
+        # radius: the raw 43x43 patch carries Harris, the IC angle AND
+        # the Gaussian support of every rBRIEF tap, so the per-level
+        # full-image blur + second extraction disappear; every later
         # stage is static-slice / one-hot math over the patches
         cand_patches = orb_pallas.extract_patches(
-            level_img.astype(jnp.float32), cand.ys, cand.xs
+            level_img.astype(jnp.float32), cand.ys, cand.xs,
+            radius=orb_pallas.BLUR_RADIUS,
         )
-        pr = orb_pallas.PATCH_RADIUS
-        hsub = cand_patches[:, pr - 4 : pr + 5, pr - 4 : pr + 5]
+        br = orb_pallas.BLUR_RADIUS
+        hsub = cand_patches[:, br - 4 : br + 5, br - 4 : br + 5]
         harris = fast.harris_from_patches(hsub)
         harris = jnp.where(cand.valid, harris, -jnp.inf)
         hval, hidx = jax.lax.top_k(harris, quota)
         kys = cand.ys[hidx]
         kxs = cand.xs[hidx]
         kvalid = jnp.isfinite(hval) & cand.valid[hidx]
-        angles = _ic_angles_from_patches(cand_patches[hidx])
-        blur = filters.gaussian_blur(
-            level_img.astype(jnp.float32), 7, 2.0, border="reflect101"
-        )
-        blur_patches = orb_pallas.extract_patches(blur, kys, kxs)
+        kept_patches = cand_patches[hidx]
+        angles = _ic_angles_from_patches(kept_patches, center=br)
+        blur_patches = _blur_patches_valid(kept_patches)
         desc = _rbrief_from_patches(blur_patches, angles)
         xy = jnp.stack(
             [kxs.astype(jnp.float32) * scale, kys.astype(jnp.float32) * scale],

@@ -64,11 +64,11 @@ def _warp_interpret() -> bool:
     return bool(os.environ.get("LIBSTACKER_WARP_INTERPRET"))
 
 
-def pallas_pick_k(mats, h: int, w: int, ks=(3, 7)):
+def pallas_pick_k(mats, h: int, w: int, ks=(1, 3, 7)):
     """Smallest residual band k (from ``ks``) whose kernel domain covers
     EVERY forward matrix, or ``None`` when none does (fall back to the
-    XLA-gather path).  The kernel's tap loop is O((2k+4)^2), so a small
-    band is ~3x cheaper — burst alignment fits k=3."""
+    XLA-gather path).  The kernel's tap loop is O((2k+4)^2), so each
+    band step is ~2.8x cheaper — near-translation bursts fit k=1."""
     for k in ks:
         if pallas_domain_ok_host(mats, h, w, k=k):
             return k

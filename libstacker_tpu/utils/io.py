@@ -113,15 +113,23 @@ def rgb_to_gray_u8_host(rgb: np.ndarray) -> np.ndarray:
     return ((9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15).astype(np.uint8)
 
 
-def pad_chunk(frames: np.ndarray, chunk_size: int) -> np.ndarray:
-    """Pad a final partial chunk to ``chunk_size`` lanes by repeating the
-    last frame — every chunk then has one static shape, so the jitted
-    grey/solve/warp programs compile exactly once per burst geometry
-    instead of recompiling (multi-minute on TPU) for the odd tail."""
+def pad_chunk(
+    frames: np.ndarray, chunk_size: int, fill: np.ndarray | None = None
+) -> np.ndarray:
+    """Pad a final partial chunk to ``chunk_size`` lanes — every chunk
+    then has one static shape, so the jitted grey/solve/warp programs
+    compile exactly once per burst geometry instead of recompiling
+    (multi-minute on TPU) for the odd tail.
+
+    ``fill`` (default: repeat the last frame) chooses the pad content;
+    the ECC stream passes the REFERENCE frame so pad lanes solve the
+    identity alignment and converge in ~2 iterations instead of
+    re-solving the last real frame's warp."""
     n = frames.shape[0]
     if n == chunk_size:
         return frames
-    reps = np.repeat(frames[-1:], chunk_size - n, axis=0)
+    src = frames[-1:] if fill is None else np.asarray(fill)[None]
+    reps = np.repeat(src, chunk_size - n, axis=0)
     return np.concatenate([frames, reps], axis=0)
 
 

@@ -93,3 +93,110 @@ def test_warp_rows_sharded_matches_dense(rng):
     # f32 matrix-composition rounding can flip rare 1/32-bin taps
     assert (diff > 1e-4).mean() < 1e-3, (diff > 1e-4).mean()
     assert diff.max() < 3.0
+
+
+def test_spatial_end_to_end_matches_dense():
+    """ecc_stack_step_spatial (rows sharded on 'spatial' for the WHOLE
+    pipeline: grey, down-scale, solve, halo-exchange warp, stack)
+    matches the dense single-device scale-down pipeline AND the
+    known-shift ground truth (r2 VERDICT item 8).  Translation motion:
+    the small solve grid leaves homography's 8 dof under-constrained on
+    synthetic noise (BOTH paths drift identically on such data — not a
+    sharding property)."""
+    from libstacker_tpu.models.ecc import ecc_match_arrays
+    from libstacker_tpu.params import EccMatchParameters
+
+    rng = np.random.default_rng(48)  # local: keep shared stream stable
+    h, w = 128, 96
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.uint8), (0, 0), 1.2
+    )
+    frames, shifts = [], []
+    for i in range(5):
+        if i == 0:
+            cur = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+            shifts.append((0.0, 0.0))
+        else:
+            dx, dy = rng.uniform(-2, 2, 2)
+            shifts.append((dx, dy))
+            mm = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+            cur = cv2.warpAffine(
+                base, mm, (w * 2, h * 2),
+                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            )[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.stack([cur] * 3, -1))
+    frames = np.stack(frames)
+    acc = frames[0].astype(np.float32) / 255.0
+    for i in range(1, 5):
+        mm = np.array(
+            [[1, 0, shifts[i][0]], [0, 1, shifts[i][1]]], np.float32
+        )
+        acc += cv2.warpAffine(
+            frames[i].astype(np.float32) / 255.0, mm, (w, h)
+        )
+    truth = acc / 5.0
+
+    params = EccMatchParameters(
+        MotionType.Translation, max_count=50, epsilon=1e-5,
+        gauss_filt_size=5,
+    )
+    scale_w = 64.0
+    dense = ecc_match_arrays(frames, params, scale_down_width=scale_w)
+
+    from libstacker_tpu.ops import resize as resize_ops
+
+    scale_hw = resize_ops.scale_image_size(h, w, scale_w)
+    m = pmesh.make_mesh(data=4, spatial=2)
+    cur_j = jax.device_put(
+        jnp.asarray(frames[1:]),
+        jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec("data", "spatial")
+        ),
+    )
+    ref_j = jax.device_put(
+        jnp.asarray(frames[0]),
+        jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec("spatial")),
+    )
+    with m:
+        stacked_sum, ok = pmesh.ecc_stack_step_spatial(
+            cur_j, ref_j, m, scale_hw,
+            motion_type=MotionType.Translation, num_iters=50, eps=1e-5,
+            gauss_filt_size=5, halo=32,
+        )
+    ok = np.asarray(ok)
+    assert ok.all()
+    got = np.asarray(stacked_sum) / (1 + ok.sum())
+    mgn = 4
+    d = np.abs(got - dense)[mgn:-mgn, mgn:-mgn]
+    assert d.max() < 1e-5, d.max()
+    dt = np.abs(got - truth)[mgn:-mgn, mgn:-mgn]
+    assert np.quantile(dt, 0.99) < 0.005, np.quantile(dt, 0.99)
+
+
+def test_sharded_flops_scale_with_data_axis(burst):
+    """Compile-level scaling proof on the virtual mesh (wall-clock can't
+    scale on one physical core): the 8-frame sharded program's
+    per-device FLOPs must be <= ~1/3 of the 1-device program's (perfect
+    would be 1/4 on data=4; collectives and the replicated small solve
+    add overhead)."""
+    ref_grey = color.rgb_to_gray_u8(jnp.asarray(burst[0])).astype(jnp.float32)
+
+    def cost(mesh):
+        frames_j = pmesh.shard_frames(jnp.asarray(burst), mesh)
+
+        def run(f, r):
+            return pmesh.ecc_stack_step(
+                f, r, mesh, motion_type=MotionType.Translation,
+                num_iters=4, eps=1e-3,
+            )
+
+        compiled = jax.jit(run).lower(frames_j, ref_grey).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+
+    f1 = cost(pmesh.make_mesh(jax.devices()[:1], data=1, spatial=1))
+    f4 = cost(pmesh.make_mesh(jax.devices()[:4], data=4, spatial=1))
+    # cost_analysis reports per-device flops for SPMD programs
+    assert f4 <= f1 / 3.0, (f1, f4)

@@ -293,3 +293,28 @@ def test_warp_frames_batch_border_modes_kernel(border, monkeypatch):
     outside = (sx < 0) | (sx > w - 1) | (sy < 0) | (sy > h - 1)
     assert outside.any()
     assert d[0][outside].max() < 1.5
+
+
+def test_warp_kernel_k1_parity(img):
+    """k=1 band (near-pure-translation fast path, 36-tap loop): exact
+    parity with the XLA path for a small shift inside the band."""
+    h, w = img.shape
+    m = np.eye(3, dtype=np.float32)
+    m[0, 2], m[1, 2] = 30.4, -17.6
+    minv = np.linalg.inv(m)
+    want = np.asarray(
+        warp.warp_perspective(
+            jnp.asarray(img), jnp.asarray(m), (h, w), inverse_map=False
+        )
+    )
+    pad_h = ((h + 7) // 8) * 8
+    pad_w = ((w + 127) // 128) * 128
+    im = np.zeros((pad_h, pad_w), np.float32)
+    im[:h, :w] = img
+    got = np.asarray(
+        warp_pallas.warp_bilinear_pallas(
+            jnp.asarray(im)[None], jnp.asarray(minv)[None], k=1,
+            interpret=True, true_hw=(h, w),
+        )[0]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
