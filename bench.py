@@ -171,27 +171,34 @@ def main():
             num_iters=NUM_ITERS, eps=EPS, gauss_filt_size=GAUSS,
         )
 
-    @functools.partial(jax.jit, static_argnames=("warp_k",))
-    def warp_accum(frames_chunk_u8, warps, oks, acc, warp_k=7):
+    @functools.partial(jax.jit, static_argnames=("warp_k", "allow_pallas"))
+    def warp_accum(frames_chunk_u8, warps, oks, acc, warp_k=7,
+                   allow_pallas=True):
         f32 = color.u8_to_f32(frames_chunk_u8)
         warps = jnp.where(
             oks[:, None, None], warps, jnp.eye(3, dtype=warps.dtype)
         )
         warped = warp_frames_batch(f32, warps, perspective=True,
+                                   allow_pallas=allow_pallas,
                                    pallas_k=warp_k)
         valid = oks.astype(jnp.float32)[:, None, None, None]
         return acc + jnp.sum(warped * valid, axis=0)
 
     def warp_stack(frames_j, res, stage=None):
-        # host-side stage-3 dispatch: smallest kernel band covering the
-        # solved warps (k=3's tap loop is ~3x cheaper than k=7's)
-        warp_k = warp_batch.pallas_pick_k(res.warp_matrix, H, W) or 7
+        # host-side stage-3 dispatch like the pipelines: smallest kernel
+        # band covering the KEPT lanes' warps (failed lanes hold frozen
+        # or non-finite matrices and are identity-masked in warp_accum);
+        # None -> exact XLA fallback
+        ok_np = np.asarray(res.ok)
+        kept = np.asarray(res.warp_matrix)[ok_np]
+        warp_k = warp_batch.pallas_pick_k(kept, H, W)
         acc = color.u8_to_f32(frames_j[0]).astype(jnp.float32)
         for s in range(1, N_FRAMES, CHUNK):
             e = min(s + CHUNK, N_FRAMES)
             acc = warp_accum(
                 frames_j[s:e], res.warp_matrix[s - 1 : e - 1],
-                res.ok[s - 1 : e - 1], acc, warp_k=warp_k,
+                res.ok[s - 1 : e - 1], acc, warp_k=warp_k or 7,
+                allow_pallas=warp_k is not None,
             )
         n_ok = 1 + jnp.sum(res.ok.astype(jnp.int32))
         stacked = acc / n_ok.astype(jnp.float32)

@@ -235,6 +235,12 @@ def _pallas_warp_dispatch(kept_hs, h: int, w: int, border_mode: int):
             apron = warp_batch.pallas_required_apron(kept_hs, h, w, warp_k)
             if apron is None:
                 warp_k, apron = None, 0
+            else:
+                # apron is data-dependent but feeds a jit static arg:
+                # quantise up to a power of two so the compile cache
+                # holds at most ~7 variants instead of one per burst
+                # (recompiles are multi-minute on TPU)
+                apron = max(8, 1 << (apron - 1).bit_length())
     return warp_k, apron
 
 

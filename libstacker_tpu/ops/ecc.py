@@ -182,17 +182,41 @@ def find_transform_ecc(
     )
 
 
-def _prepare_inputs(templates, input_image, gauss_filt_size):
+def _input_fields(input_image, gauss_filt_size):
+    """Input-side fields: Gaussian pre-filter + central-difference
+    gradients (OpenCV ecc.cpp's image preparation)."""
     image_f = filters.gaussian_blur(
         input_image.astype(jnp.float32), gauss_filt_size
     )
     dx = (-0.5, 0.0, 0.5)
     gx = filters.sep_filter2d(image_f, dx, (1.0,), border="reflect101")
     gy = filters.sep_filter2d(image_f, (1.0,), dx, border="reflect101")
+    return image_f, gx, gy
+
+
+def _prepare_inputs(templates, input_image, gauss_filt_size):
+    image_f, gx, gy = _input_fields(input_image, gauss_filt_size)
     templates_f = filters.gaussian_blur(
         templates.astype(jnp.float32), gauss_filt_size
     )
     return templates_f, image_f, gx, gy
+
+
+def _reactivate_carry(carry, eps, lane_mask):
+    """Warm-start the ``lane_mask`` lanes for another solve pass: keep
+    their frozen (best-so-far) warps, reset rho / iteration budget like
+    a fresh solve, leave every other lane untouched (they stay inactive
+    inside the loop)."""
+    m, rho, last_rho, it, ok, esc = carry
+    re = lane_mask
+    return (
+        m,
+        jnp.where(re, jnp.float32(-1.0), rho),
+        jnp.where(re, jnp.float32(-float(eps)), last_rho),
+        jnp.where(re, 0, it),
+        ok | re,
+        esc & ~re,
+    )
 
 
 def find_transform_ecc_batched_graph(
@@ -206,14 +230,14 @@ def find_transform_ecc_batched_graph(
     """In-graph batched ECC (traceable inside jit / shard_map): one warp
     per template frame against a shared input image.  On TPU the solve
     runs through the fused Pallas iteration kernel with an IN-GRAPH
-    k=3 -> k=7 escalation ladder: lanes flagged by the k=3 residual-
-    domain check are warm-started from their frozen warps into a second
-    while_loop at k=7 (which exits immediately — one condition eval —
-    when nothing escalated).  Lanes outside even the k=7 band report
-    ok=False; a final in-graph domain check makes ``ok`` a rigorous
-    guarantee that the returned warp sits inside the k=7 band, so
-    callers (the sharded ``ecc_stack_step``) can feed ok-lanes straight
-    into the Pallas stacking warp.  Prefer
+    escalation ladder over ``_K_LADDER`` bands: lanes flagged by a
+    rung's residual-domain check are warm-started from their frozen
+    warps into the next rung's while_loop (which exits immediately —
+    one condition eval — when nothing escalated).  Lanes outside even
+    the widest band report ok=False; a final in-graph domain check
+    makes ``ok`` a rigorous guarantee that the returned warp sits
+    inside the widest band, so callers (the sharded ``ecc_stack_step``)
+    can feed ok-lanes straight into the Pallas stacking warp.  Prefer
     :func:`find_transform_ecc_batched` at the host level — it slices
     the solve into bounded device programs (the TPU runtime kills
     single long-running programs) and rescues escaped lanes on the
@@ -247,16 +271,7 @@ def find_transform_ecc_batched_graph(
         if ki > 0:
             # warm-start ONLY the domain-escalated lanes at the wider
             # band (converged lanes enter the next loop inactive)
-            m, rho, last_rho, it, ok, esc = carry
-            re = esc & ~ok
-            carry = (
-                m,
-                jnp.where(re, jnp.float32(-1.0), rho),
-                jnp.where(re, jnp.float32(-float(eps)), last_rho),
-                jnp.where(re, 0, it),
-                ok | re,
-                esc & ~re,
-            )
+            carry = _reactivate_carry(carry, eps, carry[5] & ~carry[4])
         carry = _ecc_loop_batched(
             templates_f, image_f, gx, gy, carry, motion_type, num_iters,
             eps, None, True, k,
@@ -531,13 +546,7 @@ def _ecc_loop_batched(
 def _ecc_prepare_input_jit(input_image, gauss_filt_size):
     """Input-side fields (blur + gradients) — shared by every lane
     group, computed once per burst."""
-    image_f = filters.gaussian_blur(
-        input_image.astype(jnp.float32), gauss_filt_size
-    )
-    dx = (-0.5, 0.0, 0.5)
-    gx = filters.sep_filter2d(image_f, dx, (1.0,), border="reflect101")
-    gy = filters.sep_filter2d(image_f, (1.0,), dx, border="reflect101")
-    return image_f, gx, gy
+    return _input_fields(input_image, gauss_filt_size)
 
 
 @functools.partial(
@@ -733,29 +742,17 @@ def find_transform_ecc_batched(
             pend = nxt
             disp = min(disp * 2, 8)
 
-    def reactivate(carry):
-        """Warm-start ONLY the domain-escalatable failed lanes: keep
-        their frozen (best in-band) warps, reset rho/iteration budget
-        like a fresh solve at the wider band, leave every other lane
-        untouched (they stay inactive inside the loop)."""
-        m, rho, last_rho, it, ok, esc = carry
-        re = esc & ~ok
-        return (
-            m,
-            jnp.where(re, jnp.float32(-1.0), rho),
-            jnp.where(re, jnp.float32(-eps), last_rho),
-            jnp.where(re, 0, it),
-            ok | re,
-            esc & ~re,
-        )
-
     # Adaptive kernel band: the fused kernel's tap loop is O((2k+4)^2),
     # so try the small band first and escalate — a lane flagged by the
-    # in-loop residual-domain check re-runs at the wider band, then on
-    # the exact XLA-gather path, warm-started from its frozen warp and
-    # alone (converged lanes stay masked out).  Genuine ECC failures
-    # (NaN rho / lambda_d <= 0) fail identically in OpenCV and are never
-    # escalated.  Escalation is rare: burst motion stays inside k=3.
+    # in-loop residual-domain check re-runs at the wider band,
+    # warm-started from its frozen warp and alone (converged lanes stay
+    # masked out).  After the ladder, ANY remaining failed lane —
+    # domain-escaped or a genuine ECC failure (NaN rho /
+    # lambda_d <= 0) — is re-run once on the exact XLA-gather path:
+    # genuine failures usually fail identically in OpenCV, but the
+    # fused kernel reconstructs its statistics from f32 moment sums
+    # whose cancellation can differ from the exact path's, so the final
+    # verdict belongs to the reference formulation.
     use_pallas = _pallas_ok(h, w) and tuple(input_image.shape) == (h, w)
     all_idx = list(range(len(groups)))
     if not use_pallas:
@@ -764,15 +761,13 @@ def find_transform_ecc_batched(
         env_k = _ecc_warp_k()
         ladder = (env_k,) if env_k is not None else _K_LADDER
         remaining = all_idx
-        for k in ladder:
+        for ki, k in enumerate(ladder):
             drive(remaining, True, k)
             maybe = [gi for gi in remaining if not groups[gi].all_ok]
-            if not maybe:
-                remaining = []
+            if not maybe or ki + 1 == len(ladder):
                 break
-            # one small transfer: which of the failed groups have
-            # domain-escalatable lanes (vs genuine ECC failures, which
-            # OpenCV fails too and we never escalate)
+            # only domain-escaped lanes climb the ladder (genuine
+            # failures wait for the final XLA sweep below)
             esc_any = jax.device_get(
                 jnp.stack(
                     [jnp.any(groups[gi].carry[5] & ~groups[gi].carry[4])
@@ -782,12 +777,20 @@ def find_transform_ecc_batched(
             remaining = []
             for gi, ea in zip(maybe, esc_any):
                 if bool(ea):
-                    groups[gi].carry = reactivate(groups[gi].carry)
+                    groups[gi].carry = _reactivate_carry(
+                        groups[gi].carry, eps,
+                        groups[gi].carry[5] & ~groups[gi].carry[4],
+                    )
                     remaining.append(gi)
             if not remaining:
                 break
-        if remaining:
-            drive(remaining, False)
+        rescue = [gi for gi in all_idx if not groups[gi].all_ok]
+        if rescue:
+            for gi in rescue:
+                groups[gi].carry = _reactivate_carry(
+                    groups[gi].carry, eps, ~groups[gi].carry[4]
+                )
+            drive(rescue, False)
 
     return EccResult(
         rho=jnp.concatenate([g.res.rho for g in groups]),

@@ -185,6 +185,13 @@ def orb_detect_and_compute(
     ``vmap`` over a burst for the batched path."""
     h, w = img.shape
     quotas = _features_per_level(nfeatures, nlevels, scale_factor)
+    # The patch-space rBRIEF blur needs BLUR_RADIUS + 3 = 24 px of
+    # interior around every keypoint to be exactly the image-space blur
+    # (see _blur_patches_valid); clamp the detection border so smaller
+    # user values cannot silently produce off-centre clamped patches.
+    # (Documented deviation: OpenCV would detect keypoints closer to
+    # the border and sample its padded blur there.)
+    edge_threshold = max(edge_threshold, orb_pallas.BLUR_RADIUS + 3)
 
     level_img = img
     feats = []

@@ -234,6 +234,28 @@ def find_homography(
         errs = jnp.where(jnp.isfinite(errs), errs, _BIG)
         return h_px, errs, ok_samp
 
+    if method == 0:
+        # OpenCV method=0: one least-squares DLT over ALL points (no
+        # robust loop) + LM refinement.  Reachable API surface: the
+        # reference's `method` field is a raw i32 handed straight to
+        # findHomography (src/lib.rs:267-276).
+        wts = valid.astype(jnp.float32)
+        h_ls = _dlt_least_squares(src_n, dst_n, wts)
+        h_px = t_dst_inv @ h_ls @ t_src
+        h_px = h_px / jnp.where(
+            jnp.abs(h_px[2, 2]) < 1e-12, 1e-12, h_px[2, 2]
+        )
+        h_ref = _gauss_newton_refine(
+            h_px, src_pts, dst_pts, wts, refine_iters
+        )
+        h_ref = h_ref / jnp.where(
+            jnp.abs(h_ref[2, 2]) < 1e-12, 1e-12, h_ref[2, 2]
+        )
+        ok = (count >= 4) & jnp.all(jnp.isfinite(h_ref))
+        return HomographyResult(
+            h=h_ref, inliers=valid, num_inliers=count, ok=ok
+        )
+
     if method == constants.LMEDS:
         # OpenCV's LMEDS registrator runs a fixed iteration budget; keep
         # the one-shot batched form (median scoring needs all errors).

@@ -122,11 +122,11 @@ def ecc_stack_step(
     ``reference_grey``: [H,W] float32 (frame 0's grey, replicated).
 
     Per shard: grey-convert local frames, batched-ECC them against the
-    replicated reference (the in-graph k=3/k=7 ladder solve), warp via
+    replicated reference (the in-graph band-ladder solve), warp via
     the SAME fast-kernel dispatch the single-chip pipelines use
     (``warp_frames_batch`` — the Pallas tiled kernel on TPU; the
     graph solve's final domain check guarantees every ok-lane's warp
-    sits inside the kernel's k=7 band in both directions), partial-sum;
+    sits inside the kernel's widest band in both directions), partial-sum;
     then ``psum`` over 'data' replaces the reference's try_reduce
     (src/lib.rs:819-833).
     Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool).
@@ -251,6 +251,25 @@ def ecc_stack_step_spatial(
         out = jnp.clip(jnp.floor(out + 0.5), 0, 255)
         return out  # f32 holding u8-rounded values (dense path parity)
 
+    def vertical_disp_ok(minv_b):
+        """Per-lane check of the halo correctness domain: the source
+        row of EVERY output pixel must stay within ``halo - 2`` rows of
+        its own position (bilinear support + centre slack).  Sampled on
+        a 5x5 grid plus an 8-row margin for in-between variation (the
+        graph solve's final domain check already bounds the in-tile
+        spread to ~k+1 rows)."""
+        ys = jnp.linspace(0.0, h - 1.0, 5)
+        xs = jnp.linspace(0.0, w - 1.0, 5)
+        py = jnp.repeat(ys, 5)[None, :]
+        px = jnp.tile(xs, 5)[None, :]
+        den = (minv_b[:, 2, 0, None] * px + minv_b[:, 2, 1, None] * py
+               + minv_b[:, 2, 2, None])
+        inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
+        sy = (minv_b[:, 1, 0, None] * px + minv_b[:, 1, 1, None] * py
+              + minv_b[:, 1, 2, None]) * inv
+        dy = jnp.max(jnp.abs(sy - py), axis=1)
+        return dy + 8.0 <= halo - 2.0
+
     def local_step(frames_local, ref_local):
         # frames_local: [n_loc, h_loc, W, 3]; ref_local: [h_loc, W, 3]
         idx = jax.lax.axis_index("spatial")
@@ -258,14 +277,21 @@ def ecc_stack_step_spatial(
         grey_ref = color.rgb_to_gray_u8(ref_local)
         small_cur = small_grey(grey_cur)
         small_ref = small_grey(grey_ref)
-        res = ecc_ops.find_transform_ecc_batched_graph(
-            small_cur, small_ref,
-            motion_type=motion_type, num_iters=num_iters, eps=eps,
-            gauss_filt_size=gauss_filt_size,
-        )
+        n_loc = small_cur.shape[0]
+        from ..ops.ecc import _MAX_SOLVE_LANES
+
+        parts = [
+            ecc_ops.find_transform_ecc_batched_graph(
+                small_cur[s0 : s0 + _MAX_SOLVE_LANES], small_ref,
+                motion_type=motion_type, num_iters=num_iters, eps=eps,
+                gauss_filt_size=gauss_filt_size,
+            )
+            for s0 in range(0, n_loc, _MAX_SOLVE_LANES)
+        ]
+        warps = jnp.concatenate([p.warp_matrix for p in parts])
+        res_ok = jnp.concatenate([p.ok for p in parts])
         # upscale the warps estimated on the small grid
         # (ref src/lib.rs:941-958)
-        warps = res.warp_matrix
         warps = warps.at[:, 0, 2].mul(sx_up).at[:, 1, 2].mul(sy_up)
         if perspective:
             warps = warps.at[:, 2, 0].divide(sx_up)
@@ -275,8 +301,13 @@ def ecc_stack_step_spatial(
             else jax.vmap(warp.affine_to_3x3)(warps)
         )
         eye = jnp.eye(3, dtype=m3.dtype)
-        m3 = jnp.where(res.ok[:, None, None], m3, eye)
+        m3 = jnp.where(res_ok[:, None, None], m3, eye)
         minv = jnp.linalg.inv(m3)
+        # a converged warp whose vertical motion exceeds the halo would
+        # silently sample zeros from the strip border: drop it instead
+        # (reported in ok like any other per-frame failure)
+        res_ok = res_ok & vertical_disp_ok(minv)
+        minv = jnp.where(res_ok[:, None, None], minv, eye)
 
         # full-res rows-sharded warp: one batched halo exchange, then
         # per-frame resampling of the local row band from the extended
@@ -310,10 +341,10 @@ def ecc_stack_step_spatial(
             )
 
         warped = jax.vmap(warp_one)(ext, minv)
-        valid = res.ok.astype(jnp.float32)[:, None, None, None]
+        valid = res_ok.astype(jnp.float32)[:, None, None, None]
         partial = jnp.sum(warped * valid, axis=0)
         total = jax.lax.psum(partial, "data") + color.u8_to_f32(ref_local)
-        ok = jax.lax.all_gather(res.ok, "data", tiled=True)
+        ok = jax.lax.all_gather(res_ok, "data", tiled=True)
         return total, ok
 
     fn = shard_map(

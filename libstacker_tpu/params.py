@@ -51,7 +51,9 @@ class KeyPointMatchParameters:
     Defaults match the reference's ``Default`` impl (src/utils.rs:250-261).
     """
 
-    #: Homography method: constants.RANSAC or constants.LMEDS.
+    #: Homography method: constants.RANSAC, constants.LMEDS, or 0
+    #: (plain least squares over all matches — the reference's field is
+    #: a raw i32 handed to findHomography, src/lib.rs:267-276).
     method: int = constants.RANSAC
     #: RANSAC reprojection threshold for find_homography.
     ransac_reproj_threshold: float = 3.0
@@ -70,10 +72,11 @@ class KeyPointMatchParameters:
     confidence: float = 0.995
 
     def validate(self) -> None:
-        if self.method not in (constants.RANSAC, constants.LMEDS):
+        if self.method not in (0, constants.RANSAC, constants.LMEDS):
             raise InvalidParamsError(
-                f"method must be RANSAC ({constants.RANSAC}) or "
-                f"LMEDS ({constants.LMEDS}), got {self.method}"
+                f"method must be RANSAC ({constants.RANSAC}), "
+                f"LMEDS ({constants.LMEDS}) or 0 (least squares), "
+                f"got {self.method}"
             )
         if not (0.0 < self.match_ratio):
             raise InvalidParamsError(f"match_ratio must be > 0, got {self.match_ratio}")

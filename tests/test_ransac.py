@@ -147,3 +147,43 @@ def test_homography_too_few_points(rng):
         jax.random.PRNGKey(2),
     )
     assert not bool(res.ok)
+
+
+def test_find_homography_method0_least_squares():
+    """method=0: one least-squares fit over ALL points (no robust
+    loop) — reachable in the reference because `method` is a raw i32
+    handed to findHomography (src/lib.rs:267-276).  Compare against
+    cv2.findHomography(..., 0) on clean correspondences."""
+    import cv2
+
+    rng = np.random.default_rng(49)  # local (conftest rng note)
+    h_true = np.array(
+        [[1.01, 0.02, 4.0], [-0.015, 0.99, -2.5], [1e-5, -2e-5, 1.0]],
+        np.float64,
+    )
+    n = 60
+    src = rng.uniform(0, 500, (n, 2))
+    ones = np.ones((n, 1))
+    p = (np.hstack([src, ones]) @ h_true.T)
+    dst = p[:, :2] / p[:, 2:]
+    dst += rng.normal(0, 0.3, dst.shape)  # small noise, NO outliers
+
+    want, _ = cv2.findHomography(
+        src.reshape(-1, 1, 2).astype(np.float32),
+        dst.reshape(-1, 1, 2).astype(np.float32), 0,
+    )
+    m = 64  # padded capacity
+    srcp = np.zeros((m, 2), np.float32); srcp[:n] = src
+    dstp = np.zeros((m, 2), np.float32); dstp[:n] = dst
+    validp = np.zeros(m, bool); validp[:n] = True
+    res = ransac.find_homography(
+        jnp.asarray(srcp), jnp.asarray(dstp), jnp.asarray(validp),
+        jax.random.PRNGKey(0), method=0,
+    )
+    assert bool(res.ok)
+    got = np.asarray(res.h)
+    np.testing.assert_allclose(got, want / want[2, 2], atol=5e-3)
+    # the model must actually fit: median reprojection error ~ noise
+    p2 = np.hstack([src, ones]) @ got.astype(np.float64).T
+    proj = p2[:, :2] / p2[:, 2:]
+    assert np.median(np.linalg.norm(proj - dst, axis=1)) < 1.0
