@@ -76,9 +76,16 @@ def main():
     ap.add_argument("--max-count", type=int, default=5000)
     ap.add_argument("--epsilon", type=float, default=1e-5)
     ap.add_argument("--gauss-filt-size", type=int, default=5)
+    ap.add_argument("--no-phase-init", action="store_true",
+                    help="disable the phase-correlation ECC warm start "
+                    "(strict OpenCV iteration parity)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
+
+    from libstacker_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from libstacker_tpu import (
         EccMatchParameters,
@@ -137,6 +144,7 @@ def main():
         max_count=args.max_count,
         epsilon=args.epsilon,
         gauss_filt_size=args.gauss_filt_size,
+        phase_init=not args.no_phase_init,
     )
 
     scales = []

@@ -33,7 +33,7 @@ import numpy as np
 from ..errors import InvalidParamsError, NotEnoughFilesError, ProcessingError
 from ..params import EccMatchParameters, MotionType
 from ..ops import color, ecc as ecc_ops, resize, warp
-from ..ops.warp_batch import warp_frames_batch
+from ..ops.warp_batch import warp_accumulate_rgb
 from ..utils import io
 
 
@@ -103,12 +103,10 @@ def _ecc_warp_accumulate_jit(
     eye = jnp.eye(3, dtype=warps.dtype)[: warps.shape[1]]
     warps = jnp.where(oks[:, None, None], warps, eye)
     perspective = motion_type == MotionType.Homography
-    warped = warp_frames_batch(
-        frames_f32[1:], warps, perspective, allow_pallas=allow_pallas,
-        pallas_k=pallas_k,
+    return frames_f32[0] + warp_accumulate_rgb(
+        frames_f32[1:], warps, oks, perspective=perspective,
+        allow_pallas=allow_pallas, pallas_k=pallas_k,
     )
-    valid = oks.astype(jnp.float32)[:, None, None, None]
-    return frames_f32[0] + jnp.sum(warped * valid, axis=0)
 
 
 def _warp_pick_k_host(
@@ -208,6 +206,13 @@ def ecc_match_arrays(
 
     frames_j = jnp.asarray(frames)
     grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
+    warp_init = None
+    if getattr(params, "phase_init", False):
+        from ..ops import phasecorr
+
+        warp_init = phasecorr.phase_init_warps(
+            grey[1:], grey[0], motion_type=params.motion_type
+        )
     result = ecc_ops.find_transform_ecc_batched(
         grey[1:],
         grey[0],
@@ -215,6 +220,7 @@ def ecc_match_arrays(
         num_iters=num_iters,
         eps=eps,
         gauss_filt_size=params.gauss_filt_size,
+        warp_init=warp_init,
     )
     warp_k = _warp_pick_k_host(
         result.warp_matrix, result.ok, params.motion_type, scale_hw, (h, w)
@@ -337,6 +343,13 @@ def ecc_match_stream(
         frames_j, n_real = cur
         cur = put_next()
         grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
+        warp_init = None
+        if getattr(params, "phase_init", False):
+            from ..ops import phasecorr
+
+            warp_init = phasecorr.phase_init_warps(
+                grey, ref_grey, motion_type=params.motion_type
+            )
         result = ecc_ops.find_transform_ecc_batched(
             grey,
             ref_grey,
@@ -344,6 +357,7 @@ def ecc_match_stream(
             num_iters=num_iters,
             eps=eps,
             gauss_filt_size=params.gauss_filt_size,
+            warp_init=warp_init,
         )
         real = jnp.arange(chunk_size) < n_real
         ok_lane = result.ok & real
@@ -356,16 +370,12 @@ def ecc_match_stream(
             warps = _adjust_warp_for_scale(
                 warps, params.motion_type, scale_hw, (h, w)
             )
-        eye = jnp.eye(3, dtype=warps.dtype)[: warps.shape[1]]
-        warps = jnp.where(ok_lane[:, None, None], warps, eye)
-        warped = warp_frames_batch(
-            color.u8_to_f32(frames_j), warps,
-            params.motion_type == MotionType.Homography,
+        acc = acc + warp_accumulate_rgb(
+            color.u8_to_f32(frames_j), warps, ok_lane,
+            perspective=params.motion_type == MotionType.Homography,
             allow_pallas=warp_k is not None,
             pallas_k=warp_k or 7,
         )
-        valid = ok_lane.astype(jnp.float32)[:, None, None, None]
-        acc = acc + jnp.sum(warped * valid, axis=0)
         all_ok.append(np.asarray(result.ok)[:n_real])
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)

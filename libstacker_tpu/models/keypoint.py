@@ -31,7 +31,7 @@ from .. import constants
 from ..errors import InvalidParamsError, NotEnoughFilesError
 from ..params import KeyPointMatchParameters
 from ..ops import color, matcher, orb, ransac, resize, warp, warp_batch
-from ..ops.warp_batch import warp_frames_batch
+from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
 from ..utils import io
 
 
@@ -187,9 +187,19 @@ def _warp_and_accumulate_chunk(
     # non-finite) matrices must not reach the warp: NaN * 0 == NaN
     hs = jnp.where(oks[:, None, None], hs, jnp.eye(3, dtype=hs.dtype))
 
+    bv = jnp.asarray(border_value[:3], jnp.float32)
+    border, _ = warp._resolve_border(border_mode, 0.0)
+    if border in ("constant", "transparent"):
+        # fused warp+accumulate kernel (one sweep, no [C,H,W,3]
+        # intermediate); TRANSPARENT over a zero dst base is tap-wise
+        # CONSTANT 0 (see ops.warp_batch)
+        return warp_accumulate_rgb(
+            frames_f32, hs, oks, perspective=True,
+            border_value=jnp.zeros(3) if border == "transparent" else bv,
+            allow_pallas=allow_pallas, pallas_k=pallas_k,
+        )
     warped = warp_frames_batch(
-        frames_f32, hs, perspective=True,
-        border_value=jnp.asarray(border_value[:3], jnp.float32),
+        frames_f32, hs, perspective=True, border_value=bv,
         allow_pallas=allow_pallas, pallas_k=pallas_k,
         border_mode=border_mode, apron=apron,
     )

@@ -10,6 +10,7 @@ whole burst converts in one fused XLA program.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # OpenCV 5.x cvtColor fixed-point luma coefficients (shift 15, verified
@@ -21,6 +22,7 @@ _B2Y = 3735  # = 2^15 - R2Y - G2Y
 _SHIFT = 15
 
 
+@jax.jit
 def rgb_to_gray_u8(rgb: jnp.ndarray) -> jnp.ndarray:
     """``[..., H, W, 3] uint8 RGB`` -> ``[..., H, W] uint8`` grayscale with
     OpenCV's fixed-point rounding (bitwise-identical to cvtColor

@@ -226,6 +226,7 @@ def find_transform_ecc_batched_graph(
     num_iters: int = 200,
     eps: float = -1.0,
     gauss_filt_size: int = 5,
+    warp_init: Optional[jnp.ndarray] = None,
 ) -> EccResult:
     """In-graph batched ECC (traceable inside jit / shard_map): one warp
     per template frame against a shared input image.  On TPU the solve
@@ -250,8 +251,12 @@ def find_transform_ecc_batched_graph(
     # tie the carry init to the input data so the carry has the same
     # varying-manual-axes type as the body output under shard_map
     vzero = templates_f[0, 0, 0] * 0.0
+    m_init = (
+        jnp.tile(warp0[None], (n, 1, 1)) if warp_init is None
+        else jnp.asarray(warp_init, jnp.float32)
+    )
     carry = (
-        jnp.tile(warp0[None], (n, 1, 1)) + vzero,
+        m_init + vzero,
         jnp.full((n,), -1.0, jnp.float32) + vzero,
         jnp.full((n,), -float(eps), jnp.float32) + vzero,
         jnp.zeros((n,), jnp.int32),

@@ -17,6 +17,9 @@ tolerance accordingly.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..errors import InvalidParamsError
@@ -31,6 +34,7 @@ def _to_float(img: jnp.ndarray) -> jnp.ndarray:
     return img.astype(jnp.float32)
 
 
+@jax.jit
 def sharpness_modified_laplacian(img: jnp.ndarray) -> jnp.ndarray:
     """LAPM (Nayar89): mean(|Lx| + |Ly|) with Lx = sep_filter(kx=[-1,2,-1],
     ky=gauss3) and Ly the transpose pair (ref src/lib.rs:1032-1070)."""
@@ -42,6 +46,7 @@ def sharpness_modified_laplacian(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(lx) + jnp.abs(ly), axis=(-2, -1))
 
 
+@jax.jit
 def sharpness_variance_of_laplacian(img: jnp.ndarray) -> jnp.ndarray:
     """LAPV (Pech2000): variance of the ksize=3 Laplacian with
     BORDER_REPLICATE (ref src/lib.rs:1074-1090; population variance as
@@ -52,6 +57,7 @@ def sharpness_variance_of_laplacian(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((lap - mu) ** 2, axis=(-2, -1))
 
 
+@functools.partial(jax.jit, static_argnames=("k_size",))
 def sharpness_tenengrad(img: jnp.ndarray, k_size: int = 3) -> jnp.ndarray:
     """TENG (Krotkov86): mean(gx^2 + gy^2) of Sobel gradients
     (ref src/lib.rs:1101-1147; k_size validated to {1,3,5,7} at
@@ -64,6 +70,7 @@ def sharpness_tenengrad(img: jnp.ndarray, k_size: int = 3) -> jnp.ndarray:
     return jnp.mean(gx * gx + gy * gy, axis=(-2, -1))
 
 
+@jax.jit
 def sharpness_normalized_gray_level_variance(img: jnp.ndarray) -> jnp.ndarray:
     """GLVN (Santos97): population variance / mean (mean clamped to eps,
     ref src/lib.rs:1151-1166)."""
@@ -74,10 +81,13 @@ def sharpness_normalized_gray_level_variance(img: jnp.ndarray) -> jnp.ndarray:
     return var / mu
 
 
+@functools.partial(jax.jit, static_argnames=("teng_k_size",))
 def sharpness_all(img: jnp.ndarray, teng_k_size: int = 3):
-    """All four metrics over a batch in one program.  Returns a dict with
-    keys lapm/lapv/teng/glvn, each ``[...]`` shaped — the device-side
-    equivalent of the example's parallel scoring loop
+    """All four metrics over a batch in ONE jitted program (eager op
+    chains over a remote-TPU tunnel cost ~1s per dispatched op; jit
+    collapses the whole scoring pass into one dispatch).  Returns a dict
+    with keys lapm/lapv/teng/glvn, each ``[...]`` shaped — the
+    device-side equivalent of the example's parallel scoring loop
     (ref examples/main.rs:37-49)."""
     return {
         "lapm": sharpness_modified_laplacian(img),

@@ -250,3 +250,51 @@ def warp_frames_batch(
         )
 
     return jax.vmap(warp_one)(frames, m3)
+
+
+def warp_accumulate_rgb(
+    frames: jnp.ndarray,  # [N,H,W,3] float32
+    mats: jnp.ndarray,  # [N,3,3] (or [N,2,3]) FORWARD maps
+    oks: jnp.ndarray,  # [N] bool — dropped lanes contribute 0
+    perspective: bool = True,
+    border_value=0.0,
+    allow_pallas: bool = True,
+    pallas_k: int = 7,
+) -> jnp.ndarray:
+    """Stage-3 fusion: ``sum_n oks[n] * warp(frames[n])`` -> [H,W,3]
+    (BORDER_CONSTANT).  On TPU this is ONE kernel sweep
+    (ops/warp_accum_pallas): channel-interleaved windows share one
+    weight set across a pixel's 3 channels (~3x less tap work than
+    three per-channel warps), the output tile accumulates across frames
+    in VMEM, and no [N,H,W,3] warped intermediate exists.  Falls back
+    to :func:`warp_frames_batch` + masked sum elsewhere.  Same
+    ``allow_pallas``/``pallas_k`` gating contract."""
+    h, w = frames.shape[1], frames.shape[2]
+    m3 = mats if mats.shape[-2] == 3 else jax.vmap(warp.affine_to_3x3)(mats)
+    # NaN/garbage matrices of dropped lanes must not reach the kernel
+    m3 = jnp.where(oks[:, None, None], m3, jnp.eye(3, dtype=m3.dtype))
+    # the fused kernel's window must fit the (padded) source
+    wh = ((128 + 2 * pallas_k + 10 + 7) // 8) * 8
+    fits = ((h + 7) // 8) * 8 >= wh and ((w + 127) // 128) * 128 >= 384
+    if (
+        allow_pallas
+        and _pallas_usable(h, w)
+        and fits
+        and frames.ndim == 4
+        and frames.shape[-1] == 3
+    ):
+        from . import warp_accum_pallas
+
+        minv = jnp.linalg.inv(m3.astype(jnp.float32))
+        return warp_accum_pallas.warp_accum_rgb_pallas(
+            frames, minv, oks, border_value=border_value,
+            k=pallas_k, quant_affine=not perspective,
+            interpret=_warp_interpret(),
+        )
+    warped = warp_frames_batch(
+        frames, m3, perspective=perspective, border_value=border_value,
+        allow_pallas=allow_pallas, pallas_k=pallas_k,
+    )
+    return jnp.sum(
+        warped * oks.astype(jnp.float32)[:, None, None, None], axis=0
+    )

@@ -115,6 +115,7 @@ def ecc_stack_step(
     num_iters: int = 50,
     eps: float = 1e-4,
     gauss_filt_size: int = 5,
+    phase_init: bool = True,
 ):
     """One full sharded align+stack step.
 
@@ -132,7 +133,7 @@ def ecc_stack_step(
     Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool).
     """
     from ..ops.ecc import _MAX_SOLVE_LANES
-    from ..ops.warp_batch import warp_frames_batch
+    from ..ops.warp_batch import warp_accumulate_rgb
 
     h, w = reference_grey.shape
 
@@ -140,6 +141,15 @@ def ecc_stack_step(
         grey = color.rgb_to_gray_u8(frames_local).astype(jnp.float32)
         f32 = color.u8_to_f32(frames_local)
         n_loc = grey.shape[0]
+        warp_init = None
+        if phase_init:
+            from ..ops import phasecorr
+
+            # in-graph warm start: batched FFT translation estimate
+            # (ops/phasecorr.py) — local frames only, no collective
+            warp_init = phasecorr.phase_init_warps(
+                grey, ref_grey, motion_type=motion_type
+            )
         # static lane-group chunking: the fused kernel's SMEM moment
         # accumulator bounds one batched solve at _MAX_SOLVE_LANES
         parts = []
@@ -152,16 +162,19 @@ def ecc_stack_step(
                     num_iters=num_iters,
                     eps=eps,
                     gauss_filt_size=gauss_filt_size,
+                    warp_init=(
+                        None if warp_init is None
+                        else warp_init[s0 : s0 + _MAX_SOLVE_LANES]
+                    ),
                 )
             )
         warps = jnp.concatenate([p.warp_matrix for p in parts])
         res_ok = jnp.concatenate([p.ok for p in parts])
         perspective = motion_type == MotionType.Homography
-        eye = jnp.eye(3, dtype=warps.dtype)[: warps.shape[1]]
-        warps = jnp.where(res_ok[:, None, None], warps, eye)
-        warped = warp_frames_batch(f32, warps, perspective=perspective)
-        valid = res_ok.astype(jnp.float32)[:, None, None, None]
-        partial = jnp.sum(warped * valid, axis=0)
+        # fused warp+accumulate (one Pallas sweep on TPU; masked sum)
+        partial = warp_accumulate_rgb(
+            f32, warps, res_ok, perspective=perspective
+        )
         total = jax.lax.psum(partial, "data")
         ok = jax.lax.all_gather(res_ok, "data", tiled=True)
         return total, ok
@@ -186,6 +199,7 @@ def ecc_stack_step_spatial(
     eps: float = 1e-4,
     gauss_filt_size: int = 5,
     halo: int = 64,
+    phase_init: bool = True,
 ):
     """End-to-end align+stack for frames too large for one chip: image
     ROWS live sharded on 'spatial' for the whole pipeline (r2 VERDICT
@@ -280,11 +294,22 @@ def ecc_stack_step_spatial(
         n_loc = small_cur.shape[0]
         from ..ops.ecc import _MAX_SOLVE_LANES
 
+        warp_init = None
+        if phase_init:
+            from ..ops import phasecorr
+
+            warp_init = phasecorr.phase_init_warps(
+                small_cur, small_ref, motion_type=motion_type
+            )
         parts = [
             ecc_ops.find_transform_ecc_batched_graph(
                 small_cur[s0 : s0 + _MAX_SOLVE_LANES], small_ref,
                 motion_type=motion_type, num_iters=num_iters, eps=eps,
                 gauss_filt_size=gauss_filt_size,
+                warp_init=(
+                    None if warp_init is None
+                    else warp_init[s0 : s0 + _MAX_SOLVE_LANES]
+                ),
             )
             for s0 in range(0, n_loc, _MAX_SOLVE_LANES)
         ]

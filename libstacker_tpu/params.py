@@ -112,6 +112,13 @@ class EccMatchParameters:
     epsilon: Optional[float] = None
     #: Gaussian pre-filter kernel size (odd, >= 1).
     gauss_filt_size: int = 5
+    #: Warm-start the solve from a batched phase-correlation translation
+    #: estimate (ops/phasecorr.py) instead of the identity.  Converges
+    #: to the same warp in fewer Gauss-Newton iterations for bursts with
+    #: real pixel-scale shifts.  A capability beyond the reference
+    #: (which always starts from the identity, src/lib.rs:769-777);
+    #: set False for strict OpenCV iteration-count parity.
+    phase_init: bool = True
 
     def resolve_criteria(self) -> Tuple[int, float]:
         """Resolve (num_iterations, termination_eps) the way OpenCV's

@@ -1,0 +1,126 @@
+"""Phase-correlation ECC warm start (ops/phasecorr.py).
+
+A capability beyond the reference (libstacker always inits
+findTransformECC at the identity, src/lib.rs:769-777): the batched FFT
+translation estimate must (a) recover known shifts to sub-pixel
+accuracy, (b) cut ECC iterations without changing the converged warp,
+and (c) degrade to the identity init on uncorrelated content.
+"""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libstacker_tpu.ops import ecc as ecc_ops, phasecorr
+from libstacker_tpu.params import EccMatchParameters, MotionType
+
+
+def _shifted_pair(tx, ty, h=240, w=320, seed=0):
+    rng = np.random.default_rng(seed)
+    pad = 32
+    base = rng.integers(0, 256, size=(h + 2 * pad, w + 2 * pad))
+    base = cv2.GaussianBlur(base.astype(np.float32), (0, 0), 4.0)
+    ref = base[pad : pad + h, pad : pad + w]
+    m = np.float32([[1, 0, tx], [0, 1, ty]])
+    cur = cv2.warpAffine(
+        base, m, (w + 2 * pad, h + 2 * pad),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+    )[pad : pad + h, pad : pad + w]
+    return ref, cur
+
+
+def test_recovers_known_shifts():
+    shifts = [(5.0, -3.0), (-7.25, 2.5), (0.0, 0.0), (11.0, 9.75)]
+    ref, _ = _shifted_pair(0, 0)
+    curs = np.stack([_shifted_pair(tx, ty)[1] for tx, ty in shifts])
+    t, resp = phasecorr.phase_correlate_batched(
+        jnp.asarray(curs), jnp.asarray(ref)
+    )
+    t = np.asarray(t)
+    assert np.asarray(resp).min() > 0.3
+    for i, (tx, ty) in enumerate(shifts):
+        assert abs(t[i, 0] - tx) < 0.25, (i, t[i], (tx, ty))
+        assert abs(t[i, 1] - ty) < 0.25, (i, t[i], (tx, ty))
+
+
+def test_warm_start_same_warp_fewer_iters():
+    ref, cur = _shifted_pair(6.0, -4.0, seed=3)
+    tj, rj = jnp.asarray(cur)[None], jnp.asarray(ref)
+    cold = ecc_ops.find_transform_ecc_batched(
+        tj, rj, motion_type=MotionType.Translation,
+        num_iters=100, eps=1e-5,
+    )
+    init = phasecorr.phase_init_warps(tj, rj, MotionType.Translation)
+    warm = ecc_ops.find_transform_ecc_batched(
+        tj, rj, motion_type=MotionType.Translation,
+        num_iters=100, eps=1e-5, warp_init=init,
+    )
+    assert np.asarray(cold.ok).all() and np.asarray(warm.ok).all()
+    np.testing.assert_allclose(
+        np.asarray(warm.warp_matrix), np.asarray(cold.warp_matrix),
+        atol=0.05,
+    )
+    assert int(warm.num_iters[0]) < int(cold.num_iters[0])
+
+
+def test_low_response_keeps_identity():
+    rng = np.random.default_rng(9)
+    a = cv2.GaussianBlur(rng.random((160, 200)).astype(np.float32), (0, 0), 3)
+    b = cv2.GaussianBlur(rng.random((160, 200)).astype(np.float32), (0, 0), 3)
+    init = np.asarray(
+        phasecorr.phase_init_warps(
+            jnp.asarray(a)[None], jnp.asarray(b), MotionType.Affine
+        )
+    )
+    np.testing.assert_array_equal(init[0], np.eye(3, dtype=np.float32)[:2])
+
+
+def test_init_shapes_all_motion_types():
+    ref, cur = _shifted_pair(2.0, 1.0)
+    tj, rj = jnp.asarray(cur)[None], jnp.asarray(ref)
+    for mt, rows in [
+        (MotionType.Translation, 2), (MotionType.Euclidean, 2),
+        (MotionType.Affine, 2), (MotionType.Homography, 3),
+    ]:
+        init = np.asarray(phasecorr.phase_init_warps(tj, rj, mt))
+        assert init.shape == (1, rows, 3), (mt, init.shape)
+        assert abs(init[0, 0, 2] - 2.0) < 0.25
+        assert abs(init[0, 1, 2] - 1.0) < 0.25
+
+
+def test_pipeline_phase_init_matches_identity_init():
+    """ecc_match_arrays output with phase_init on == off (same converged
+    warps, same stack) on a translated burst."""
+    from libstacker_tpu.models.ecc import ecc_match_arrays
+
+    rng = np.random.default_rng(21)
+    pad = 16
+    h, w = 192, 256
+    base = rng.integers(0, 256, size=(h + 2 * pad, w + 2 * pad))
+    base = cv2.GaussianBlur(base.astype(np.float32), (0, 0), 3.0)
+    frames = []
+    for i in range(4):
+        m = np.float32([[1, 0, 2.5 * i], [0, 1, -1.5 * i]])
+        cur = cv2.warpAffine(
+            base, m, (w + 2 * pad, h + 2 * pad),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )[pad : pad + h, pad : pad + w]
+        frames.append(np.clip(cur, 0, 255).astype(np.uint8))
+    burst = np.stack(frames)[..., None].repeat(3, axis=-1)
+
+    kw = dict(scale_down_width=None, on_failure="raise")
+    p_on = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=100, epsilon=1e-5,
+        phase_init=True,
+    )
+    p_off = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=100, epsilon=1e-5,
+        phase_init=False,
+    )
+    out_on, st_on = ecc_match_arrays(burst, p_on, return_stats=True, **kw)
+    out_off, st_off = ecc_match_arrays(burst, p_off, return_stats=True, **kw)
+    # both converge inside the same eps ball; warps may differ by
+    # ~0.01 px, moving isolated bilinear samples ~1 grey level
+    np.testing.assert_allclose(out_on, out_off, atol=8e-3)
+    assert sum(st_on.ecc_iterations) <= sum(st_off.ecc_iterations)

@@ -1,0 +1,157 @@
+"""Fused warp+accumulate kernel tests (interpret mode — runs on CPU).
+
+Stage 3 of both pipelines is "warp every frame onto frame 0's grid,
+masked-sum over frames" (ref src/lib.rs:291-316, 780-814); the fused
+kernel (ops/warp_accum_pallas) does it in one sweep.  On TPU it is
+bit-identical to the unfused kernel path (verified on hardware by
+bench.py's parity check); interpret mode checks the interleaved-window
+logic in CI against the exact XLA path.
+"""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libstacker_tpu.ops import warp_batch
+from libstacker_tpu.ops.warp_accum_pallas import warp_accum_rgb_pallas
+
+
+@pytest.fixture(scope="module")
+def burst():
+    rng = np.random.default_rng(77)  # local: see conftest rng note
+    frames = np.stack([
+        cv2.GaussianBlur(
+            rng.random((192, 512, 3)).astype(np.float32), (0, 0), 1.5
+        )
+        for _ in range(4)
+    ])
+    mats = []
+    for i in range(4):
+        m = cv2.getRotationMatrix2D((256.0, 96.0), 0.3 * i, 1.0 + 0.001 * i)
+        m[0, 2] += 3.25 * i
+        m[1, 2] -= 1.5 * i
+        mats.append(np.vstack([m, [0, 0, 1]]).astype(np.float32))
+    return frames, np.stack(mats)
+
+
+def _unfused(frames, mats, oks, border_value=0.0, perspective=True):
+    warped = warp_batch.warp_frames_batch(
+        jnp.asarray(frames), jnp.asarray(mats), perspective=perspective,
+        border_value=border_value, allow_pallas=False,
+    )
+    return np.asarray(
+        jnp.sum(
+            warped * jnp.asarray(oks, jnp.float32)[:, None, None, None],
+            axis=0,
+        )
+    )
+
+
+def _fused(frames, mats, oks, border_value=0.0, k=7, quant_affine=False):
+    minv = np.linalg.inv(mats.astype(np.float64)).astype(np.float32)
+    return np.asarray(
+        warp_accum_rgb_pallas(
+            jnp.asarray(frames), jnp.asarray(minv),
+            jnp.asarray(oks, jnp.float32), border_value=border_value,
+            k=k, quant_affine=quant_affine, interpret=True,
+        )
+    )
+
+
+def test_fused_matches_unfused(burst):
+    frames, mats = burst
+    oks = np.asarray([True, True, False, True])
+    want = _unfused(frames, mats, oks)
+    got = _fused(frames, mats, oks)
+    d = np.abs(got - want)
+    # same 1/32-px quantisation; isolated interpret-mode FMA flips at
+    # bin boundaries are bounded by one interpolation step
+    assert (d > 1e-5).mean() <= 1e-3, (d > 1e-5).mean()
+    assert d.max() < 0.02, d.max()
+
+
+def test_fused_k1_translations(burst):
+    frames, _ = burst
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 4)
+    for i in range(4):
+        mats[i, 0, 2] = 11.25 * i
+        mats[i, 1, 2] = -6.5 * i
+    oks = np.ones(4, bool)
+    want = _unfused(frames, mats, oks)
+    got = _fused(frames, mats, oks, k=1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_affine_quantisation(burst):
+    """quant_affine mirrors warp_affine's AB_BITS=10 fixed point."""
+    frames, _ = burst
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    mats[1, 0, 2] = 4.3
+    mats[1, 1, 2] = -2.7
+    oks = np.ones(2, bool)
+    want = _unfused(frames[:2], mats, oks, perspective=False)
+    got = _fused(frames[:2], mats, oks, k=1, quant_affine=True)
+    d = np.abs(got - want)
+    assert (d > 1e-5).mean() <= 1e-3, (d > 1e-5).mean()
+    assert d.max() < 0.02, d.max()
+
+
+def test_fused_border_value(burst):
+    """Out-of-source taps take the per-channel border value, scaled by
+    each lane's validity (matches warped*ok summation)."""
+    frames, _ = burst
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    mats[1, 0, 2] = -60.0  # shifts right edge out of source
+    oks = np.asarray([True, True])
+    bv = np.asarray([0.25, 0.5, 0.75], np.float32)
+    want = _unfused(frames[:2], mats, oks, border_value=bv)
+    got = _fused(frames[:2], mats, oks, border_value=bv)
+    d = np.abs(got - want)
+    assert (d > 1e-5).mean() <= 1e-3, (d > 1e-5).mean()
+    assert d.max() < 0.02, d.max()
+
+
+def test_dropped_lane_nan_matrix(burst):
+    """warp_accumulate_rgb: a dropped lane's NaN matrix must not poison
+    the sum (the wrapper swaps in identity before inverting)."""
+    frames, mats = burst
+    mats = mats.copy()
+    mats[2] = np.nan
+    oks = jnp.asarray([True, True, False, True])
+    out = np.asarray(
+        warp_batch.warp_accumulate_rgb(
+            jnp.asarray(frames), jnp.asarray(mats), oks,
+            allow_pallas=False,
+        )
+    )
+    assert np.isfinite(out).all()
+    want = _unfused(
+        frames[[0, 1, 3]], np.asarray(mats)[[0, 1, 3]], np.ones(3, bool)
+    )
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_wrapper_small_image_falls_back(monkeypatch):
+    """Images below the window minimum take the unfused path instead of
+    raising inside the kernel."""
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    rng = np.random.default_rng(3)
+    frames = rng.random((2, 96, 400, 3)).astype(np.float32)
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    out = np.asarray(
+        warp_batch.warp_accumulate_rgb(
+            jnp.asarray(frames), jnp.asarray(mats), jnp.ones(2, bool)
+        )
+    )
+    np.testing.assert_allclose(out, frames.sum(0), atol=1e-5)
+
+
+def test_kernel_rejects_bad_k(burst):
+    frames, mats = burst
+    minv = np.linalg.inv(mats.astype(np.float64)).astype(np.float32)
+    with pytest.raises(ValueError):
+        warp_accum_rgb_pallas(
+            jnp.asarray(frames), jnp.asarray(minv), jnp.ones(4),
+            k=0, interpret=True,
+        )
