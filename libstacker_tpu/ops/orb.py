@@ -263,6 +263,24 @@ def orb_detect_and_compute(
             )
         )
 
+    if not feats:
+        # Image too small for any pyramid level (every level fails the
+        # 2*edge_threshold size check): return a fixed-capacity
+        # all-invalid feature set so downstream matching sees 0 valid
+        # keypoints and the pipeline drops the frame, matching OpenCV's
+        # empty detect_and_compute on tiny images (the reference has no
+        # minimum-size guard on the keypoint path — src/lib.rs:377-382
+        # checks only scale >= width).
+        k = 8
+        return OrbFeatures(
+            xy=jnp.zeros((k, 2), jnp.float32),
+            response=jnp.zeros((k,), jnp.float32),
+            angle=jnp.zeros((k,), jnp.float32),
+            octave=jnp.zeros((k,), jnp.int32),
+            size=jnp.zeros((k,), jnp.float32),
+            valid=jnp.zeros((k,), bool),
+            descriptors=jnp.zeros((k, 32), jnp.uint8),
+        )
     return OrbFeatures(
         xy=jnp.concatenate([f.xy for f in feats]),
         response=jnp.concatenate([f.response for f in feats]),

@@ -57,23 +57,52 @@ def _parabolic(c_m1, c_0, c_p1):
     return jnp.clip(off, -0.5, 0.5)
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+def _auto_downscale(h: int, w: int) -> int:
+    """Smallest power-of-2 pooling factor that brings the correlation
+    grid under ~0.6 Mpx (a 4K burst pools 4x: the FFT temporaries of a
+    full-res [N,2160,3840] complex cross-power spectrum exceed HBM for
+    ~100-lane bursts, and a quarter-res init is still within ~1 px —
+    one extra Gauss-Newton iteration at most)."""
+    d = 1
+    while (h // d) * (w // d) > 600_000 and min(h, w) // (2 * d) >= 64:
+        d *= 2
+    return d
+
+
+def _pool(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """d x d average pooling (exact area downsample; trailing rows/cols
+    beyond a multiple of d are cropped — irrelevant for correlation)."""
+    if d == 1:
+        return x
+    h, w = x.shape[-2], x.shape[-1]
+    hc, wc = (h // d) * d, (w // d) * d
+    x = x[..., :hc, :wc]
+    x = x.reshape(*x.shape[:-2], hc // d, d, wc // d, d)
+    return x.mean(axis=(-3, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "downscale"))
 def phase_correlate_batched(
     templates: jnp.ndarray,  # [N,H,W] float32 (current frames' grey)
     input_image: jnp.ndarray,  # [H,W] float32 (reference grey)
     window: bool = True,
+    downscale: int = 1,
 ):
     """Per-frame translation ``t`` such that
     ``templates[i](x) ≈ input_image(x + t_i)`` — i.e. the translation
     part of the ECC warp (template -> input coords).
 
-    Returns ``(t, response)``: ``t`` is ``[N,2]`` float32 ``(tx, ty)``,
-    ``response`` is the normalised correlation peak height ``[N]``
-    (compare against :data:`_MIN_RESPONSE`).
+    Returns ``(t, response)``: ``t`` is ``[N,2]`` float32 ``(tx, ty)``
+    in FULL-resolution pixels, ``response`` is the normalised
+    correlation peak height ``[N]`` (compare against
+    :data:`_MIN_RESPONSE`).  ``downscale`` pools the grid ``d x d``
+    before the FFT (bounds the complex temporaries; the recovered shift
+    is scaled back up).
     """
-    n, h, w = templates.shape
-    a = templates.astype(jnp.float32)
-    b = input_image.astype(jnp.float32)
+    n = templates.shape[0]
+    a = _pool(templates.astype(jnp.float32), downscale)
+    b = _pool(input_image.astype(jnp.float32), downscale)
+    h, w = a.shape[-2], a.shape[-1]
     if window:
         win = _hann2d(h, w)
         a = a * win
@@ -103,8 +132,8 @@ def phase_correlate_batched(
     # the extent alias (inherent to cyclic correlation)
     fy = py.astype(jnp.float32) + sub_y
     fx = px.astype(jnp.float32) + sub_x
-    ty = -jnp.where(fy > h / 2.0, fy - h, fy)
-    tx = -jnp.where(fx > w / 2.0, fx - w, fx)
+    ty = -jnp.where(fy > h / 2.0, fy - h, fy) * downscale
+    tx = -jnp.where(fx > w / 2.0, fx - w, fx) * downscale
     return jnp.stack([tx, ty], axis=1), resp
 
 
@@ -119,8 +148,11 @@ def phase_init_warps(
     shaped for :func:`ops.ecc.find_transform_ecc_batched`'s
     ``warp_init`` ([N,2,3] or [N,3,3] for Homography).  Low-response
     lanes keep the pure identity (the solver's default start)."""
-    n = templates.shape[0]
-    t, resp = phase_correlate_batched(templates, input_image, window=window)
+    n, h, w = templates.shape
+    t, resp = phase_correlate_batched(
+        templates, input_image, window=window,
+        downscale=_auto_downscale(h, w),
+    )
     good = (resp >= _MIN_RESPONSE) & jnp.all(jnp.isfinite(t), axis=1)
     t = jnp.where(good[:, None], t, 0.0)
     eye = ecc_ops.identity_warp(motion_type)

@@ -44,6 +44,21 @@ def test_recovers_known_shifts():
         assert abs(t[i, 1] - ty) < 0.25, (i, t[i], (tx, ty))
 
 
+def test_downscaled_recovery():
+    """Pooled-grid correlation (the 4K memory guard) still recovers the
+    full-res shift to ~downscale/2 px."""
+    ref, cur = _shifted_pair(9.0, -6.0, h=320, w=384, seed=5)
+    t, resp = phasecorr.phase_correlate_batched(
+        jnp.asarray(cur)[None], jnp.asarray(ref), downscale=2
+    )
+    t = np.asarray(t)[0]
+    assert float(np.asarray(resp)[0]) > 0.2
+    assert abs(t[0] - 9.0) < 1.0 and abs(t[1] + 6.0) < 1.0, t
+    # auto factor keeps small grids at 1 and caps 4K at 4
+    assert phasecorr._auto_downscale(320, 384) == 1
+    assert phasecorr._auto_downscale(2160, 3840) == 4
+
+
 def test_warm_start_same_warp_fewer_iters():
     ref, cur = _shifted_pair(6.0, -4.0, seed=3)
     tj, rj = jnp.asarray(cur)[None], jnp.asarray(ref)

@@ -186,3 +186,14 @@ def test_keypoint_match_border_replicate_kernel(monkeypatch):
     d = np.abs(got - want)
     assert d.max() < 1.5 / 255.0
     assert (d > 0.05 / 255.0).mean() < 2e-3
+
+def test_keypoint_match_tiny_scale_drops_all():
+    """scale_down_width small enough that no pyramid level survives the
+    edge_threshold check must degrade to empty features -> all frames
+    dropped -> frame 0 returned, not crash (the reference keypoint path
+    has no minimum-width guard, src/lib.rs:377-382; OpenCV's ORB simply
+    finds nothing on a tiny image)."""
+    frames, _ = _textured_burst(np.random.default_rng(47), n=3)
+    dropped, got = keypoint_match_arrays(frames, scale_down_width=12)
+    assert dropped == 2
+    np.testing.assert_allclose(got, frames[0].astype(np.float32) / 255.0)
