@@ -71,13 +71,16 @@ def detect_features_chunked(
     else:
         h, w = frames_u8.shape[1], frames_u8.shape[2]
     if chunk is None:
-        budget = int(1.2e9)  # bytes of transient detection state
+        budget = int(2.7e9)  # bytes of transient detection state
         # the fused FAST formulation (ops/fast.py) keeps ~8 image-sized
         # live buffers per frame after XLA fusion (was ~20 with the
-        # rolled/stacked form).  The budget targets ~4-frame chunks at
-        # 4K: measured on v5e (r3), smaller chunk programs schedule
-        # ~15% faster than 10-frame ones (15.3 vs 17.6 ms/frame) on
-        # top of the lower HBM pressure.
+        # rolled/stacked form).  The budget targets 10-frame chunks at
+        # 4K: with the gather rBRIEF (ops/orb.py) batch 10 is stable
+        # and runs ~21 ms/frame vs ~27 at batch 4 on v5e, and halving
+        # the dispatch count matters on high-RTT links.  Batch 20
+        # reproducibly faults the device (same XLA bug family the
+        # one-hot rBRIEF hit at batch 10), so the budget must stay
+        # under ~5.3 GB of transients.
         per_frame = 8 * h * w * 4
         chunk = max(1, min(n, budget // max(per_frame, 1)))
     if chunk >= n:

@@ -43,10 +43,18 @@ def fast_score(
     fuses into a couple of passes over HBM.  (The previous jnp.roll +
     stacked-[16,H,W] form materialised ~40 image-sized buffers and made
     4K detection HBM-bound enough to require host chunking.)
+
+    Integer (uint8) inputs compute the tree in bfloat16: every value is
+    an integer difference in [-255, 255] and bf16 represents integers up
+    to |256| exactly, so the result is BIT-IDENTICAL to f32 while the
+    materialised arc intermediates move half the HBM bytes.  Float
+    inputs (fractional intensities) stay f32.
     """
-    x = img.astype(jnp.float32)
+    exact_small_int = jnp.issubdtype(img.dtype, jnp.integer)
+    dt = jnp.bfloat16 if exact_small_int else jnp.float32
+    x = img.astype(dt)
     h, w = x.shape[-2], x.shape[-1]
-    t = jnp.float32(threshold)
+    t = jnp.asarray(threshold, dt)
 
     xp = jnp.pad(x, 3, mode="edge")  # border pixels are masked below
     e = [
@@ -74,7 +82,7 @@ def fast_score(
     tb = list_max(arc9_min(e))  # bright-arc strength
     td = list_max(arc9_min([-ei for ei in e]))  # dark-arc strength
     corner = (tb > t) | (td > t)
-    score = jnp.maximum(tb, td) - 1.0
+    score = jnp.maximum(tb, td).astype(jnp.float32) - 1.0
 
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
