@@ -23,6 +23,7 @@ import functools
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,6 +72,66 @@ def _linear_weights(src: int, dst: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
+_BLOCK = 128  # output rows/cols per banded block (lane width)
+
+
+@functools.lru_cache(maxsize=256)
+def _banded_weights(src: int, dst: int, interpolation: int):
+    """Block-banded factorisation of the [dst, src] resize weight matrix.
+
+    Both INTER_AREA and INTER_LINEAR weight matrices are banded (each
+    output pixel reads a short contiguous source span), so the dense
+    ``[dst, src]`` matmul wastes ~src/band of its FLOPs multiplying
+    exact zeros.  Group outputs into blocks of ``_BLOCK``; block ``g``
+    only needs source window ``[base[g], base[g]+L)`` where
+    ``L ~ _BLOCK * scale + 2``.  The product of the windowed blocks is
+    bit-identical to the dense matmul (the extra taps have weight 0.0
+    and f32 adds of 0.0 are exact) at ~src/L times fewer FLOPs.
+
+    Returns ``(bases, L, w)`` with ``bases`` an int tuple per block and
+    ``w`` a ``[nblk, _BLOCK, L]`` float32 array (rows past ``dst`` are
+    zero padding).
+    """
+    if interpolation == constants.INTER_AREA:
+        full = _area_weights(src, dst)
+    else:
+        full = _linear_weights(src, dst)
+    nblk = -(-dst // _BLOCK)
+    spans = []
+    for g in range(nblk):
+        rows = full[g * _BLOCK : (g + 1) * _BLOCK]
+        cols = np.nonzero(rows.any(axis=0))[0]
+        spans.append((int(cols[0]), int(cols[-1]) + 1))
+    L = max(hi - lo for lo, hi in spans)
+    bases = []
+    w = np.zeros((nblk, _BLOCK, L), dtype=np.float32)
+    for g, (lo, hi) in enumerate(spans):
+        base = min(lo, src - L)
+        rows = full[g * _BLOCK : (g + 1) * _BLOCK, base : base + L]
+        w[g, : rows.shape[0]] = rows
+        bases.append(base)
+    return tuple(bases), L, w
+
+
+def _apply_axis_banded(x: jnp.ndarray, axis: int, src: int, dst: int,
+                       interpolation: int) -> jnp.ndarray:
+    """Resize one axis via the block-banded matmul (bit-exact with the
+    dense einsum, ~src/L fewer FLOPs).  Falls back to dense for tiny
+    sizes where blocking buys nothing."""
+    bases, L, w = _banded_weights(src, dst, interpolation)
+    axis = axis % x.ndim
+    # Move the resized axis to the front for uniform slicing/einsum.
+    xt = jnp.moveaxis(x, axis, 0)
+    blocks = jnp.stack([
+        jax.lax.slice_in_dim(xt, b, b + L, axis=0) for b in bases
+    ])  # [nblk, L, ...]
+    out = jnp.einsum(
+        "gol,gl...->go...", jnp.asarray(w), blocks, precision="highest"
+    )  # [nblk, _BLOCK, ...]
+    out = out.reshape((len(bases) * _BLOCK,) + out.shape[2:])[:dst]
+    return jnp.moveaxis(out, 0, axis)
+
+
 @functools.lru_cache(maxsize=256)
 def _nearest_index(src: int, dst: int) -> np.ndarray:
     scale = src / dst
@@ -116,15 +177,25 @@ def resize(
     else:
         raise InvalidParamsError(f"unsupported interpolation {interpolation}")
 
-    wy = jnp.asarray(wy)
-    wx = jnp.asarray(wx)
     x = img.astype(jnp.float32)
-    if has_channels:
-        out = jnp.einsum("ay,...ywc->...awc", wy, x, precision="highest")
-        out = jnp.einsum("bx,...axc->...abc", wx, out, precision="highest")
-    else:
-        out = jnp.einsum("ay,...yw->...aw", wy, x, precision="highest")
-        out = jnp.einsum("bx,...ax->...ab", wx, out, precision="highest")
+    row_axis = -3 if has_channels else -2
+    col_axis = -2 if has_channels else -1
+
+    def _one_axis(x, axis, src, dst, w_full):
+        # Prefer the block-banded matmul (same result, ~src/L fewer
+        # FLOPs); fall back to the dense matrix when the band covers
+        # the whole source (tiny images / extreme upscale).
+        bases, L, _ = _banded_weights(src, dst, interpolation)
+        if L < src and dst > _BLOCK // 2:
+            return _apply_axis_banded(x, axis, src, dst, interpolation)
+        xt = jnp.moveaxis(x, axis % x.ndim, 0)
+        out = jnp.einsum(
+            "ay,y...->a...", jnp.asarray(w_full), xt, precision="highest"
+        )
+        return jnp.moveaxis(out, 0, axis % x.ndim)
+
+    out = _one_axis(x, row_axis, sh, dh, wy)
+    out = _one_axis(out, col_axis, sw, dw, wx)
     if in_dtype == jnp.uint8:
         out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
     else:

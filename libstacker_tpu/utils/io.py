@@ -172,6 +172,13 @@ def load_frames(
     OpenCV imgcodecs + Rayon fan-out) and falls back to a PIL thread
     pool when the shared library isn't built.
     """
+    if isinstance(files, (str, os.PathLike)):
+        # a bare path is a directory of frames (or a single image), not
+        # an iterable of one-character file names
+        if os.path.isdir(files):
+            files = collect_image_files(files)
+        else:
+            files = [files]
     files = list(files)
     if not files:
         raise NotEnoughFilesError()
