@@ -99,12 +99,21 @@ def run_tpu(frames):
             feats, key, method=8, ransac_reproj_threshold=5.0,
             match_keep_ratio=0.8, match_ratio=0.9,
         )
-        # production dispatch: pick the warp kernel's residual band on
-        # host from the estimated matrices (keypoint_match_arrays does
-        # exactly this)
+        # production dispatch, speculative like keypoint_match_arrays:
+        # the common-case k=1 warp is dispatched BEFORE the matrices
+        # cross the tunnel for the domain check, hiding the round-trip
+        spec = kp._warp_and_accumulate(
+            fj, hs, oks, border_mode=0, border_value=(0.0,) * 4,
+            allow_pallas=True, pallas_k=1,
+        )
         warp_k = warp_batch.pallas_pick_k(
             np.asarray(jax.device_get(hs), np.float64), h, w
         )
+        if warp_k == 1:
+            acc = spec
+            kept = 1 + jnp.sum(oks.astype(jnp.int32))
+            stacked = acc / kept.astype(jnp.float32)
+            return float(stacked[0, 0, 0]), int(kept)
         acc = kp._warp_and_accumulate(
             fj, hs, oks, border_mode=0, border_value=(0.0,) * 4,
             allow_pallas=warp_k is not None, pallas_k=warp_k or 7,

@@ -310,6 +310,25 @@ def keypoint_match_arrays(
         max_iters=params.max_iters,
         confidence=params.confidence,
     )
+    # Speculative stage 3: dispatch the common-case kernel band (k=1,
+    # no apron) BEFORE the host sync below, so the warp overlaps the
+    # matrix fetch + domain check (a tunnel round-trip on remote
+    # hosts).  A wrong speculation only wastes the speculative program
+    # — out-of-band taps clip inside the kernel and the result is
+    # discarded in favour of the correctly-banded dispatch.
+    border = constants.border_mode_name(params.border_mode)
+    speculate = (
+        border in ("constant", "transparent")
+        and warp_batch._pallas_usable(h, w)
+    )
+    spec_sum = None
+    if speculate:
+        spec_sum = _warp_and_accumulate(
+            frames_j, hs, oks,
+            border_mode=params.border_mode,
+            border_value=tuple(params.border_value),
+            scale_hw=scale_hw, allow_pallas=True, pallas_k=1, apron=0,
+        )
     # Static Pallas-domain dispatch: pull the (tiny) matrices + masks to
     # host, adjust for scale exactly like stage 3 will, and check every
     # KEPT frame's warp against the kernel's residual band.
@@ -323,17 +342,20 @@ def keypoint_match_arrays(
         hs_np[:, 2, 1] /= sy
     kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
     warp_k, apron = _pallas_warp_dispatch(kept_hs, h, w, params.border_mode)
-    stacked_sum = _warp_and_accumulate(
-        frames_j,
-        hs,
-        oks,
-        border_mode=params.border_mode,
-        border_value=tuple(params.border_value),
-        scale_hw=scale_hw,
-        allow_pallas=warp_k is not None,
-        pallas_k=warp_k or 7,
-        apron=apron,
-    )
+    if speculate and warp_k == 1:
+        stacked_sum = spec_sum
+    else:
+        stacked_sum = _warp_and_accumulate(
+            frames_j,
+            hs,
+            oks,
+            border_mode=params.border_mode,
+            border_value=tuple(params.border_value),
+            scale_hw=scale_hw,
+            allow_pallas=warp_k is not None,
+            pallas_k=warp_k or 7,
+            apron=apron,
+        )
     oks = oks_np
     kept = 1 + int(oks.sum())
     dropped = int((~oks).sum())
@@ -438,6 +460,21 @@ def keypoint_match_stream(
             confidence=params.confidence,
         )
         oks = oks & (jnp.arange(chunk_size) < n_real)
+        # speculative k=1 chunk warp overlapping the matrix fetch (same
+        # contract as keypoint_match_arrays' stage 3)
+        border = constants.border_mode_name(params.border_mode)
+        speculate = (
+            border in ("constant", "transparent")
+            and warp_batch._pallas_usable(h, w)
+        )
+        spec_sum = None
+        if speculate:
+            spec_sum = _warp_and_accumulate_chunk(
+                frames_j, hs, oks,
+                border_mode=params.border_mode,
+                border_value=tuple(params.border_value),
+                scale_hw=scale_hw, allow_pallas=True, pallas_k=1, apron=0,
+            )
         oks_np = np.asarray(oks)
         hs_np = np.asarray(jax.device_get(hs), np.float64)
         if scale_hw is not None:
@@ -450,17 +487,20 @@ def keypoint_match_stream(
         warp_k, apron = _pallas_warp_dispatch(
             kept_hs, h, w, params.border_mode
         )
-        acc = acc + _warp_and_accumulate_chunk(
-            frames_j,
-            hs,
-            oks,
-            border_mode=params.border_mode,
-            border_value=tuple(params.border_value),
-            scale_hw=scale_hw,
-            allow_pallas=warp_k is not None,
-            pallas_k=warp_k or 7,
-            apron=apron,
-        )
+        if speculate and warp_k == 1:
+            acc = acc + spec_sum
+        else:
+            acc = acc + _warp_and_accumulate_chunk(
+                frames_j,
+                hs,
+                oks,
+                border_mode=params.border_mode,
+                border_value=tuple(params.border_value),
+                scale_hw=scale_hw,
+                allow_pallas=warp_k is not None,
+                pallas_k=warp_k or 7,
+                apron=apron,
+            )
         all_ok.append(oks_np[:n_real])
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)

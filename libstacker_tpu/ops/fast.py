@@ -99,7 +99,15 @@ def fast_detect(
     if not nonmax:
         return corner, score
     h, w = score.shape
-    sp = jnp.pad(score, 1)  # zero pad: scores are >= 0, borders masked
+    # uint8 images have integer scores in [-1, 254]; bf16 represents
+    # integers up to |256| exactly, so the neighbour-max compare is
+    # bit-identical while the 8 padded slices move half the bytes
+    nms_dt = (
+        jnp.bfloat16 if jnp.issubdtype(img.dtype, jnp.integer)
+        else jnp.float32
+    )
+    sc = score.astype(nms_dt)
+    sp = jnp.pad(sc, 1)  # zero pad: scores are >= 0, borders masked
     neigh = [
         jax.lax.slice(sp, (1 + dy, 1 + dx), (1 + dy + h, 1 + dx + w))
         for dy in (-1, 0, 1)
@@ -109,7 +117,7 @@ def fast_detect(
     nmax = neigh[0]
     for nb in neigh[1:]:
         nmax = jnp.maximum(nmax, nb)
-    keep = corner & (score > nmax)
+    keep = corner & (sc > nmax)
     return keep, jnp.where(keep, score, 0.0)
 
 

@@ -168,6 +168,23 @@ def test_keypoint_match_single_frame_stats():
     assert stats.frames_dropped == 0
 
 
+def test_keypoint_match_speculative_kernel_warp(monkeypatch):
+    """BORDER_CONSTANT stage 3 dispatches a speculative k=1 kernel warp
+    before the host-side domain check; when the check confirms k=1 the
+    speculative result is used.  Must match the XLA-only pipeline."""
+    frames, _ = _textured_burst(np.random.default_rng(48), n=3, h=192, w=512)
+    params = KeyPointMatchParameters(match_ratio=0.9)
+    dropped_x, want = keypoint_match_arrays(frames, params, seed=5)
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    dropped_p, got = keypoint_match_arrays(frames, params, seed=5)
+    assert dropped_p == dropped_x
+    d = np.abs(got - want)
+    assert d.max() < 1.5 / 255.0
+    assert (d > 0.05 / 255.0).mean() < 2e-3
+
+
 def test_keypoint_match_border_replicate_kernel(monkeypatch):
     """keypoint_match with BORDER_REPLICATE routed through the Pallas
     kernel (apron path, forced interpret mode) matches the XLA path

@@ -70,3 +70,39 @@ def test_batched_resize(noise_image):
     assert got.shape == (2, 40, 50)
     exp1 = cv2.resize(batch[1], (50, 40), interpolation=cv2.INTER_AREA)
     np.testing.assert_allclose(got[1], exp1, rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "shape,dsize,interp",
+    [
+        ((540, 960), (450, 800), constants.INTER_LINEAR),
+        ((541, 963), (123, 456), constants.INTER_AREA),
+        ((217, 391), (181, 326), constants.INTER_LINEAR),
+        ((2160 // 4, 3840 // 4), (450, 800), constants.INTER_AREA),
+    ],
+)
+def test_banded_matches_dense_weights(shape, dsize, interp):
+    """The block-banded fast path must agree with the dense [dst,src]
+    weight matmul it replaces (window includes every nonzero tap;
+    1 uint8 LSB allowed for FMA-reassociation ties)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (2,) + shape, np.uint8)
+    got = np.asarray(resize.resize(jnp.asarray(img), dsize, interp))
+
+    if interp == constants.INTER_AREA:
+        wy = resize._area_weights(shape[0], dsize[0])
+        wx = resize._area_weights(shape[1], dsize[1])
+    else:
+        wy = resize._linear_weights(shape[0], dsize[0])
+        wx = resize._linear_weights(shape[1], dsize[1])
+    x = jnp.asarray(img).astype(jnp.float32)
+    dense = jnp.einsum("ay,...yw->...aw", jnp.asarray(wy), x,
+                       precision="highest")
+    dense = jnp.einsum("bx,...ax->...ab", jnp.asarray(wx), dense,
+                       precision="highest")
+    dense = np.asarray(
+        jnp.clip(jnp.floor(dense + 0.5), 0, 255).astype(jnp.uint8)
+    )
+    diff = np.abs(got.astype(int) - dense.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
