@@ -296,7 +296,7 @@ def ecc_match_stream(
     on a background thread, and the final partial chunk is padded to
     ``chunk_size`` so no per-burst-length recompile ever happens."""
     params.validate()
-    files = list(files)
+    files = io.normalize_files(files)
     if not files:
         raise NotEnoughFilesError()
     num_iters, eps = params.resolve_criteria()

@@ -404,7 +404,7 @@ def keypoint_match_stream(
     Returns ``(dropped_count, stacked [H,W,3] float32 RGB)`` like
     :func:`keypoint_match`."""
     params.validate()
-    files = list(files)
+    files = io.normalize_files(files)
     if not files:
         raise NotEnoughFilesError()
 

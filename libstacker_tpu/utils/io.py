@@ -46,6 +46,18 @@ def collect_image_files(directory: PathLike) -> List[Path]:
     ]
 
 
+def normalize_files(files) -> list:
+    """Normalise a ``files`` argument: a bare str/PathLike is a
+    directory of frames (or a single image file), NOT an iterable of
+    one-character file names; anything else is materialised as a
+    list."""
+    if isinstance(files, (str, os.PathLike)):
+        if os.path.isdir(files):
+            return list(collect_image_files(files))
+        return [files]
+    return list(files)
+
+
 def imread_unchanged(path: PathLike) -> np.ndarray:
     """Decode one image preserving its native depth — the counterpart of
     ``imread(..., IMREAD_UNCHANGED)`` at ref src/utils.rs:111-117.
@@ -172,14 +184,7 @@ def load_frames(
     OpenCV imgcodecs + Rayon fan-out) and falls back to a PIL thread
     pool when the shared library isn't built.
     """
-    if isinstance(files, (str, os.PathLike)):
-        # a bare path is a directory of frames (or a single image), not
-        # an iterable of one-character file names
-        if os.path.isdir(files):
-            files = collect_image_files(files)
-        else:
-            files = [files]
-    files = list(files)
+    files = normalize_files(files)
     if not files:
         raise NotEnoughFilesError()
     if use_native:

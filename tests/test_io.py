@@ -114,3 +114,20 @@ def test_load_frames_size_mismatch(image_dir, tmp_path, rng):
     files = sorted(image_dir.glob("frame*.png"))[:1] + [odd]
     with pytest.raises(StackerIoError):
         io.load_frames(files)
+
+def test_load_frames_accepts_directory(tmp_path):
+    """A bare path argument means a directory of frames (or one file),
+    never an iterable of one-character file names."""
+    local = np.random.default_rng(7)
+    for i in range(3):
+        Image.fromarray(
+            local.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+        ).save(tmp_path / f"f{i}.png")
+    frames = io.load_frames(str(tmp_path))
+    assert frames.shape == (3, 16, 20, 3)
+    one = io.load_frames(str(tmp_path / "f0.png"))
+    assert one.shape == (1, 16, 20, 3)
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    with pytest.raises(NotEnoughFilesError):
+        io.load_frames(str(empty))
