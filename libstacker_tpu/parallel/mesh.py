@@ -189,6 +189,119 @@ def ecc_stack_step(
     return fn(frames_u8, reference_grey)
 
 
+def keypoint_stack_step(
+    frames_u8: jnp.ndarray,
+    ref_feats,
+    mesh: Mesh,
+    method: int = 8,
+    ransac_reproj_threshold: float = 5.0,
+    match_ratio: float = 0.9,
+    match_keep_ratio: float = 0.8,
+    max_iters: int = 2000,
+    confidence: float = 0.995,
+    seed: int = 0,
+):
+    """One full sharded ORB/RANSAC align+stack step — the keypoint-path
+    counterpart of :func:`ecc_stack_step` (reference Rayon fan-out at
+    src/lib.rs:188-335 for the ORB pipeline).
+
+    ``frames_u8``: [N,H,W,3] uint8, N divisible by the 'data' axis size
+    (frame 0 included — it matches the reference features at identity).
+    ``ref_feats``: frame 0's ``OrbFeatures`` (replicated; compute once
+    with ``models.keypoint.detect_features_chunked(frames[:1])`` and
+    strip the leading axis).
+
+    Per shard: batched ORB on local frames, Hamming 2-NN against the
+    replicated reference descriptors, ratio/sort/keep, vectorised
+    RANSAC (per-frame fold_in keys keep lanes independent of the mesh
+    layout), then the stage-3 warp.  RANSAC homographies are unbounded,
+    so the Pallas warp is gated by an IN-GRAPH residual-band check: the
+    shard takes the fused-kernel path only when every kept lane sits in
+    the kernel's widest band, else the exact XLA path — identical drop
+    semantics to the single-chip pipeline either way.  ``psum`` over
+    'data' replaces the Rayon fold.
+
+    Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool); divide
+    by ``ok.sum()`` for the mean like keypoint_match_arrays does.
+    """
+    from ..ops import matcher, orb, ransac as ransac_ops, warp_pallas
+    from ..ops.warp_batch import warp_accumulate_rgb
+
+    n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
+    ndata = mesh.shape["data"]
+    if n % ndata != 0:
+        raise ValueError(f"N={n} must divide the data axis ({ndata})")
+    n_loc = n // ndata
+    key = jax.random.PRNGKey(seed)
+
+    def local_step(frames_local, rfeats):
+        grey = color.rgb_to_gray_u8(frames_local)
+        f32 = color.u8_to_f32(frames_local)
+        feats = jax.vmap(orb.orb_detect_and_compute)(grey)
+        didx = jax.lax.axis_index("data")
+
+        def match_one(i_desc, i_valid, i_xy, lane):
+            knn = matcher.knn_match2(
+                rfeats.descriptors, i_desc, rfeats.valid, i_valid
+            )
+            filt = matcher.ratio_filter_sort_keep(
+                knn, match_ratio, match_keep_ratio
+            )
+            src = rfeats.xy[filt.query_idx]
+            dst = i_xy[filt.train_idx]
+            enough = filt.count >= 5  # ref src/lib.rs:240-242
+            subkey = jax.random.fold_in(key, didx * n_loc + lane)
+            res = ransac_ops.find_homography(
+                dst, src, filt.keep, subkey,
+                method=method,
+                reproj_threshold=ransac_reproj_threshold,
+                max_iters=max_iters, confidence=confidence,
+            )
+            det = jnp.linalg.det(res.h)
+            ok = enough & res.ok & (jnp.abs(det) >= 1e-6)
+            return res.h, ok
+
+        hs_l, oks_l = jax.vmap(match_one)(
+            feats.descriptors, feats.valid, feats.xy,
+            jnp.arange(n_loc),
+        )
+        hs_safe = jnp.where(
+            oks_l[:, None, None], hs_l, jnp.eye(3, dtype=hs_l.dtype)
+        )
+        minv = jnp.linalg.inv(hs_safe)
+        in_band = warp_pallas.residual_domain_ok(minv, h, w, k=7, xp=jnp)
+        fast_ok = jnp.all(in_band | ~oks_l)
+
+        def fast_branch(args):
+            f32_, hs_, oks_ = args
+            return warp_accumulate_rgb(
+                f32_, hs_, oks_, perspective=True,
+                allow_pallas=True, pallas_k=7,
+            )
+
+        def exact_branch(args):
+            f32_, hs_, oks_ = args
+            return warp_accumulate_rgb(
+                f32_, hs_, oks_, perspective=True, allow_pallas=False,
+            )
+
+        partial = jax.lax.cond(
+            fast_ok, fast_branch, exact_branch, (f32, hs_safe, oks_l)
+        )
+        total = jax.lax.psum(partial, "data")
+        ok = jax.lax.all_gather(oks_l, "data", tiled=True)
+        return total, ok
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # psum/all_gather outputs are replicated by construction
+    )
+    return fn(frames_u8, ref_feats)
+
+
 def ecc_stack_step_spatial(
     frames_u8: jnp.ndarray,
     ref_u8: jnp.ndarray,

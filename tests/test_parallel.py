@@ -200,3 +200,54 @@ def test_sharded_flops_scale_with_data_axis(burst):
     f4 = cost(pmesh.make_mesh(jax.devices()[:4], data=4, spatial=1))
     # cost_analysis reports per-device flops for SPMD programs
     assert f4 <= f1 / 3.0, (f1, f4)
+
+
+def test_sharded_keypoint_stack_matches_unsharded():
+    """keypoint_stack_step (DP over frames, in-graph band gate) equals
+    the same program on a 1-device mesh, and both keep every frame."""
+    local = np.random.default_rng(51)
+    h, w, pad = 160, 320, 16
+    small = local.integers(
+        0, 256, ((h + 2 * pad) // 8, (w + 2 * pad) // 8), np.uint8
+    )
+    base = cv2.resize(small, (w + 2 * pad, h + 2 * pad),
+                      interpolation=cv2.INTER_NEAREST)
+    base = cv2.GaussianBlur(base, (3, 3), 0.8)
+    frames = []
+    for i in range(8):
+        if i == 0:
+            cur = base
+        else:
+            dx, dy = local.uniform(-3, 3, 2)
+            m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+            cur = cv2.warpAffine(
+                base, m, (w + 2 * pad, h + 2 * pad),
+                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            )
+        frames.append(np.stack([cur[pad:pad + h, pad:pad + w]] * 3, -1))
+    frames = np.stack(frames)
+
+    from libstacker_tpu.models import keypoint as kp
+
+    feats0 = kp.detect_features_chunked(jnp.asarray(frames[:1]))
+    ref_feats = jax.tree.map(lambda x: x[0], feats0)
+
+    m4 = pmesh.make_mesh(data=4, spatial=2)
+    frames_j = pmesh.shard_frames(jnp.asarray(frames), m4)
+    stacked, ok = pmesh.keypoint_stack_step(frames_j, ref_feats, m4, seed=3)
+    assert np.asarray(ok).all()
+
+    m1 = pmesh.make_mesh(jax.devices()[:1], data=1, spatial=1)
+    stacked1, ok1 = pmesh.keypoint_stack_step(
+        jnp.asarray(frames), ref_feats, m1, seed=3
+    )
+    assert np.asarray(ok1).all()
+    # NOT bitwise: rBRIEF descriptors are not batch-size invariant (the
+    # patch-blur matmul reassociates per batch shape, flipping ~1e-3 of
+    # bits), so matches/H differ microscopically across shard layouts.
+    # Bound the stacked-image effect instead (<~0.5 u8 LSB anywhere,
+    # negligible on average).
+    a, b = np.asarray(stacked), np.asarray(stacked1)
+    d = np.abs(a - b)
+    assert d.max() < 0.05, d.max()
+    assert d.mean() < 1e-4, d.mean()
