@@ -420,6 +420,7 @@ def _ecc_loop_batched(
             mom = ecc_pallas.ecc_iteration_moments(
                 srcs, templates_f, m3,
                 motion_type=motion_type, k=warp_k,
+                tile=_ecc_tile(),
                 quant_affine=not perspective, true_hw=(hs, ws),
                 interpret=_ecc_interpret(), active=active,
             )
@@ -828,3 +829,25 @@ def _ecc_interpret() -> bool:
     import os
 
     return bool(os.environ.get("LIBSTACKER_ECC_INTERPRET"))
+
+
+def _ecc_tile():
+    """Fused-kernel tile shape, overridable as LIBSTACKER_ECC_TILE=RxC
+    (rows % 8 == 0, cols % 128 == 0) for hardware sweeps."""
+    import os
+
+    v = os.environ.get("LIBSTACKER_ECC_TILE")
+    if not v:
+        return (128, 128)
+    try:
+        r, c = (int(x) for x in v.lower().split("x"))
+    except ValueError:
+        raise ValueError(
+            f"LIBSTACKER_ECC_TILE must look like '128x512', got {v!r}"
+        ) from None
+    if r % 8 or c % 128 or r <= 0 or c <= 0:
+        raise ValueError(
+            f"LIBSTACKER_ECC_TILE rows must be multiples of 8 and cols "
+            f"of 128, got {v!r}"
+        )
+    return (r, c)
