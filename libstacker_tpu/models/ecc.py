@@ -222,18 +222,35 @@ def ecc_match_arrays(
         gauss_filt_size=params.gauss_filt_size,
         warp_init=warp_init,
     )
+    # speculative k=1 stage 3 (same trick as the keypoint pipelines):
+    # dispatch the common-case band before the warp matrices cross to
+    # the host for the domain check — converged ECC warps that rode the
+    # solve's k=1 band almost always stack at k=1 too
+    from ..ops.warp_batch import _pallas_usable
+
+    speculate = _pallas_usable(h, w)
+    spec_sum = None
+    if speculate:
+        spec_sum = _ecc_warp_accumulate_jit(
+            frames_j, result.warp_matrix, result.ok,
+            motion_type=params.motion_type, scale_hw=scale_hw,
+            allow_pallas=True, pallas_k=1,
+        )
     warp_k = _warp_pick_k_host(
         result.warp_matrix, result.ok, params.motion_type, scale_hw, (h, w)
     )
-    stacked_sum = _ecc_warp_accumulate_jit(
-        frames_j,
-        result.warp_matrix,
-        result.ok,
-        motion_type=params.motion_type,
-        scale_hw=scale_hw,
-        allow_pallas=warp_k is not None,
-        pallas_k=warp_k or 7,
-    )
+    if speculate and warp_k == 1:
+        stacked_sum = spec_sum
+    else:
+        stacked_sum = _ecc_warp_accumulate_jit(
+            frames_j,
+            result.warp_matrix,
+            result.ok,
+            motion_type=params.motion_type,
+            scale_hw=scale_hw,
+            allow_pallas=warp_k is not None,
+            pallas_k=warp_k or 7,
+        )
     ok = np.asarray(result.ok)
     stats = None
     if return_stats:
