@@ -79,6 +79,13 @@ def main():
     ap.add_argument("--no-phase-init", action="store_true",
                     help="disable the phase-correlation ECC warm start "
                     "(strict OpenCV iteration parity)")
+    ap.add_argument("--ecc-solver", choices=("forward", "ic"),
+                    default="forward",
+                    help="ECC formulation: 'forward' = OpenCV's "
+                    "forward-additive (bit-faithful); 'ic' = "
+                    "inverse-compositional (template Jacobian computed "
+                    "once, ~40%% cheaper per TPU iteration, same optimum "
+                    "within epsilon)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -145,6 +152,7 @@ def main():
         epsilon=args.epsilon,
         gauss_filt_size=args.gauss_filt_size,
         phase_init=not args.no_phase_init,
+        solver=args.ecc_solver,
     )
 
     scales = []

@@ -37,6 +37,15 @@ from ..ops.warp_batch import warp_accumulate_rgb
 from ..utils import io
 
 
+def _solver_mode(params) -> Optional[str]:
+    """EccMatchParameters.solver -> find_transform_ecc_batched's
+    ``mode``.  The dataclass default 'forward' maps to None so the
+    LIBSTACKER_ECC_MODE env override can flip the formulation without
+    touching params; an explicit solver='ic' always wins."""
+    s = getattr(params, "solver", "forward")
+    return s if s != "forward" else None
+
+
 def _adjust_warp_for_scale(
     warps: jnp.ndarray,
     motion_type: MotionType,
@@ -221,6 +230,7 @@ def ecc_match_arrays(
         eps=eps,
         gauss_filt_size=params.gauss_filt_size,
         warp_init=warp_init,
+        mode=_solver_mode(params),
     )
     # speculative k=1 stage 3 (same trick as the keypoint pipelines):
     # dispatch the common-case band before the warp matrices cross to
@@ -375,6 +385,7 @@ def ecc_match_stream(
             eps=eps,
             gauss_filt_size=params.gauss_filt_size,
             warp_init=warp_init,
+            mode=_solver_mode(params),
         )
         real = jnp.arange(chunk_size) < n_real
         ok_lane = result.ok & real

@@ -135,6 +135,44 @@ def _update_warp(
     return m + upd
 
 
+def _compose_warp_ic(
+    motion_type: MotionType, m: jnp.ndarray, dp: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse-compositional warp update: ``dp`` was solved on the
+    template side (T(w(dp) x) ~ I(W x)), so the inverse-map warp
+    composes as W <- W @ inv(w(dp)) — ``w(dp)`` being the OpenCV
+    parameter layout applied to the identity (see ``_update_warp``).
+    Translation/Euclidean/Affine compositions stay exactly in their
+    motion class (rigid @ rigid = rigid), so taking the top two rows is
+    structure-preserving; homographies renormalise m22 to 1."""
+    delta = _update_warp(motion_type, identity_warp(motion_type, m.dtype), dp)
+    new = _as_3x3(m) @ jnp.linalg.inv(_as_3x3(delta))
+    if motion_type == MotionType.Homography:
+        return new / new[2, 2]
+    return new[:2]
+
+
+_ECC_MODES = ("forward", "ic")
+
+
+def _ecc_mode_default() -> str:
+    """Solver formulation: 'forward' (OpenCV's forward-additive ECC,
+    bit-faithful) or 'ic' (inverse-compositional — template-side
+    Jacobian computed once, ~40% cheaper per fused-kernel iteration,
+    converges to the same correlation optimum within eps-tolerance).
+    Overridable via LIBSTACKER_ECC_MODE."""
+    import os
+
+    v = os.environ.get("LIBSTACKER_ECC_MODE", "").strip().lower()
+    if not v:
+        return "forward"
+    if v not in _ECC_MODES:
+        raise ValueError(
+            f"LIBSTACKER_ECC_MODE must be one of {_ECC_MODES}, got {v!r}"
+        )
+    return v
+
+
 def find_transform_ecc(
     template: jnp.ndarray,
     input_image: jnp.ndarray,
@@ -143,6 +181,7 @@ def find_transform_ecc(
     eps: float = -1.0,
     gauss_filt_size: int = 5,
     warp_init: Optional[jnp.ndarray] = None,
+    mode: Optional[str] = None,
 ) -> EccResult:
     """Estimate the warp aligning ``input_image`` to ``template``.
 
@@ -173,6 +212,7 @@ def find_transform_ecc(
             None if warp_init is None
             else jnp.asarray(warp_init, jnp.float32)[None]
         ),
+        mode=mode,
     )
     return EccResult(
         rho=res.rho[0],
@@ -206,10 +246,12 @@ def _reactivate_carry(carry, eps, lane_mask):
     """Warm-start the ``lane_mask`` lanes for another solve pass: keep
     their frozen (best-so-far) warps, reset rho / iteration budget like
     a fresh solve, leave every other lane untouched (they stay inactive
-    inside the loop)."""
-    m, rho, last_rho, it, ok, esc = carry
+    inside the loop).  IC-mode carries (8 elements) also invalidate the
+    reactivated lanes' carried Hessians — a domain-escaped lane's H was
+    computed at a warp whose kernel stats were garbage."""
+    m, rho, last_rho, it, ok, esc = carry[:6]
     re = lane_mask
-    return (
+    base = (
         m,
         jnp.where(re, jnp.float32(-1.0), rho),
         jnp.where(re, jnp.float32(-float(eps)), last_rho),
@@ -217,6 +259,10 @@ def _reactivate_carry(carry, eps, lane_mask):
         ok | re,
         esc & ~re,
     )
+    if len(carry) > 6:
+        hess, h_ok = carry[6], carry[7]
+        base = base + (hess, h_ok & ~re)
+    return base
 
 
 def find_transform_ecc_batched_graph(
@@ -227,6 +273,7 @@ def find_transform_ecc_batched_graph(
     eps: float = -1.0,
     gauss_filt_size: int = 5,
     warp_init: Optional[jnp.ndarray] = None,
+    mode: Optional[str] = None,
 ) -> EccResult:
     """In-graph batched ECC (traceable inside jit / shard_map): one warp
     per template frame against a shared input image.  On TPU the solve
@@ -243,6 +290,10 @@ def find_transform_ecc_batched_graph(
     the solve into bounded device programs (the TPU runtime kills
     single long-running programs) and rescues escaped lanes on the
     exact XLA path."""
+    if mode is None:
+        mode = _ecc_mode_default()
+    if mode not in _ECC_MODES:
+        raise ValueError(f"mode must be one of {_ECC_MODES}, got {mode!r}")
     templates_f, image_f, gx, gy = _prepare_inputs(
         templates, input_image, gauss_filt_size
     )
@@ -269,9 +320,15 @@ def find_transform_ecc_batched_graph(
             templates_f, image_f, gx, gy, carry, motion_type, num_iters,
             eps, None, False,
         )
-        m, rho, _, it, ok, _ = final
+        m, rho, _, it, ok, _ = final[:6]
         return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
 
+    if mode == "ic":
+        p = motion_type.num_params
+        carry = carry + (
+            jnp.zeros((n, p, p), jnp.float32) + vzero,
+            jnp.zeros((n,), bool) | (vzero != 0.0),
+        )
     for ki, k in enumerate(_K_LADDER):
         if ki > 0:
             # warm-start ONLY the domain-escalated lanes at the wider
@@ -279,9 +336,9 @@ def find_transform_ecc_batched_graph(
             carry = _reactivate_carry(carry, eps, carry[5] & ~carry[4])
         carry = _ecc_loop_batched(
             templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-            eps, None, True, k,
+            eps, None, True, k, mode,
         )
-    m, rho, _, it, ok, _ = carry
+    m, rho, _, it, ok, _ = carry[:6]
     from . import warp_pallas
 
     # final band check on the returned warp (the in-loop check ran on
@@ -350,13 +407,22 @@ def _ecc_loop_batched(
     slab_iters: Optional[int],
     use_pallas: bool,
     warp_k: int = 7,
+    mode: str = "forward",
 ) -> tuple:
     """Explicitly-batched Gauss-Newton ECC slab.  With ``use_pallas``
     each iteration runs as ONE fused Pallas sweep (ops/ecc_pallas.py)
     that warps, masks, builds the Jacobian and reduces to ~66 Gram-sum
     scalars per lane in-tile — no image-sized intermediate ever returns
     to HBM (the XLA path materialises [B,3,H,W] warps plus a [B,P,H,W]
-    Jacobian stack and is kept as the exact reference/fallback)."""
+    Jacobian stack and is kept as the exact reference/fallback).
+
+    ``mode='ic'`` (with ``use_pallas``; the XLA path always runs the
+    exact forward formulation) switches to the inverse-compositional
+    sweep: the template-side Jacobian Gram is computed once per lane
+    (``with_hessian`` kernel variant on each lane's first active
+    iteration) and carried, and the warp update composes
+    W <- W @ inv(w(dp)) — see ops/ecc_pallas.py's IC section.  The
+    carry then has two extra entries (hessian [B,P,P], h_ok [B])."""
     b, hd, wd = templates_f.shape
     hs, ws = image_f.shape
     xg = jnp.arange(wd, dtype=jnp.float32)[None, :] * jnp.ones(
@@ -368,6 +434,8 @@ def _ecc_loop_batched(
     n_params = motion_type.num_params
     perspective = motion_type == MotionType.Homography
     srcs = jnp.stack([image_f, gx, gy])  # [3,H,W] shared across lanes
+    ic = use_pallas and mode == "ic"
+    tmpl_p = None
     if use_pallas:
         # the kernel uses one extent for both the output grid and the
         # source bounds — true for every ECC path (template and input
@@ -379,6 +447,15 @@ def _ecc_loop_batched(
         wp = ((ws + 127) // 128) * 128
         if (hp, wp) != (hs, ws):
             srcs = jnp.pad(srcs, ((0, 0), (0, hp - hs), (0, wp - ws)))
+        if ic:
+            # IC DMAs haloed template windows manually -> templates need
+            # the same alignment pre-pad (once per slab program)
+            tmpl_p = (
+                templates_f if (hp, wp) == (hd, wd)
+                else jnp.pad(
+                    templates_f, ((0, 0), (0, hp - hd), (0, wp - wd))
+                )
+            )
 
     def warp_all(m3b):
         # [B,3,H,W]: every lane warps the 3 shared sources with its
@@ -402,13 +479,113 @@ def _ecc_loop_batched(
     update_fn = jax.vmap(
         lambda mm, dp: _update_warp(motion_type, mm, dp)
     )
+    compose_fn = jax.vmap(
+        lambda mm, dp: _compose_warp_ic(motion_type, mm, dp)
+    )
 
     def iter_body(c, _):
-        m, rho, last_rho, it, ok, esc = c
+        m, rho, last_rho, it, ok, esc = c[:6]
+        extras = c[6:]
         active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
         if slab_iters is not None:
             active = active & (it < it_slab_end)
         m3 = jax.vmap(_as_3x3)(m)
+
+        if ic:
+            # Inverse-compositional sweep: template-side Jacobian, Gram
+            # carried across iterations (computed by the with_hessian
+            # kernel variant on each lane's first active iteration).
+            from . import ecc_pallas
+
+            hess_c, h_ok = extras
+            need_h = active & ~h_ok
+            kw = dict(
+                motion_type=motion_type, k=warp_k, tile=_ecc_tile(),
+                quant_affine=not perspective, true_hw=(hs, ws),
+                interpret=_ecc_interpret(), active=active,
+            )
+
+            def full_fn(_):
+                mom = ecc_pallas.ecc_ic_iteration_moments(
+                    srcs[0], tmpl_p, m3, with_hessian=True, **kw
+                )
+                out_ = ecc_pallas.unpack_ic_moments(mom, motion_type, True)
+                return out_[:-1], out_[-1]
+
+            def lite_fn(_):
+                mom = ecc_pallas.ecc_ic_iteration_moments(
+                    srcs[0], tmpl_p, m3, with_hessian=False, **kw
+                )
+                return (
+                    ecc_pallas.unpack_ic_moments(mom, motion_type, False),
+                    jnp.zeros_like(hess_c),
+                )
+
+            (n_raw, s_mi, s_mii, s_mt, s_mtt, s_mti, j_i, j_m, j_mt), \
+                hess_new = jax.lax.cond(
+                    jnp.any(need_h), full_fn, lite_fn, None
+                )
+            hess_c = jnp.where(need_h[:, None, None], hess_new, hess_c)
+            extras = (hess_c, h_ok | active)
+
+            n = jnp.maximum(n_raw, 1.0)
+            img_mean = s_mi / n
+            img_std = jnp.sqrt(jnp.maximum(s_mii / n - img_mean**2, 0.0))
+            tmp_mean = s_mt / n
+            tmp_std = jnp.sqrt(jnp.maximum(s_mtt / n - tmp_mean**2, 0.0))
+            img_norm = jnp.sqrt(n) * img_std
+            tmp_norm = jnp.sqrt(n) * tmp_std
+            correlation = (
+                s_mti - img_mean * s_mt - tmp_mean * s_mi
+                + tmp_mean * img_mean * n_raw
+            )
+            image_proj = j_i - img_mean[:, None] * j_m
+            template_proj = j_mt - tmp_mean[:, None] * j_m
+
+            hessian_inv = jnp.linalg.inv(hess_c)
+            new_rho = correlation / (img_norm * tmp_norm)
+            # role-swapped ECC update: the template is the moving image
+            tph = jnp.einsum("bpq,bq->bp", hessian_inv, template_proj)
+            lambda_n = tmp_norm**2 - jnp.sum(template_proj * tph, axis=1)
+            lambda_d = correlation - jnp.sum(image_proj * tph, axis=1)
+            failed = jnp.isnan(new_rho) | (lambda_d <= 0.0)
+            # rho-monotonicity divergence guard: the frozen template
+            # Hessian blunts the role-swapped lambda_d test on diverging
+            # lanes (the forward test is what makes OpenCV abort with
+            # "correlation is going to be minimized"), so a lane whose
+            # correlation DROPS by more than the convergence granularity
+            # is flagged failed here instead of silently settling at a
+            # junk stationary point; the host driver's final rescue pass
+            # then re-solves it with the exact forward formulation for
+            # OpenCV's verdict.
+            diverged = (it > 0) & (
+                new_rho < rho - jnp.maximum(eps, jnp.float32(1e-5))
+            )
+            failed = failed | diverged
+            from . import warp_pallas
+
+            domain_bad = ~warp_pallas.residual_domain_ok(
+                m3, hd, wd, k=warp_k
+            )
+            failed = failed | domain_bad
+            lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
+            error_proj = lam[:, None] * image_proj - template_proj
+            dp = jnp.einsum("bpq,bq->bp", hessian_inv, error_proj)
+            new_m = compose_fn(m, dp)
+            new_m = jnp.where(failed[:, None, None], m, new_m)
+
+            upd = (active & ~failed)[:, None, None]
+            out = (
+                jnp.where(upd, new_m, m),
+                jnp.where(active,
+                          jnp.where(failed, jnp.float32(-1.0),
+                                    new_rho.astype(jnp.float32)), rho),
+                jnp.where(active, rho, last_rho),
+                jnp.where(active, it + 1, it),
+                ok & ~(active & failed),
+                esc | (active & domain_bad),
+            ) + extras
+            return out, None
 
         if use_pallas:
             # Fused TPU path: one Pallas sweep computes warp + mask +
@@ -528,7 +705,7 @@ def _ecc_loop_batched(
             jnp.where(active, it + 1, it),
             ok & ~(active & failed),
             esc | (active & domain_bad),
-        )
+        ) + extras
         return out, None
 
     def chunk_body(c):
@@ -538,7 +715,7 @@ def _ecc_loop_batched(
         return c
 
     def chunk_cond(c):
-        m, rho, last_rho, it, ok, _ = c
+        m, rho, last_rho, it, ok = c[:5]
         active = (it < num_iters) & (jnp.abs(rho - last_rho) >= eps) & ok
         if slab_iters is not None:
             active = active & (it < it_slab_end)
@@ -556,9 +733,11 @@ def _ecc_prepare_input_jit(input_image, gauss_filt_size):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("motion_type", "gauss_filt_size")
+    jax.jit, static_argnames=("motion_type", "gauss_filt_size", "mode")
 )
-def _ecc_prepare_templates_jit(templates, gauss_filt_size, motion_type):
+def _ecc_prepare_templates_jit(
+    templates, gauss_filt_size, motion_type, mode="forward"
+):
     """Per-group template blur + fresh solve carry."""
     templates_f = filters.gaussian_blur(
         templates.astype(jnp.float32), gauss_filt_size
@@ -573,6 +752,12 @@ def _ecc_prepare_templates_jit(templates, gauss_filt_size, motion_type):
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),  # esc: lane failed on a domain check
     )
+    if mode == "ic":
+        p = motion_type.num_params
+        carry = carry + (
+            jnp.zeros((n, p, p), jnp.float32),  # carried template Hessian
+            jnp.zeros((n,), bool),  # h_ok: Hessian computed for this lane
+        )
     return templates_f, carry
 
 
@@ -580,17 +765,18 @@ def _ecc_prepare_templates_jit(templates, gauss_filt_size, motion_type):
     jax.jit,
     static_argnames=(
         "motion_type", "num_iters", "slab_iters", "use_pallas", "warp_k",
+        "mode",
     ),
 )
 def _ecc_slab_jit(
     templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
-    slab_iters, use_pallas=False, warp_k=7,
+    slab_iters, use_pallas=False, warp_k=7, mode="forward",
 ):
     new_c = _ecc_loop_batched(
         templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
-        slab_iters, use_pallas, warp_k,
+        slab_iters, use_pallas, warp_k, mode,
     )
-    m, rho, last_rho, it, ok, _ = new_c
+    m, rho, last_rho, it, ok = new_c[:5]
     done = (it >= num_iters) | (jnp.abs(rho - last_rho) < eps) | ~ok
     res = EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
     return res, new_c, done
@@ -633,6 +819,7 @@ def find_transform_ecc_batched(
     slab_iters: Optional[int] = None,
     coarse_levels: int = 0,
     warp_init: Optional[jnp.ndarray] = None,
+    mode: Optional[str] = None,
 ) -> EccResult:
     """Batched ECC: estimate one warp per template frame against a shared
     input image (the reference's per-thread ``find_transform_ecc`` calls
@@ -646,7 +833,19 @@ def find_transform_ecc_batched(
     beyond OpenCV's findTransformECC): the warp is first estimated on
     2x-downscaled octaves, then refined at full resolution from that
     init — same converged warp, a fraction of the full-res iterations.
+
+    ``mode``: 'forward' (OpenCV's forward-additive formulation,
+    bit-faithful reconstruction — the default) or 'ic'
+    (inverse-compositional: the template-side Jacobian Gram is computed
+    once per lane and carried, making each fused-kernel iteration ~40%
+    cheaper; converges to the same correlation optimum within the eps
+    tolerance).  ``None`` resolves via LIBSTACKER_ECC_MODE.  The XLA
+    fallback/rescue path always runs the exact forward formulation.
     """
+    if mode is None:
+        mode = _ecc_mode_default()
+    if mode not in _ECC_MODES:
+        raise ValueError(f"mode must be one of {_ECC_MODES}, got {mode!r}")
     if coarse_levels > 0:
         from . import resize as _resize
 
@@ -661,12 +860,13 @@ def find_transform_ecc_batched(
             res = find_transform_ecc_batched(
                 tl, il, motion_type, num_iters, eps, gauss_filt_size,
                 slab_iters=None, coarse_levels=0, warp_init=init,
+                mode=mode,
             )
             init = _rescale_warp_batch(res.warp_matrix, motion_type, 2.0)
         return find_transform_ecc_batched(
             templates, input_image, motion_type, num_iters, eps,
             gauss_filt_size, slab_iters=slab_iters, coarse_levels=0,
-            warp_init=init,
+            warp_init=init, mode=mode,
         )
 
     n, h, w = templates.shape
@@ -695,19 +895,20 @@ def find_transform_ecc_batched(
 
     class _Group:
         __slots__ = ("templates_f", "carry", "slab_iters", "res", "done",
-                     "all_ok")
+                     "all_ok", "m_init")
 
     groups = []
     for s0 in range(0, n, group_n):
         e0 = min(s0 + group_n, n)
         g = _Group()
         g.templates_f, carry = _ecc_prepare_templates_jit(
-            templates[s0:e0], gauss_filt_size, motion_type
+            templates[s0:e0], gauss_filt_size, motion_type, mode
         )
         if warp_init is not None:
             carry = (
                 jnp.asarray(warp_init[s0:e0], jnp.float32),
             ) + carry[1:]
+        g.m_init = carry[0]
         g.carry = (carry[0], carry[1], carry[2] - eps) + carry[3:]
         g.slab_iters = (
             slab_iters if slab_iters is not None
@@ -734,7 +935,7 @@ def find_transform_ecc_batched(
                     g.res, g.carry, g.done = _ecc_slab_jit(
                         g.templates_f, image_f, gx, gy, g.carry,
                         motion_type, num_iters, eps, g.slab_iters,
-                        use_pallas=use_pallas, warp_k=warp_k,
+                        use_pallas=use_pallas, warp_k=warp_k, mode=mode,
                     )
                 flag_rows.append(
                     jnp.stack([jnp.all(g.done), jnp.all(g.res.ok)])
@@ -793,9 +994,18 @@ def find_transform_ecc_batched(
         rescue = [gi for gi in all_idx if not groups[gi].all_ok]
         if rescue:
             for gi in rescue:
-                groups[gi].carry = _reactivate_carry(
-                    groups[gi].carry, eps, ~groups[gi].carry[4]
-                )
+                g = groups[gi]
+                bad = ~g.carry[4]
+                if mode == "ic":
+                    # a lane the IC divergence guard froze holds a
+                    # mid-divergence iterate, not a meaningful warm
+                    # start: restart the exact forward rescue from the
+                    # ORIGINAL init so IC-mode verdicts on pathological
+                    # lanes match forward-mode (and OpenCV's) verdicts
+                    g.carry = (
+                        jnp.where(bad[:, None, None], g.m_init, g.carry[0]),
+                    ) + g.carry[1:]
+                g.carry = _reactivate_carry(g.carry, eps, bad)
             drive(rescue, False)
 
     return EccResult(

@@ -266,7 +266,7 @@ def test_per_lane_ladder_escalation(monkeypatch):
     orig = ecc_ops._ecc_slab_jit
 
     def spy(templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-            eps, slab_iters, use_pallas=False, warp_k=7):
+            eps, slab_iters, use_pallas=False, warp_k=7, mode="forward"):
         calls.append(
             (use_pallas, warp_k,
              np.asarray(carry[0]), np.asarray(carry[1]),
@@ -275,7 +275,7 @@ def test_per_lane_ladder_escalation(monkeypatch):
         )
         return orig(templates_f, image_f, gx, gy, carry, motion_type,
                     num_iters, eps, slab_iters, use_pallas=use_pallas,
-                    warp_k=warp_k)
+                    warp_k=warp_k, mode=mode)
 
     monkeypatch.setattr(ecc_ops, "_ecc_slab_jit", spy)
     res = ecc_ops.find_transform_ecc_batched(
@@ -300,3 +300,238 @@ def test_per_lane_ladder_escalation(monkeypatch):
     # iteration count is untouched and its termination test holds
     assert it0[0] > 0
     assert abs(rho0[0] - last_rho0[0]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Inverse-compositional (IC) kernel + solve
+# ---------------------------------------------------------------------------
+
+
+def _reference_ic_moments(tmpl, image_f, m3, motion_type, with_hessian):
+    """IC moments from dense numpy fields: warped input image, warp
+    validity mask, and the TEMPLATE-side Jacobian at the identity warp
+    (reflect101 central-difference gradients vanish at borders)."""
+    h, w = image_f.shape
+    perspective = motion_type == MotionType.Homography
+    if perspective:
+        imw = np.asarray(
+            warp.warp_perspective(
+                image_f, m3, (h, w), border_mode="constant",
+                border_value=0.0, inverse_map=True,
+            )
+        )
+    else:
+        imw = np.asarray(
+            warp.warp_affine(
+                image_f, m3[:2], (h, w), border_mode="constant",
+                border_value=0.0, inverse_map=True,
+            )
+        )
+    mask = np.asarray(
+        warp.warp_valid_mask(m3, (h, w), (h, w), inverse_map=True)
+    ).astype(np.float64)
+    t = np.asarray(tmpl, np.float64)
+    gtx = np.zeros_like(t)
+    gty = np.zeros_like(t)
+    gtx[:, 1:-1] = 0.5 * (t[:, 2:] - t[:, :-2])
+    gty[1:-1, :] = 0.5 * (t[2:, :] - t[:-2, :])
+    xs = np.arange(w, dtype=np.float64)[None, :] * np.ones((h, 1))
+    ys = np.arange(h, dtype=np.float64)[:, None] * np.ones((1, w))
+    if motion_type == MotionType.Translation:
+        jac = [gtx, gty]
+    elif motion_type == MotionType.Euclidean:
+        jac = [gty * xs - gtx * ys, gtx, gty]
+    elif motion_type == MotionType.Affine:
+        jac = [gtx * xs, gty * xs, gtx * ys, gty * ys, gtx, gty]
+    else:
+        s = xs * gtx + ys * gty
+        jac = [gtx * xs, gty * xs, -s * xs, gtx * ys, gty * ys, -s * ys,
+               gtx, gty]
+    p = len(jac)
+    jm = [j * mask for j in jac]
+    out = [
+        mask.sum(),
+        (mask * imw).sum(),
+        (mask * imw * imw).sum(),
+        (mask * t).sum(),
+        (mask * t * t).sum(),
+        (mask * t * imw).sum(),
+    ]
+    for a in range(p):
+        out.append((jm[a] * imw).sum())
+    for a in range(p):
+        out.append(jm[a].sum())
+    for a in range(p):
+        out.append((jm[a] * t).sum())
+    if with_hessian:
+        for a in range(p):
+            for b in range(a, p):
+                out.append((jm[a] * jac[b]).sum())
+    return np.asarray(out, np.float64)
+
+
+@pytest.mark.parametrize(
+    "motion,with_hessian",
+    [
+        (MotionType.Translation, True),
+        (MotionType.Euclidean, False),
+        (MotionType.Affine, True),
+        (MotionType.Homography, True),
+        (MotionType.Homography, False),
+    ],
+)
+def test_ic_moments_match_reference(motion, with_hessian):
+    rng = np.random.default_rng(57)  # local: keep the session rng stream
+    img, image_f, _, _ = _sources(rng)
+    h, w = img.shape
+    tmpl = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    rot = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), 0.8, 1.003)
+    rot[0, 2] += 2.25
+    rot[1, 2] -= 1.5
+    m3 = np.vstack([rot, [0, 0, 1]]).astype(np.float32)
+    if motion == MotionType.Translation:
+        m3 = np.eye(3, dtype=np.float32)
+        m3[0, 2], m3[1, 2] = 3.25, -2.5
+    perspective = motion == MotionType.Homography
+
+    got = np.asarray(
+        ecc_pallas.ecc_ic_iteration_moments(
+            image_f, jnp.asarray(tmpl)[None], jnp.asarray(m3)[None],
+            motion_type=motion, quant_affine=not perspective,
+            interpret=True, with_hessian=with_hessian,
+        )
+    )[0]
+    want = _reference_ic_moments(tmpl, image_f, m3, motion, with_hessian)
+    assert got.shape == want.shape
+    # same rounding-boundary tolerance story as the forward kernel test
+    np.testing.assert_allclose(got[:6], want[:6], rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-2)
+
+
+@pytest.mark.parametrize(
+    "motion", [MotionType.Translation, MotionType.Homography]
+)
+def test_ic_solve_matches_forward(monkeypatch, motion):
+    """mode='ic' (fused kernel, interpret) converges to the same warp
+    and correlation as the forward-additive solve: the two formulations
+    optimise the same ECC objective from opposite linearisation sides
+    (Baker-Matthews equivalence)."""
+    rng = np.random.default_rng(61)  # local: see note above
+    h, w = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 1.5
+    ).astype(np.uint8)
+    shifts = [(2.0, -1.0), (-1.75, 1.25)]
+    tmpls = []
+    for dx, dy in shifts:
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        tmpls.append(cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w])
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    templates = jnp.asarray(np.stack(tmpls), jnp.float32)
+    input_image = jnp.asarray(ref, jnp.float32)
+
+    res_fwd = ecc_ops.find_transform_ecc_batched(
+        templates, input_image, motion,
+        num_iters=50, eps=1e-5, gauss_filt_size=5,
+    )
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    res_ic = ecc_ops.find_transform_ecc_batched(
+        templates, input_image, motion,
+        num_iters=50, eps=1e-5, gauss_filt_size=5, mode="ic",
+    )
+    assert np.asarray(res_ic.ok).all()
+    wm = np.asarray(res_ic.warp_matrix)
+    truth = np.asarray(shifts, np.float32)
+    np.testing.assert_allclose(wm[:, :2, 2], truth, atol=0.05)
+    # the two linearisation sides stop at eps-close points of the same
+    # optimum; homography on smoothed noise is weakly constrained
+    # (near-flat optimum), so the warp cross-check is looser than the
+    # ground-truth check and equal quality is asserted through rho
+    np.testing.assert_allclose(
+        wm, np.asarray(res_fwd.warp_matrix), atol=0.06
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_ic.rho), np.asarray(res_fwd.rho), atol=1e-3
+    )
+
+
+def test_ic_divergence_guard_matches_forward_verdict(monkeypatch):
+    """A genuinely unalignable pair (large relative rotation about a
+    distant centre — cv2.findTransformECC aborts with 'correlation is
+    going to be minimized') must FAIL in IC mode too, not silently
+    settle at a junk stationary point with ok=True: the rho-monotonicity
+    guard freezes the diverging lane and the driver's rescue pass
+    restarts the exact forward solve from the ORIGINAL init, so the
+    final verdict matches forward mode (and OpenCV)."""
+    rng = np.random.default_rng(9)  # local rng (session stream is
+    # order-dependent, see tests/conftest.py note)
+    h, w = 480, 640
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 2.5
+    )
+
+    def frame(ang, dx, dy):
+        m = cv2.getRotationMatrix2D((w, h), ang, 1.0)
+        m[0, 2] += dx
+        m[1, 2] += dy
+        cur = cv2.warpAffine(base, m, (w * 2, h * 2), flags=cv2.INTER_LINEAR)
+        c = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w][:192, :512]
+        return c + rng.normal(0, 12, c.shape).astype(np.float32)
+
+    f0 = frame(-1.1, 3.0, -2.0)
+    f2 = frame(1.2, -4.0, 4.0)
+    tm, im = jnp.asarray(f2)[None], jnp.asarray(f0)
+    res_fwd = ecc_ops.find_transform_ecc_batched(
+        tm, im, MotionType.Euclidean, num_iters=60, eps=1e-4
+    )
+    assert not bool(np.asarray(res_fwd.ok)[0])  # cv2 aborts on this pair
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    res_ic = ecc_ops.find_transform_ecc_batched(
+        tm, im, MotionType.Euclidean, num_iters=60, eps=1e-4, mode="ic"
+    )
+    assert not bool(np.asarray(res_ic.ok)[0])
+    assert float(np.asarray(res_ic.rho)[0]) == -1.0
+
+
+def test_ic_solve_euclidean_rotation(monkeypatch):
+    """IC composition preserves the rigid structure: a small-rotation
+    Euclidean solve through mode='ic' recovers the ground-truth angle
+    and stays an exact rotation matrix."""
+    rng = np.random.default_rng(62)  # local: see note above
+    h, w = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 2.0
+    ).astype(np.float32)
+    ang_deg = 0.4
+    m = np.vstack(
+        [cv2.getRotationMatrix2D((w, h), ang_deg, 1.0), [0, 0, 1]]
+    ).astype(np.float32)
+    cur = cv2.warpPerspective(
+        base, m, (w * 2, h * 2),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+    )
+    tmpl = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    off = np.array([[1, 0, w // 2], [0, 1, h // 2], [0, 0, 1]], np.float32)
+    truth = (np.linalg.inv(off) @ m @ off)[:2]
+
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    res = ecc_ops.find_transform_ecc_batched(
+        jnp.asarray(tmpl)[None], jnp.asarray(ref), MotionType.Euclidean,
+        num_iters=60, eps=1e-5, gauss_filt_size=5, mode="ic",
+    )
+    assert bool(np.asarray(res.ok)[0])
+    got = np.asarray(res.warp_matrix)[0]
+    np.testing.assert_allclose(got, truth, atol=0.05)
+    # rigid structure: top-left 2x2 is an exact rotation block
+    r = got[:2, :2]
+    np.testing.assert_allclose(r @ r.T, np.eye(2), atol=1e-5)

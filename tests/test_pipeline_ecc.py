@@ -86,6 +86,39 @@ def test_ecc_match_scaled(rng):
     assert diff.max() < 0.05
 
 
+def test_ecc_match_ic_solver(monkeypatch):
+    """solver='ic' through the fused kernel (interpret mode) produces
+    the same stack as the default forward solver — pipeline-level check
+    of the inverse-compositional mode plumbing (params -> driver ->
+    kernel)."""
+    rng = np.random.default_rng(71)  # local rng: the session fixture's
+    # draws are order-dependent (see tests/conftest.py note)
+    frames = _make_burst(rng, n=3, h=192, w=512)
+    params_fwd = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=50, epsilon=1e-4,
+        gauss_filt_size=5,
+    )
+    want = ecc_match_arrays(frames, params_fwd)
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    params_ic = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=50, epsilon=1e-4,
+        gauss_filt_size=5, solver="ic",
+    )
+    got = ecc_match_arrays(frames, params_ic)
+    diff = np.abs(got[8:-8, 8:-8] - want[8:-8, 8:-8])
+    assert diff.max() < 0.02, f"max diff {diff.max()}"
+
+
+def test_ecc_params_solver_validated():
+    params = EccMatchParameters(
+        motion_type=MotionType.Translation, solver="banana"
+    )
+    with pytest.raises(InvalidParamsError, match="solver"):
+        params.validate()
+
+
 def test_ecc_match_scale_guards(rng):
     frames = _make_burst(rng)
     params = EccMatchParameters(motion_type=MotionType.Translation)
