@@ -37,7 +37,15 @@ def main():
     ap.add_argument("--w", type=int, default=3840)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--mode", choices=("forward", "ic", "ic_hessian"),
+                    default="forward",
+                    help="which fused-iteration kernel to time")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU interpret-mode smoke run (forces the cpu "
+                    "backend; timings are meaningless)")
     args = ap.parse_args()
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
 
     b, h, w = args.frames, args.h, args.w
     rng = np.random.default_rng(7)
@@ -48,13 +56,19 @@ def main():
     wp = ((w + 127) // 128) * 128
     srcs = np.zeros((3, hp, wp), np.float32)
     srcs[0, :h, :w], srcs[1, :h, :w], srcs[2, :h, :w] = img, gx, gy
-    templates = rng.random((b, h, w), np.float32)
+    templates = np.zeros((b, hp, wp), np.float32)
+    templates[:, :h, :w] = rng.random((b, h, w), np.float32)
     m3 = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
     m3[:, 0, 2] = rng.uniform(-3, 3, b)  # sub-band translations
     m3[:, 1, 2] = rng.uniform(-3, 3, b)
 
     srcs_d = jnp.asarray(srcs)
-    tmpl_d = jnp.asarray(templates)
+    # forward streams exact [B,h,w] template tiles; IC DMAs haloed
+    # windows from the (8,128)-pre-padded [B,hp,wp] array
+    tmpl_d = (
+        jnp.asarray(templates[:, :h, :w]) if args.mode == "forward"
+        else jnp.asarray(templates)
+    )
     m3_d = jnp.asarray(m3)
     log(f"uploaded {b}x{h}x{w} (k={args.k})")
 
@@ -63,9 +77,19 @@ def main():
     results = {}
     for tile in shapes:
         def run():
-            return ecc_pallas.ecc_iteration_moments(
-                srcs_d, tmpl_d, m3_d, motion_type=MotionType.Homography,
+            if args.mode == "forward":
+                return ecc_pallas.ecc_iteration_moments(
+                    srcs_d, tmpl_d, m3_d,
+                    motion_type=MotionType.Homography,
+                    k=args.k, tile=tile, true_hw=(h, w),
+                    interpret=args.interpret,
+                )
+            return ecc_pallas.ecc_ic_iteration_moments(
+                srcs_d[0], tmpl_d, m3_d,
+                motion_type=MotionType.Homography,
                 k=args.k, tile=tile, true_hw=(h, w),
+                with_hessian=(args.mode == "ic_hessian"),
+                interpret=args.interpret,
             )
 
         try:
