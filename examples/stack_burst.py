@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--no-phase-init", action="store_true",
                     help="disable the phase-correlation ECC warm start "
                     "(strict OpenCV iteration parity)")
+    ap.add_argument("--phase-init-rotation", action="store_true",
+                    help="also recover rotation/scale in the ECC warm "
+                    "start (log-polar magnitude correlation)")
     ap.add_argument("--ecc-solver", choices=("forward", "ic"),
                     default="forward",
                     help="ECC formulation: 'forward' = OpenCV's "
@@ -152,6 +155,7 @@ def main():
         epsilon=args.epsilon,
         gauss_filt_size=args.gauss_filt_size,
         phase_init=not args.no_phase_init,
+        phase_init_rotation=args.phase_init_rotation,
         solver=args.ecc_solver,
     )
 

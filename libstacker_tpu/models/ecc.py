@@ -220,7 +220,8 @@ def ecc_match_arrays(
         from ..ops import phasecorr
 
         warp_init = phasecorr.phase_init_warps(
-            grey[1:], grey[0], motion_type=params.motion_type
+            grey[1:], grey[0], motion_type=params.motion_type,
+            rotation=getattr(params, "phase_init_rotation", False),
         )
     result = ecc_ops.find_transform_ecc_batched(
         grey[1:],
@@ -375,7 +376,8 @@ def ecc_match_stream(
             from ..ops import phasecorr
 
             warp_init = phasecorr.phase_init_warps(
-                grey, ref_grey, motion_type=params.motion_type
+                grey, ref_grey, motion_type=params.motion_type,
+                rotation=getattr(params, "phase_init_rotation", False),
             )
         result = ecc_ops.find_transform_ecc_batched(
             grey,

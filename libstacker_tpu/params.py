@@ -119,6 +119,14 @@ class EccMatchParameters:
     #: (which always starts from the identity, src/lib.rs:769-777);
     #: set False for strict OpenCV iteration-count parity.
     phase_init: bool = True
+    #: Also recover each frame's rotation (and, for Affine/Homography,
+    #: uniform scale) in the warm start via log-polar magnitude
+    #: correlation (Reddy-Chatterji) before the translation pass.
+    #: Starts the solve inside the convergence basin for bursts with
+    #: real rotation; low-confidence estimates are gated back to the
+    #: translation-only init.  Beyond-reference capability; off by
+    #: default (adds one FFT + log-polar pass per burst).
+    phase_init_rotation: bool = False
     #: Solver formulation: 'forward' = OpenCV's forward-additive ECC
     #: (bit-faithful quantities); 'ic' = inverse-compositional — the
     #: template-side Jacobian Gram is computed once per frame and

@@ -104,6 +104,119 @@ def test_init_shapes_all_motion_types():
         assert abs(init[0, 1, 2] - 1.0) < 0.25
 
 
+def _rotated_pair(ang_deg, scale, dx, dy, h=256, w=320, seed=3):
+    """(ref, template, ground-truth W[:2]) with
+    template(x) = ref(W x) exactly (cv2 WARP_INVERSE_MAP about the
+    crop centre)."""
+    rng = np.random.default_rng(seed)
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    m = cv2.getRotationMatrix2D((w, h), ang_deg, scale)
+    m[0, 2] += dx
+    m[1, 2] += dy
+    m3 = np.vstack([m, [0, 0, 1]]).astype(np.float32)
+    cur = cv2.warpPerspective(
+        base, m3, (w * 2, h * 2),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+    )
+    tm = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    off = np.array([[1, 0, w // 2], [0, 1, h // 2], [0, 0, 1]], np.float32)
+    mc = np.linalg.inv(off) @ m3 @ off
+    return ref, tm, mc[:2]
+
+
+def test_rotscale_recovers_rotation_and_scale():
+    """Log-polar magnitude correlation (Reddy-Chatterji) recovers known
+    rotations and uniform scales — including the Fourier-reciprocity
+    direction of the scale axis."""
+    cases = [(2.0, 1.0), (-2.5, 1.0), (1.0, 1.04), (0.0, 0.96)]
+    ref = None
+    tms, truths = [], []
+    for ang, sc in cases:
+        ref, tm, w_true = _rotated_pair(ang, sc, 3.0, -2.0)
+        tms.append(tm)
+        truths.append(w_true)
+    theta, scale, resp = phasecorr.phase_correlate_rotscale(
+        jnp.asarray(np.stack(tms)), jnp.asarray(ref)
+    )
+    for i, tr in enumerate(truths):
+        th_true = np.arctan2(tr[1, 0], tr[0, 0])
+        sc_true = float(np.sqrt(np.linalg.det(tr[:2, :2])))
+        assert float(resp[i]) > 0.2, (i, float(resp[i]))
+        assert abs(float(theta[i]) - th_true) < 0.005, (i, theta[i], th_true)
+        assert abs(float(scale[i]) - sc_true) < 0.01, (i, scale[i], sc_true)
+
+
+def test_rotation_init_composes_full_warp():
+    """phase_init_warps(rotation=True) lands within ~0.5 px of the
+    ground-truth warp: rotation/scale about the centre composed with
+    the translation measured on the de-rotated template."""
+    cases = [(2.0, 1.0), (-2.5, 1.0), (1.0, 1.04)]
+    tms, truths = [], []
+    ref = None
+    for ang, sc in cases:
+        ref, tm, w_true = _rotated_pair(ang, sc, 3.0, -2.0)
+        tms.append(tm)
+        truths.append(w_true)
+    init = np.asarray(
+        phasecorr.phase_init_warps(
+            jnp.asarray(np.stack(tms)), jnp.asarray(ref),
+            MotionType.Affine, rotation=True,
+        )
+    )
+    for i, tr in enumerate(truths):
+        assert np.abs(init[i] - tr).max() < 0.6, (i, init[i], tr)
+
+
+def test_rotation_init_gates_garbage_estimates():
+    """Heavy per-frame noise on isotropic content makes the log-polar
+    estimate garbage (the expected spectrum is rotation-invariant); the
+    response gate must fall back to rotation-free init rather than
+    inject a wrong rotation."""
+    rng = np.random.default_rng(9)
+    h, w = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 2.5
+    )
+
+    def frame(ang):
+        m = cv2.getRotationMatrix2D((w, h), ang, 1.0)
+        cur = cv2.warpAffine(base, m, (w * 2, h * 2), flags=cv2.INTER_LINEAR)
+        c = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        return c + rng.normal(0, 12, c.shape).astype(np.float32)
+
+    tm, im = frame(1.2), frame(-1.1)
+    theta, scale, resp = phasecorr.phase_correlate_rotscale(
+        jnp.asarray(tm)[None], jnp.asarray(im)
+    )
+    init = np.asarray(
+        phasecorr.phase_init_warps(
+            jnp.asarray(tm)[None], jnp.asarray(im),
+            MotionType.Euclidean, rotation=True,
+        )
+    )
+    if float(resp[0]) < phasecorr._MIN_RS_RESPONSE:
+        # gated: linear part must be exactly the identity
+        np.testing.assert_array_equal(init[0, :2, :2], np.eye(2, dtype=np.float32))
+    else:
+        # if the estimator does see it, it must be roughly right
+        assert abs(float(theta[0]) - (-0.0401)) < 0.02
+
+
+def test_rotation_init_euclidean_forces_unit_scale():
+    ref, tm, _ = _rotated_pair(1.5, 1.0, 2.0, 1.0)
+    init = np.asarray(
+        phasecorr.phase_init_warps(
+            jnp.asarray(tm)[None], jnp.asarray(ref),
+            MotionType.Euclidean, rotation=True,
+        )
+    )
+    r = init[0, :2, :2]
+    np.testing.assert_allclose(r @ r.T, np.eye(2), atol=1e-5)
+
+
 def test_pipeline_phase_init_matches_identity_init():
     """ecc_match_arrays output with phase_init on == off (same converged
     warps, same stack) on a translated burst."""
