@@ -501,6 +501,34 @@ def test_ic_divergence_guard_matches_forward_verdict(monkeypatch):
     assert float(np.asarray(res_ic.rho)[0]) == -1.0
 
 
+def test_graph_path_forces_forward_under_ic_env(monkeypatch):
+    """find_transform_ecc_batched_graph has no XLA rescue stage, so it
+    must IGNORE mode='ic' (env or arg) and always run the forward
+    formulation — otherwise the sharded ecc_stack_step would fail easy
+    lanes whenever the IC divergence guard fires near convergence."""
+    rng = np.random.default_rng(77)  # local rng (session stream note)
+    h, w = 96, 128  # below the Pallas gate: exact XLA path, fast
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    m = np.array([[1, 0, 1.5], [0, 1, -0.75]], np.float32)
+    cur = cv2.warpAffine(
+        base, m, (w * 2, h * 2),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+    )
+    tmpl = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    monkeypatch.setenv("LIBSTACKER_ECC_MODE", "ic")
+    res = ecc_ops.find_transform_ecc_batched_graph(
+        jnp.asarray(tmpl)[None], jnp.asarray(ref), MotionType.Translation,
+        num_iters=50, eps=1e-5, mode="ic",
+    )
+    assert bool(np.asarray(res.ok)[0])
+    np.testing.assert_allclose(
+        np.asarray(res.warp_matrix)[0, :2, 2], [1.5, -0.75], atol=0.05
+    )
+
+
 def test_ic_solve_euclidean_rotation(monkeypatch):
     """IC composition preserves the rigid structure: a small-rotation
     Euclidean solve through mode='ic' recovers the ground-truth angle
