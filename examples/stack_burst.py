@@ -82,13 +82,14 @@ def main():
     ap.add_argument("--phase-init-rotation", action="store_true",
                     help="also recover rotation/scale in the ECC warm "
                     "start (log-polar magnitude correlation)")
-    ap.add_argument("--ecc-solver", choices=("forward", "ic"),
+    ap.add_argument("--ecc-solver", choices=("forward", "lazy", "ic"),
                     default="forward",
                     help="ECC formulation: 'forward' = OpenCV's "
-                    "forward-additive (bit-faithful); 'ic' = "
-                    "inverse-compositional (template Jacobian computed "
-                    "once, ~40%% cheaper per TPU iteration, same optimum "
-                    "within epsilon)")
+                    "forward-additive (bit-faithful); 'lazy' = forward "
+                    "with the Hessian computed once per frame and "
+                    "carried (same optimum, cheaper TPU iterations); "
+                    "'ic' = inverse-compositional (cheapest sweeps, "
+                    "biased on aliasing-prone content)")
     args = ap.parse_args()
 
     import jax.numpy as jnp

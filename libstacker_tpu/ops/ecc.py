@@ -152,14 +152,16 @@ def _compose_warp_ic(
     return new[:2]
 
 
-_ECC_MODES = ("forward", "ic")
+_ECC_MODES = ("forward", "lazy", "ic")
 
 
 def _ecc_mode_default() -> str:
     """Solver formulation: 'forward' (OpenCV's forward-additive ECC,
-    bit-faithful) or 'ic' (inverse-compositional — template-side
-    Jacobian computed once, ~40% cheaper per fused-kernel iteration,
-    converges to the same correlation optimum within eps-tolerance).
+    bit-faithful), 'lazy' (forward linearisation with the Jacobian Gram
+    computed once per lane and carried — 30 instead of 66 per-iteration
+    kernel reductions for homography, same fixed point) or 'ic'
+    (inverse-compositional — template-side Jacobian, cheapest sweeps
+    but biased on aliasing-prone content; see ops/ecc_pallas.py).
     Overridable via LIBSTACKER_ECC_MODE."""
     import os
 
@@ -440,6 +442,7 @@ def _ecc_loop_batched(
     perspective = motion_type == MotionType.Homography
     srcs = jnp.stack([image_f, gx, gy])  # [3,H,W] shared across lanes
     ic = use_pallas and mode == "ic"
+    lazy = use_pallas and mode == "lazy"
     tmpl_p = None
     if use_pallas:
         # the kernel uses one extent for both the output grid and the
@@ -599,17 +602,54 @@ def _ecc_loop_batched(
             # (exact identities, see ops/ecc_pallas.py docstring).
             from . import ecc_pallas
 
-            mom = ecc_pallas.ecc_iteration_moments(
-                srcs, templates_f, m3,
-                motion_type=motion_type, k=warp_k,
-                tile=_ecc_tile(),
+            kw = dict(
+                motion_type=motion_type, k=warp_k, tile=_ecc_tile(),
                 quant_affine=not perspective, true_hw=(hs, ws),
                 interpret=_ecc_interpret(), active=active,
             )
-            (n_raw, s_mi, s_mii, s_mt, s_mtt, s_mti,
-             hessian, j_i, j_m, j_mt) = ecc_pallas.unpack_moments(
-                mom, motion_type
-            )
+            if lazy:
+                # Lazy-Hessian forward: the Jacobian Gram varies by
+                # O(sub-pixel warp change) between iterations, so it is
+                # computed on each lane's first active iteration and
+                # CARRIED — the per-iteration sweep drops from 66 to 30
+                # reductions (homography).  Same forward linearisation
+                # and, because lambda is H-independent at the optimum
+                # (both lambda_n/lambda_d scale the same way for any
+                # positive-definite H there), the same fixed point; only
+                # the trajectory differs by a slightly different
+                # preconditioner.
+                hess_c, h_ok = extras
+                need_h = active & ~h_ok
+
+                def full_fn(_):
+                    mm = ecc_pallas.ecc_iteration_moments(
+                        srcs, templates_f, m3, with_hessian=True, **kw
+                    )
+                    o = ecc_pallas.unpack_moments(mm, motion_type, True)
+                    return o[:6] + o[7:], o[6]
+
+                def lite_fn(_):
+                    mm = ecc_pallas.ecc_iteration_moments(
+                        srcs, templates_f, m3, with_hessian=False, **kw
+                    )
+                    o = ecc_pallas.unpack_moments(mm, motion_type, False)
+                    return o[:6] + o[7:], jnp.zeros_like(hess_c)
+
+                (n_raw, s_mi, s_mii, s_mt, s_mtt, s_mti, j_i, j_m,
+                 j_mt), hess_new = jax.lax.cond(
+                    jnp.any(need_h), full_fn, lite_fn, None
+                )
+                hess_c = jnp.where(need_h[:, None, None], hess_new, hess_c)
+                extras = (hess_c, h_ok | active)
+                hessian = hess_c
+            else:
+                mom = ecc_pallas.ecc_iteration_moments(
+                    srcs, templates_f, m3, with_hessian=True, **kw
+                )
+                (n_raw, s_mi, s_mii, s_mt, s_mtt, s_mti,
+                 hessian, j_i, j_m, j_mt) = ecc_pallas.unpack_moments(
+                    mom, motion_type
+                )
             n = jnp.maximum(n_raw, 1.0)
             img_mean = s_mi / n
             img_std = jnp.sqrt(jnp.maximum(s_mii / n - img_mean**2, 0.0))
@@ -691,6 +731,14 @@ def _ecc_loop_batched(
             failed = failed | domain_bad
         else:
             domain_bad = jnp.zeros_like(failed)
+        # NOTE: lazy mode deliberately carries NO rho-monotonicity
+        # guard: the exact forward trajectory itself oscillates on
+        # aliasing-prone content (measured: rho 0.96 -> 0.83 -> 0.85...
+        # on double-resampled synthetic frames, with OpenCV returning
+        # whatever iterate termination lands on), and lazy shares
+        # forward's fixed point — a guard would only re-route lanes
+        # through a redundant rescue.  Mode='ic' keeps its guard because
+        # its fixed point is genuinely biased on such content.
         lam = lambda_n / jnp.where(lambda_d == 0.0, 1.0, lambda_d)
 
         # err = lam * template_zm - image_zm, so its Jacobian projection
@@ -757,11 +805,11 @@ def _ecc_prepare_templates_jit(
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),  # esc: lane failed on a domain check
     )
-    if mode == "ic":
+    if mode in ("ic", "lazy"):
         p = motion_type.num_params
         carry = carry + (
-            jnp.zeros((n, p, p), jnp.float32),  # carried template Hessian
-            jnp.zeros((n,), bool),  # h_ok: Hessian computed for this lane
+            jnp.zeros((n, p, p), jnp.float32),  # carried Jacobian Gram
+            jnp.zeros((n,), bool),  # h_ok: Gram computed for this lane
         )
     return templates_f, carry
 
@@ -1001,11 +1049,11 @@ def find_transform_ecc_batched(
             for gi in rescue:
                 g = groups[gi]
                 bad = ~g.carry[4]
-                if mode == "ic":
-                    # a lane the IC divergence guard froze holds a
+                if mode in ("ic", "lazy"):
+                    # a lane the divergence guard froze holds a
                     # mid-divergence iterate, not a meaningful warm
                     # start: restart the exact forward rescue from the
-                    # ORIGINAL init so IC-mode verdicts on pathological
+                    # ORIGINAL init so ic/lazy verdicts on pathological
                     # lanes match forward-mode (and OpenCV's) verdicts
                     g.carry = (
                         jnp.where(bad[:, None, None], g.m_init, g.carry[0]),

@@ -17,10 +17,12 @@ image: per (lane, tile) grid step it
   Gram sums — accumulated into a tiny per-lane SMEM vector:
 
     [ n, S(m*i), S(m*i^2), S(m*t), S(m*t^2), S(m*t*i),
-      H_pq (upper tri, P(P+1)/2), S(jac_p*i) (P), S(jac_p*m) (P),
-      S(jac_p*m*t) (P) ]
+      S(jac_p*i) (P), S(jac_p*m) (P), S(jac_p*m*t) (P)
+      [, H_pq upper tri (P(P+1)/2) when with_hessian] ]
 
-  (66 scalars for homography).  Nothing image-sized ever returns to
+  (66 scalars for homography; 30 in the lazy-Hessian mode that carries
+  H across iterations — see ops/ecc.py mode='lazy').  Nothing
+  image-sized ever returns to
   HBM; per iteration the only HBM traffic is the 3 source windows and
   the streamed template tiles.
 
@@ -52,10 +54,17 @@ from ..params import MotionType
 from .warp_pallas import compute_source_coords, compute_window_origin
 
 
-def moments_layout(motion_type: MotionType) -> Tuple[int, int]:
-    """(n_params, n_out) for the moments vector of a motion model."""
+def moments_layout(
+    motion_type: MotionType, with_hessian: bool = True
+) -> Tuple[int, int]:
+    """(n_params, n_out) for the moments vector of a motion model.
+    ``with_hessian=False`` drops the Jacobian-Gram upper triangle (the
+    lazy-Hessian forward mode carries H instead of recomputing it)."""
     p = motion_type.num_params
-    return p, 6 + p * (p + 1) // 2 + 3 * p
+    n = 6 + 3 * p
+    if with_hessian:
+        n += p * (p + 1) // 2
+    return p, n
 
 
 def _jac_tile_fields(motion_type, gxw, gyw, xs, ys, sx, sy, inv_den, m):
@@ -98,6 +107,7 @@ def _moments_kernel(
     motion_type: MotionType,
     quant_affine: bool,
     n_out: int,
+    with_hessian: bool,
 ):
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -133,14 +143,14 @@ def _moments_kernel(
             b=b, ti=ti, tj=tj, y0=y0, x0=x0, wh=wh, ww=ww,
             th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
             motion_type=motion_type, quant_affine=quant_affine,
-            n_out=n_out,
+            n_out=n_out, with_hessian=with_hessian,
         )
 
 
 def _moments_tile_body(
     m_ref, srcs_ref, tmpl_ref, out_ref, scratch, sem,
     *, b, ti, tj, y0, x0, wh, ww, th, tw, k, h, w, hp, wp,
-    motion_type, quant_affine, n_out,
+    motion_type, quant_affine, n_out, with_hessian,
 ):
     m = [m_ref[b, i] for i in range(9)]
     r0, c0, r0_ideal, c0_ideal = compute_window_origin(
@@ -241,14 +251,15 @@ def _moments_tile_body(
         jnp.sum(mt * imw),
     ]
     for a in range(p):
-        for bq in range(a, p):
-            partials.append(jnp.sum(jac[a] * jac[bq]))
-    for a in range(p):
         partials.append(jnp.sum(jac[a] * imw))
     for a in range(p):
         partials.append(jnp.sum(jac[a] * mask))
     for a in range(p):
         partials.append(jnp.sum(jac[a] * mt))
+    if with_hessian:
+        for a in range(p):
+            for bq in range(a, p):
+                partials.append(jnp.sum(jac[a] * jac[bq]))
     assert len(partials) == n_out
 
     for idx, val in enumerate(partials):
@@ -259,6 +270,7 @@ def _moments_tile_body(
     jax.jit,
     static_argnames=(
         "motion_type", "k", "tile", "quant_affine", "interpret", "true_hw",
+        "with_hessian",
     ),
 )
 def ecc_iteration_moments(
@@ -272,6 +284,7 @@ def ecc_iteration_moments(
     interpret: bool = False,
     true_hw: Optional[Tuple[int, int]] = None,
     active: Optional[jnp.ndarray] = None,
+    with_hessian: bool = True,
 ) -> jnp.ndarray:
     """One fused ECC iteration sweep -> [B, n_out] raw moments.
 
@@ -309,7 +322,7 @@ def ecc_iteration_moments(
         raise ValueError(f"k={k} outside the supported band (1..40)")
     if hp < wh or wp < ww:
         raise ValueError(f"image {h}x{w} too small for window {wh}x{ww}")
-    n_params, n_out = moments_layout(motion_type)
+    n_params, n_out = moments_layout(motion_type, with_hessian)
     ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
     mflat = m3.reshape(b, 9).astype(jnp.float32)
     act = (
@@ -324,6 +337,7 @@ def ecc_iteration_moments(
         _moments_kernel,
         th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
         motion_type=motion_type, quant_affine=quant_affine, n_out=n_out,
+        with_hessian=with_hessian,
     )
     return pl.pallas_call(
         kernel,
@@ -354,22 +368,25 @@ def ecc_iteration_moments(
     )(params, srcs.astype(jnp.float32), templates.astype(jnp.float32))
 
 
-def unpack_moments(mom: jnp.ndarray, motion_type: MotionType):
+def unpack_moments(
+    mom: jnp.ndarray, motion_type: MotionType, with_hessian: bool = True
+):
     """[B, n_out] moments -> (n_raw, s_mi, s_mii, s_mt, s_mtt, s_mti,
-    hessian [B,P,P], j_i [B,P], j_m [B,P], j_mt [B,P])."""
+    hessian [B,P,P] (or None), j_i [B,P], j_m [B,P], j_mt [B,P])."""
     p = motion_type.num_params
     n_raw = mom[:, 0]
     s_mi, s_mii, s_mt, s_mtt, s_mti = (mom[:, i] for i in range(1, 6))
-    n_tri = p * (p + 1) // 2
-    tri = mom[:, 6 : 6 + n_tri]
-    rows, cols = jnp.triu_indices(p)
-    hess = jnp.zeros((mom.shape[0], p, p), mom.dtype)
-    hess = hess.at[:, rows, cols].set(tri)
-    hess = hess.at[:, cols, rows].set(tri)
-    o = 6 + n_tri
-    j_i = mom[:, o : o + p]
-    j_m = mom[:, o + p : o + 2 * p]
-    j_mt = mom[:, o + 2 * p : o + 3 * p]
+    j_i = mom[:, 6 : 6 + p]
+    j_m = mom[:, 6 + p : 6 + 2 * p]
+    j_mt = mom[:, 6 + 2 * p : 6 + 3 * p]
+    hess = None
+    if with_hessian:
+        o = 6 + 3 * p
+        tri = mom[:, o : o + p * (p + 1) // 2]
+        rows, cols = jnp.triu_indices(p)
+        hess = jnp.zeros((mom.shape[0], p, p), mom.dtype)
+        hess = hess.at[:, rows, cols].set(tri)
+        hess = hess.at[:, cols, rows].set(tri)
     return n_raw, s_mi, s_mii, s_mt, s_mtt, s_mti, hess, j_i, j_m, j_mt
 
 

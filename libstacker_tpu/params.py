@@ -128,12 +128,14 @@ class EccMatchParameters:
     #: default (adds one FFT + log-polar pass per burst).
     phase_init_rotation: bool = False
     #: Solver formulation: 'forward' = OpenCV's forward-additive ECC
-    #: (bit-faithful quantities); 'ic' = inverse-compositional — the
-    #: template-side Jacobian Gram is computed once per frame and
-    #: carried, making each fused-kernel iteration ~40% cheaper on TPU
-    #: and converging to the same correlation optimum within epsilon
-    #: (Baker-Matthews equivalence).  Beyond-reference capability; the
-    #: CPU/XLA fallback always runs the exact forward formulation.
+    #: (bit-faithful quantities); 'lazy' = forward linearisation with
+    #: the Jacobian Gram computed once per frame and carried (30 vs 66
+    #: per-iteration kernel reductions for homography, same fixed
+    #: point); 'ic' = inverse-compositional (template-side Jacobian,
+    #: cheapest sweeps, but biased on aliasing-prone resampled content
+    #: — diverging lanes finish on the exact forward rescue).
+    #: Beyond-reference capabilities; the CPU/XLA fallback always runs
+    #: the exact forward formulation.
     solver: str = "forward"
 
     def resolve_criteria(self) -> Tuple[int, float]:
@@ -156,7 +158,8 @@ class EccMatchParameters:
             )
         if self.max_count is not None and self.max_count < 1:
             raise InvalidParamsError(f"max_count must be >= 1, got {self.max_count}")
-        if self.solver not in ("forward", "ic"):
+        if self.solver not in ("forward", "lazy", "ic"):
             raise InvalidParamsError(
-                f"solver must be 'forward' or 'ic', got {self.solver!r}"
+                f"solver must be 'forward', 'lazy' or 'ic', "
+                f"got {self.solver!r}"
             )

@@ -73,14 +73,14 @@ def _reference_moments(tmpl, image_f, gx, gy, m3, motion_type):
         (mask * tmpl * imw).sum(),
     ]
     for a in range(p):
-        for b in range(a, p):
-            out.append((jac[a] * jac[b]).sum())
-    for a in range(p):
         out.append((jac[a] * imw).sum())
     for a in range(p):
         out.append((jac[a] * mask).sum())
     for a in range(p):
         out.append((jac[a] * mask * tmpl).sum())
+    for a in range(p):
+        for b in range(a, p):
+            out.append((jac[a] * jac[b]).sum())
     return np.asarray(out, np.float64)
 
 
@@ -499,6 +499,63 @@ def test_ic_divergence_guard_matches_forward_verdict(monkeypatch):
     )
     assert not bool(np.asarray(res_ic.ok)[0])
     assert float(np.asarray(res_ic.rho)[0]) == -1.0
+
+
+def test_lazy_hessian_solve_matches_forward_no_rescue(monkeypatch):
+    """mode='lazy' (forward linearisation, Jacobian Gram carried from
+    each lane's first iteration) converges to the forward solution
+    WITHOUT tripping the divergence guard — no XLA rescue dispatch —
+    on bench-style content where mode='ic' pays the rescue."""
+    rng = np.random.default_rng(83)  # local rng (session stream note)
+    h, w = 192, 512
+    pad = 32
+    base = rng.integers(0, 256, size=(h + 2 * pad, w + 2 * pad),
+                        dtype=np.uint8)
+    base = cv2.GaussianBlur(base.astype(np.float32), (0, 0), 6.0)
+    ref = base[pad : pad + h, pad : pad + w]
+    tmpls = []
+    for ang, dx, dy in [(0.3, 2.0, -3.0), (-0.4, -1.5, 1.0)]:
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), ang, 1.0)
+        m[0, 2] += dx
+        m[1, 2] += dy
+        cur = cv2.warpAffine(
+            base, m, (w + 2 * pad, h + 2 * pad),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        tmpls.append(cur[pad : pad + h, pad : pad + w])
+    tm = jnp.asarray(np.stack(tmpls))
+    im = jnp.asarray(ref)
+
+    res_fwd = ecc_ops.find_transform_ecc_batched(
+        tm, im, MotionType.Homography, num_iters=50, eps=1e-4,
+    )
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    calls = []
+    orig = ecc_ops._ecc_slab_jit
+
+    def spy(*a, **kw):
+        calls.append(kw.get("use_pallas"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ecc_ops, "_ecc_slab_jit", spy)
+    res_lazy = ecc_ops.find_transform_ecc_batched(
+        tm, im, MotionType.Homography, num_iters=50, eps=1e-4,
+        mode="lazy",
+    )
+    assert np.asarray(res_lazy.ok).all()
+    assert all(calls), f"lazy mode dispatched an XLA rescue: {calls}"
+    # forward's own trajectory oscillates on this resampled content
+    # (OpenCV returns whatever iterate termination lands on), so the
+    # stale-H trajectory legitimately stops at a slightly different
+    # iterate of the same basin: assert solution QUALITY, not identity
+    np.testing.assert_allclose(
+        np.asarray(res_lazy.warp_matrix),
+        np.asarray(res_fwd.warp_matrix), atol=0.5,
+    )
+    assert (
+        np.asarray(res_lazy.rho) >= np.asarray(res_fwd.rho) - 5e-3
+    ).all(), (res_lazy.rho, res_fwd.rho)
 
 
 def test_graph_path_forces_forward_under_ic_env(monkeypatch):
