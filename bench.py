@@ -328,6 +328,8 @@ def main():
         baseline_fps = bl.get(key)
     vs = (fps / baseline_fps) if baseline_fps else None
 
+    from libstacker_tpu.ops.ecc import _ecc_mode_default
+
     out = {
         "metric": f"ecc_homography_{N_FRAMES}f_{H}x{W}_align_stack",
         "value": round(fps, 3),
@@ -335,6 +337,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "warmup_s": round(warmup_s, 1),
         "stages": stage,
+        "ecc_mode": _ecc_mode_default(),
     }
     if parity is not None:
         out["kernel_parity_ok"] = parity["ok"]
