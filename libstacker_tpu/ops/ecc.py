@@ -293,20 +293,20 @@ def find_transform_ecc_batched_graph(
     single long-running programs) and rescues escaped lanes on the
     exact XLA path.
 
-    ``mode`` is accepted for signature parity but the in-graph solve
-    always runs the forward formulation (see the comment below)."""
-    # The in-graph path always runs the FORWARD formulation: it has no
-    # XLA rescue stage, and the IC mode relies on one — the
-    # inverse-compositional linearisation resamples the TEMPLATE while
-    # the evaluated rho resamples the INPUT, and on aliasing-prone
-    # content (double-bilinear-resampled frames) the two disagree at
-    # sub-pixel scales, tripping the rho-monotonicity guard near
-    # convergence.  The host driver (find_transform_ecc_batched)
-    # finishes such lanes on the exact forward path; in-graph there is
-    # nowhere to send them, so 'ic' here would fail easy lanes.
-    if mode is not None and mode not in _ECC_MODES:
+    ``mode``: 'forward' or 'lazy' run as requested; 'ic' is DOWNGRADED
+    to 'forward' here — the in-graph solve has no XLA rescue stage, and
+    IC relies on one (its template-resampled linearisation disagrees
+    with the input-resampled rho on aliasing-prone content, tripping
+    the divergence guard near convergence; the host driver finishes
+    such lanes on the exact forward path, in-graph there is nowhere to
+    send them).  'lazy' shares forward's fixed point and needs no
+    rescue, so it is safe under shard_map."""
+    if mode is None:
+        mode = _ecc_mode_default()
+    if mode not in _ECC_MODES:
         raise ValueError(f"mode must be one of {_ECC_MODES}, got {mode!r}")
-    mode = "forward"
+    if mode == "ic":
+        mode = "forward"
     templates_f, image_f, gx, gy = _prepare_inputs(
         templates, input_image, gauss_filt_size
     )
@@ -336,6 +336,12 @@ def find_transform_ecc_batched_graph(
         m, rho, _, it, ok, _ = final[:6]
         return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
 
+    if mode == "lazy":
+        p = motion_type.num_params
+        carry = carry + (
+            jnp.zeros((n, p, p), jnp.float32) + vzero,  # carried Gram
+            jnp.zeros((n,), bool) | (vzero != 0.0),  # h_ok
+        )
     for ki, k in enumerate(_K_LADDER):
         if ki > 0:
             # warm-start ONLY the domain-escalated lanes at the wider

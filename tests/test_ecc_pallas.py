@@ -560,9 +560,10 @@ def test_lazy_hessian_solve_matches_forward_no_rescue(monkeypatch):
 
 def test_graph_path_forces_forward_under_ic_env(monkeypatch):
     """find_transform_ecc_batched_graph has no XLA rescue stage, so it
-    must IGNORE mode='ic' (env or arg) and always run the forward
-    formulation — otherwise the sharded ecc_stack_step would fail easy
-    lanes whenever the IC divergence guard fires near convergence."""
+    must DOWNGRADE mode='ic' (env or arg) to the forward formulation —
+    otherwise the sharded ecc_stack_step would fail easy lanes whenever
+    the IC divergence guard fires near convergence.  (mode='lazy' needs
+    no rescue and stays available in-graph.)"""
     rng = np.random.default_rng(77)  # local rng (session stream note)
     h, w = 96, 128  # below the Pallas gate: exact XLA path, fast
     base = cv2.GaussianBlur(
