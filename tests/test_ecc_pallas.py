@@ -558,6 +558,38 @@ def test_lazy_hessian_solve_matches_forward_no_rescue(monkeypatch):
     ).all(), (res_lazy.rho, res_fwd.rho)
 
 
+@pytest.mark.parametrize(
+    "motion", [MotionType.Translation, MotionType.Euclidean,
+               MotionType.Affine]
+)
+def test_lazy_solve_recovers_truth_all_motions(monkeypatch, motion):
+    """mode='lazy' recovers ground-truth shifts across motion models
+    (the carried-Gram variants of every Jacobian layout)."""
+    rng = np.random.default_rng(89)  # local rng (session stream note)
+    h, w = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 1.5
+    ).astype(np.uint8)
+    m = np.array([[1, 0, 2.0], [0, 1, -1.0]], np.float32)
+    cur = cv2.warpAffine(
+        base, m, (w * 2, h * 2),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+    )
+    tmpl = cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    res = ecc_ops.find_transform_ecc_batched(
+        jnp.asarray(tmpl)[None].astype(jnp.float32),
+        jnp.asarray(ref).astype(jnp.float32),
+        motion, num_iters=50, eps=1e-5, mode="lazy",
+    )
+    assert bool(np.asarray(res.ok)[0])
+    np.testing.assert_allclose(
+        np.asarray(res.warp_matrix)[0, :2, 2], [2.0, -1.0], atol=0.05
+    )
+
+
 def test_graph_path_forces_forward_under_ic_env(monkeypatch):
     """find_transform_ecc_batched_graph has no XLA rescue stage, so it
     must DOWNGRADE mode='ic' (env or arg) to the forward formulation —
