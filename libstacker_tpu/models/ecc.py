@@ -87,7 +87,8 @@ def _ecc_grey_jit(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("motion_type", "scale_hw", "allow_pallas", "pallas_k"),
+    static_argnames=("motion_type", "scale_hw", "allow_pallas", "pallas_k",
+                     "pallas_tile_rows"),
 )
 def _ecc_warp_accumulate_jit(
     frames_u8: jnp.ndarray,
@@ -97,6 +98,7 @@ def _ecc_warp_accumulate_jit(
     scale_hw: Optional[tuple] = None,
     allow_pallas: bool = True,
     pallas_k: int = 7,
+    pallas_tile_rows: int = 128,
 ):
     """Stage 3: rescale warps if estimated on scaled greys
     (ref src/lib.rs:941-958), warp every frame onto frame 0's grid
@@ -115,23 +117,25 @@ def _ecc_warp_accumulate_jit(
     return frames_f32[0] + warp_accumulate_rgb(
         frames_f32[1:], warps, oks, perspective=perspective,
         allow_pallas=allow_pallas, pallas_k=pallas_k,
+        pallas_tile_rows=pallas_tile_rows,
     )
 
 
 def _warp_pick_k_host(
     warps, oks, motion_type: MotionType, scale_hw, full_hw
-) -> Optional[int]:
+):
     """Host-side Pallas dispatch decision for stage 3: adjust the kept
     lanes' warps for scale exactly like the jitted stage will, then pick
-    the smallest kernel band covering them (None -> XLA path; see
-    ops.warp_batch.pallas_pick_k)."""
+    the cheapest kernel (k, tile_rows) config covering them (None ->
+    XLA path; see ops.warp_batch.pallas_pick_config — the tile-shrink
+    rungs keep large legitimate rotations at kernel speed)."""
     from ..ops import warp_batch
 
     m = np.asarray(jax.device_get(warps), np.float64)
     ok = np.asarray(oks)
     m = m[ok]
     if m.shape[0] == 0:
-        return warp_batch.pallas_pick_k(m[:0], full_hw[0], full_hw[1])
+        return warp_batch.pallas_pick_config(m[:0], full_hw[0], full_hw[1])
     if scale_hw is not None:
         sx = full_hw[1] / scale_hw[1]
         sy = full_hw[0] / scale_hw[0]
@@ -140,7 +144,7 @@ def _warp_pick_k_host(
         if motion_type == MotionType.Homography:
             m[:, 2, 0] /= sx
             m[:, 2, 1] /= sy
-    return warp_batch.pallas_pick_k(m, full_hw[0], full_hw[1])
+    return warp_batch.pallas_pick_config(m, full_hw[0], full_hw[1])
 
 
 def ecc_stack_step_graph(
@@ -247,10 +251,10 @@ def ecc_match_arrays(
             motion_type=params.motion_type, scale_hw=scale_hw,
             allow_pallas=True, pallas_k=1,
         )
-    warp_k = _warp_pick_k_host(
+    cfg = _warp_pick_k_host(
         result.warp_matrix, result.ok, params.motion_type, scale_hw, (h, w)
     )
-    if speculate and warp_k == 1:
+    if speculate and cfg == (1, 128):
         stacked_sum = spec_sum
     else:
         stacked_sum = _ecc_warp_accumulate_jit(
@@ -259,8 +263,9 @@ def ecc_match_arrays(
             result.ok,
             motion_type=params.motion_type,
             scale_hw=scale_hw,
-            allow_pallas=warp_k is not None,
-            pallas_k=warp_k or 7,
+            allow_pallas=cfg is not None,
+            pallas_k=cfg[0] if cfg else 7,
+            pallas_tile_rows=cfg[1] if cfg else 128,
         )
     ok = np.asarray(result.ok)
     stats = None
@@ -391,7 +396,7 @@ def ecc_match_stream(
         )
         real = jnp.arange(chunk_size) < n_real
         ok_lane = result.ok & real
-        warp_k = _warp_pick_k_host(
+        cfg = _warp_pick_k_host(
             result.warp_matrix, ok_lane, params.motion_type, scale_hw,
             (h, w),
         )
@@ -403,8 +408,9 @@ def ecc_match_stream(
         acc = acc + warp_accumulate_rgb(
             color.u8_to_f32(frames_j), warps, ok_lane,
             perspective=params.motion_type == MotionType.Homography,
-            allow_pallas=warp_k is not None,
-            pallas_k=warp_k or 7,
+            allow_pallas=cfg is not None,
+            pallas_k=cfg[0] if cfg else 7,
+            pallas_tile_rows=cfg[1] if cfg else 128,
         )
         all_ok.append(np.asarray(result.ok)[:n_real])
 

@@ -157,7 +157,8 @@ def _match_and_estimate(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "border_mode", "scale_hw", "allow_pallas", "pallas_k", "apron"
+        "border_mode", "scale_hw", "allow_pallas", "pallas_k", "apron",
+        "pallas_tile_rows",
     ),
 )
 def _warp_and_accumulate_chunk(
@@ -170,6 +171,7 @@ def _warp_and_accumulate_chunk(
     allow_pallas: bool = True,
     pallas_k: int = 7,
     apron: int = 0,
+    pallas_tile_rows: int = 128,
 ):
     """Rescale the homographies if estimated on scaled frames,
     perspective-warp every frame to the reference grid, masked sum
@@ -200,11 +202,13 @@ def _warp_and_accumulate_chunk(
             frames_f32, hs, oks, perspective=True,
             border_value=jnp.zeros(3) if border == "transparent" else bv,
             allow_pallas=allow_pallas, pallas_k=pallas_k,
+            pallas_tile_rows=pallas_tile_rows,
         )
     warped = warp_frames_batch(
         frames_f32, hs, perspective=True, border_value=bv,
         allow_pallas=allow_pallas, pallas_k=pallas_k,
         border_mode=border_mode, apron=apron,
+        pallas_tile_rows=pallas_tile_rows,
     )
     valid = oks.astype(jnp.float32)[:, None, None, None]
     return jnp.sum(warped * valid, axis=0)
@@ -213,7 +217,8 @@ def _warp_and_accumulate_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "border_mode", "scale_hw", "allow_pallas", "pallas_k", "apron"
+        "border_mode", "scale_hw", "allow_pallas", "pallas_k", "apron",
+        "pallas_tile_rows",
     ),
 )
 def _warp_and_accumulate(
@@ -226,35 +231,40 @@ def _warp_and_accumulate(
     allow_pallas: bool = True,
     pallas_k: int = 7,
     apron: int = 0,
+    pallas_tile_rows: int = 128,
 ):
     """Stage 3 for the whole-burst path: frame 0 plus the masked sum of
     the aligned frames 1..N-1."""
     return color.u8_to_f32(frames_u8[0]) + _warp_and_accumulate_chunk(
         frames_u8[1:], hs, oks, border_mode, border_value,
         scale_hw=scale_hw, allow_pallas=allow_pallas, pallas_k=pallas_k,
-        apron=apron,
+        apron=apron, pallas_tile_rows=pallas_tile_rows,
     )
 
 
 def _pallas_warp_dispatch(kept_hs, h: int, w: int, border_mode: int):
-    """Host-side stage-3 dispatch: pick the kernel band covering every
-    kept homography, plus the source apron when the border mode is an
-    index-mapping one.  -> (warp_k or None, apron)."""
-    warp_k = warp_batch.pallas_pick_k(kept_hs, h, w)
+    """Host-side stage-3 dispatch: pick the cheapest kernel
+    (k, tile_rows) config covering every kept homography (the
+    tile-shrink rungs keep large legitimate rotations at kernel speed),
+    plus the source apron when the border mode is an index-mapping one.
+    -> ((k, tile_rows) or None, apron)."""
+    cfg = warp_batch.pallas_pick_config(kept_hs, h, w)
     apron = 0
-    if warp_k is not None:
+    if cfg is not None:
         border = constants.border_mode_name(border_mode)
         if border in warp_batch._PAD_MODES:
-            apron = warp_batch.pallas_required_apron(kept_hs, h, w, warp_k)
+            apron = warp_batch.pallas_required_apron(
+                kept_hs, h, w, cfg[0], tile=(cfg[1], 128)
+            )
             if apron is None:
-                warp_k, apron = None, 0
+                cfg, apron = None, 0
             else:
                 # apron is data-dependent but feeds a jit static arg:
                 # quantise up to a power of two so the compile cache
                 # holds at most ~7 variants instead of one per burst
                 # (recompiles are multi-minute on TPU)
                 apron = max(8, 1 << (apron - 1).bit_length())
-    return warp_k, apron
+    return cfg, apron
 
 
 def keypoint_match_arrays(
@@ -341,8 +351,8 @@ def keypoint_match_arrays(
         hs_np[:, 2, 0] /= sx
         hs_np[:, 2, 1] /= sy
     kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
-    warp_k, apron = _pallas_warp_dispatch(kept_hs, h, w, params.border_mode)
-    if speculate and warp_k == 1:
+    cfg, apron = _pallas_warp_dispatch(kept_hs, h, w, params.border_mode)
+    if speculate and cfg == (1, 128):
         stacked_sum = spec_sum
     else:
         stacked_sum = _warp_and_accumulate(
@@ -352,8 +362,9 @@ def keypoint_match_arrays(
             border_mode=params.border_mode,
             border_value=tuple(params.border_value),
             scale_hw=scale_hw,
-            allow_pallas=warp_k is not None,
-            pallas_k=warp_k or 7,
+            allow_pallas=cfg is not None,
+            pallas_k=cfg[0] if cfg else 7,
+            pallas_tile_rows=cfg[1] if cfg else 128,
             apron=apron,
         )
     oks = oks_np
@@ -484,10 +495,10 @@ def keypoint_match_stream(
             hs_np[:, 2, 0] /= sx
             hs_np[:, 2, 1] /= sy
         kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
-        warp_k, apron = _pallas_warp_dispatch(
+        cfg, apron = _pallas_warp_dispatch(
             kept_hs, h, w, params.border_mode
         )
-        if speculate and warp_k == 1:
+        if speculate and cfg == (1, 128):
             acc = acc + spec_sum
         else:
             acc = acc + _warp_and_accumulate_chunk(
@@ -497,8 +508,9 @@ def keypoint_match_stream(
                 border_mode=params.border_mode,
                 border_value=tuple(params.border_value),
                 scale_hw=scale_hw,
-                allow_pallas=warp_k is not None,
-                pallas_k=warp_k or 7,
+                allow_pallas=cfg is not None,
+                pallas_k=cfg[0] if cfg else 7,
+                pallas_tile_rows=cfg[1] if cfg else 128,
                 apron=apron,
             )
         all_ok.append(oks_np[:n_real])

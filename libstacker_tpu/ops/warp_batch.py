@@ -64,18 +64,50 @@ def _warp_interpret() -> bool:
     return bool(os.environ.get("LIBSTACKER_WARP_INTERPRET"))
 
 
+# (k, tile_rows) dispatch ladder.  The kernel's correctness domain is
+# a (k + 0.5)-px bound on IN-TILE warp-field variation, which for a
+# rotation scales with the tile half-diagonal — so after the tap-loop
+# band is exhausted at the standard 128x128 tile (~4.7 deg at 4K),
+# SHRINKING THE TILE ROWS extends kernel-speed coverage (columns are
+# pinned to 128 by the Mosaic lane tiling): (15, 64) reaches ~12 deg,
+# (23, 32) ~20 deg, (40, 32) ~34 deg.  Each rung costs more (taps are
+# O((2k+4)^2), smaller tiles amplify the window DMA) but the last rung
+# is still ~an order of magnitude faster than the XLA-gather fallback
+# at 4K.  Addresses the large-legitimate-motion cliff (reference runs
+# arbitrary homographies at full speed, src/lib.rs:291-299).
+_CONFIG_LADDER = (
+    (1, 128), (3, 128), (7, 128),
+    (15, 64), (23, 32), (40, 32),
+)
+
+
+def pallas_pick_config(mats, h: int, w: int, configs=_CONFIG_LADDER):
+    """Cheapest (k, tile_rows) rung whose kernel domain covers EVERY
+    forward matrix, or ``None`` when none does (XLA-gather fallback)."""
+    hp = ((h + 7) // 8) * 8
+    wp = ((w + 127) // 128) * 128
+    for k, rows in configs:
+        wh = ((rows + 2 * k + 10 + 7) // 8) * 8
+        if hp < wh or wp < 384:
+            continue
+        if pallas_domain_ok_host(mats, h, w, k=k, tile=(rows, 128)):
+            return k, rows
+    return None
+
+
 def pallas_pick_k(mats, h: int, w: int, ks=(1, 3, 7)):
-    """Smallest residual band k (from ``ks``) whose kernel domain covers
-    EVERY forward matrix, or ``None`` when none does (fall back to the
-    XLA-gather path).  The kernel's tap loop is O((2k+4)^2), so each
-    band step is ~2.8x cheaper — near-translation bursts fit k=1."""
+    """Smallest residual band k (from ``ks``) at the standard 128x128
+    tile, or ``None``.  Prefer :func:`pallas_pick_config`, which also
+    climbs the tile-shrinking rungs for large motions."""
     for k in ks:
         if pallas_domain_ok_host(mats, h, w, k=k):
             return k
     return None
 
 
-def pallas_domain_ok_host(mats, h: int, w: int, k: int = 7) -> bool:
+def pallas_domain_ok_host(
+    mats, h: int, w: int, k: int = 7, tile=(128, 128)
+) -> bool:
     """Host-side dispatch decision: True iff EVERY forward matrix's
     inverse map stays inside the Pallas kernel's residual-displacement
     domain (ops.warp_pallas.residual_domain_ok).  Pipelines call this
@@ -99,13 +131,13 @@ def pallas_domain_ok_host(mats, h: int, w: int, k: int = 7) -> bool:
         return False
     minv = np.linalg.inv(m3)
     ok = warp_pallas.residual_domain_ok(
-        minv.astype(np.float32), h, w, k=k, xp=np
+        minv.astype(np.float32), h, w, k=k, tile=tile, xp=np
     )
     return bool(np.asarray(ok).all())
 
 
 def pallas_required_apron(
-    mats, h: int, w: int, k: int
+    mats, h: int, w: int, k: int, tile=(128, 128)
 ) -> Optional[int]:
     """Host-side: the smallest source apron (px) that keeps every
     bilinear tap of every FORWARD matrix inside the extended source.
@@ -131,7 +163,7 @@ def pallas_required_apron(
     if not np.all(np.isfinite(m3)):
         return None
     minv = np.linalg.inv(m3)
-    th = tw = 128
+    th, tw = tile  # sample on the ACTUAL tile grid the kernel will run
     oy = np.arange((h + th - 1) // th, dtype=np.float64) * th
     ox = np.arange((w + tw - 1) // tw, dtype=np.float64) * tw
     offs = np.asarray(
@@ -174,16 +206,18 @@ def warp_frames_batch(
     pallas_k: int = 7,
     border_mode: Union[int, str] = "constant",
     apron: int = 0,
+    pallas_tile_rows: int = 128,
 ) -> jnp.ndarray:
     """Warp each frame onto its own grid with the given border mode.
 
     ``allow_pallas``: static host-computed dispatch decision (see
     :func:`pallas_domain_ok_host`) — the Pallas kernel's correctness
     domain is a k-pixel bound on in-tile warp-field variation, so
-    callers with potentially-large warps must pre-check.  ``pallas_k``
-    is the band that check validated (see :func:`pallas_pick_k`).
-    Non-constant index-mapping border modes additionally need ``apron``
-    from :func:`pallas_required_apron` (see module docstring); pass
+    callers with potentially-large warps must pre-check.
+    ``pallas_k``/``pallas_tile_rows`` are the config that check
+    validated (see :func:`pallas_pick_config`).  Non-constant
+    index-mapping border modes additionally need ``apron`` from
+    :func:`pallas_required_apron` (see module docstring); pass
     ``allow_pallas=False`` when it returned None."""
     has_c = frames.ndim == 4
     n = frames.shape[0]
@@ -220,6 +254,7 @@ def warp_frames_batch(
             (frames.shape[-1],) if has_c else (1,),
         )
         interpret = _warp_interpret()
+        tile = (pallas_tile_rows, 128)
         if has_c:
             c = frames.shape[-1]
             src = jnp.moveaxis(src_frames, -1, 1).reshape(n * c, sh, sw)
@@ -227,15 +262,15 @@ def warp_frames_batch(
             bvs = jnp.tile(jnp.broadcast_to(bv, (c,)), (n,))
             out = warp_pallas.warp_bilinear_pallas(
                 src, m_rep, border_value=bvs,
-                quant_affine=not perspective, k=pallas_k, out_hw=out_hw,
-                interpret=interpret,
+                quant_affine=not perspective, k=pallas_k, tile=tile,
+                out_hw=out_hw, interpret=interpret,
             )
             out = out.reshape(n, c, h, w)
             return jnp.moveaxis(out, 1, -1)
         return warp_pallas.warp_bilinear_pallas(
             src_frames, minv, border_value=jnp.broadcast_to(bv[:1], (n,)),
-            quant_affine=not perspective, k=pallas_k, out_hw=out_hw,
-            interpret=interpret,
+            quant_affine=not perspective, k=pallas_k, tile=tile,
+            out_hw=out_hw, interpret=interpret,
         )
 
     def warp_one(frame, m):
@@ -260,6 +295,7 @@ def warp_accumulate_rgb(
     border_value=0.0,
     allow_pallas: bool = True,
     pallas_k: int = 7,
+    pallas_tile_rows: int = 128,
 ) -> jnp.ndarray:
     """Stage-3 fusion: ``sum_n oks[n] * warp(frames[n])`` -> [H,W,3]
     (BORDER_CONSTANT).  On TPU this is ONE kernel sweep
@@ -268,13 +304,14 @@ def warp_accumulate_rgb(
     three per-channel warps), the output tile accumulates across frames
     in VMEM, and no [N,H,W,3] warped intermediate exists.  Falls back
     to :func:`warp_frames_batch` + masked sum elsewhere.  Same
-    ``allow_pallas``/``pallas_k`` gating contract."""
+    ``allow_pallas``/``pallas_k``/``pallas_tile_rows`` gating
+    contract."""
     h, w = frames.shape[1], frames.shape[2]
     m3 = mats if mats.shape[-2] == 3 else jax.vmap(warp.affine_to_3x3)(mats)
     # NaN/garbage matrices of dropped lanes must not reach the kernel
     m3 = jnp.where(oks[:, None, None], m3, jnp.eye(3, dtype=m3.dtype))
     # the fused kernel's window must fit the (padded) source
-    wh = ((128 + 2 * pallas_k + 10 + 7) // 8) * 8
+    wh = ((pallas_tile_rows + 2 * pallas_k + 10 + 7) // 8) * 8
     fits = ((h + 7) // 8) * 8 >= wh and ((w + 127) // 128) * 128 >= 384
     if (
         allow_pallas
@@ -288,12 +325,14 @@ def warp_accumulate_rgb(
         minv = jnp.linalg.inv(m3.astype(jnp.float32))
         return warp_accum_pallas.warp_accum_rgb_pallas(
             frames, minv, oks, border_value=border_value,
-            k=pallas_k, quant_affine=not perspective,
+            k=pallas_k, tile=(pallas_tile_rows, 128),
+            quant_affine=not perspective,
             interpret=_warp_interpret(),
         )
     warped = warp_frames_batch(
         frames, m3, perspective=perspective, border_value=border_value,
         allow_pallas=allow_pallas, pallas_k=pallas_k,
+        pallas_tile_rows=pallas_tile_rows,
     )
     return jnp.sum(
         warped * oks.astype(jnp.float32)[:, None, None, None], axis=0

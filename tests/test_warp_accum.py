@@ -48,13 +48,14 @@ def _unfused(frames, mats, oks, border_value=0.0, perspective=True):
     )
 
 
-def _fused(frames, mats, oks, border_value=0.0, k=7, quant_affine=False):
+def _fused(frames, mats, oks, border_value=0.0, k=7, quant_affine=False,
+           tile=(128, 128)):
     minv = np.linalg.inv(mats.astype(np.float64)).astype(np.float32)
     return np.asarray(
         warp_accum_rgb_pallas(
             jnp.asarray(frames), jnp.asarray(minv),
             jnp.asarray(oks, jnp.float32), border_value=border_value,
-            k=k, quant_affine=quant_affine, interpret=True,
+            k=k, tile=tile, quant_affine=quant_affine, interpret=True,
         )
     )
 
@@ -155,3 +156,29 @@ def test_kernel_rejects_bad_k(burst):
             jnp.asarray(frames), jnp.asarray(minv), jnp.ones(4),
             k=0, interpret=True,
         )
+
+
+def test_fused_large_rotation_shrunk_tile():
+    """Stage-3 accumulation of a large (10 deg) rotation through the
+    tile-shrink rung (k=15, 64-row tiles) matches the exact XLA path —
+    the dispatch config that keeps large legitimate motions at kernel
+    speed (the reference warps arbitrary homographies at full C++
+    speed, src/lib.rs:291-299)."""
+    rng = np.random.default_rng(91)  # local: see conftest rng note
+    frames = np.stack([
+        cv2.GaussianBlur(
+            rng.random((192, 512, 3)).astype(np.float32), (0, 0), 1.5
+        )
+        for _ in range(2)
+    ])
+    mats = []
+    for ang in (10.0, -9.0):
+        m = cv2.getRotationMatrix2D((256.0, 96.0), ang, 1.0)
+        mats.append(np.vstack([m, [0, 0, 1]]).astype(np.float32))
+    mats = np.stack(mats)
+    oks = np.asarray([True, True])
+    want = _unfused(frames, mats, oks)
+    got = _fused(frames, mats, oks, k=15, tile=(64, 128))
+    d = np.abs(got - want)
+    assert (d > 1e-5).mean() <= 2e-3, (d > 1e-5).mean()
+    assert d.max() < 0.02, d.max()

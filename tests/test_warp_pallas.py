@@ -318,3 +318,30 @@ def test_warp_kernel_k1_parity(img):
         )[0]
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "ang,k,rows",
+    [(8.0, 15, 64), (16.0, 23, 32)],
+)
+def test_large_rotation_shrunk_tiles(img, ang, k, rows):
+    """Large legitimate rotations (beyond the 128x128 tile's per-axis
+    ~6.4 deg ceiling at k=7) stay at kernel speed on the tile-shrink
+    rungs: the in-tile residual spread scales with the tile extents, so
+    (15, 64) covers to ~12.7 deg and (23, 32) to ~20 deg.  Parity vs
+    the XLA path, and the dispatch ladder must actually pick the
+    expected shrunk-tile rung."""
+    import os
+
+    from libstacker_tpu.ops import warp_batch
+
+    h, w = img.shape
+    m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), ang, 1.0)
+    m3 = np.vstack([m, [0, 0, 1]]).astype(np.float32)
+    os.environ["LIBSTACKER_FORCE_PALLAS"] = "1"
+    try:
+        picked = warp_batch.pallas_pick_config(m3[None], h, w)
+    finally:
+        del os.environ["LIBSTACKER_FORCE_PALLAS"]
+    assert picked == (k, rows), picked
+    _compare(img, np.linalg.inv(m3), frac=2e-3, k=k, tile=(rows, 128))
