@@ -111,6 +111,36 @@ def test_ecc_match_ic_solver(monkeypatch):
     assert diff.max() < 0.02, f"max diff {diff.max()}"
 
 
+def test_ecc_match_phase_init_rotation_plumbing():
+    """phase_init_rotation=True routes through the pipeline and yields
+    the same stack as the default init on a rotating burst (the
+    rotation-aware warm start only moves the solve's starting point)."""
+    rng = np.random.default_rng(97)  # local rng (session stream note)
+    h, w = 192, 256
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    frames = []
+    for ang in (0.0, 0.5, -0.4):
+        m = cv2.getRotationMatrix2D((w, h), ang, 1.0)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        c = np.clip(
+            cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w], 0, 255
+        ).astype(np.uint8)
+        frames.append(np.stack([c] * 3, -1))
+    frames = np.stack(frames)
+    kw = dict(motion_type=MotionType.Euclidean, max_count=60, epsilon=1e-4)
+    out_rot = ecc_match_arrays(
+        frames, EccMatchParameters(phase_init_rotation=True, **kw)
+    )
+    out_def = ecc_match_arrays(frames, EccMatchParameters(**kw))
+    d = np.abs(out_rot[8:-8, 8:-8] - out_def[8:-8, 8:-8]).max()
+    assert d < 0.02, d
+
+
 def test_ecc_params_solver_validated():
     params = EccMatchParameters(
         motion_type=MotionType.Translation, solver="banana"
