@@ -1,0 +1,32 @@
+#!/bin/sh
+# Hardware measurement sequence for the round-3 features that were
+# built and CPU-verified while the TPU tunnel was down (r3 final
+# session; see ROADMAP.md).  Run from the repo root on a live chip.
+# Each step is bounded; a wedged Mosaic compile can hang the tunnel
+# (CLAUDE.md) — if a step times out, kill the python client and wait
+# for the worker before continuing.
+set -x
+
+# 1. Smoke: all kernels (incl. the REORDERED forward moment layout and
+#    both with_hessian variants) compile + parity-check on Mosaic.
+timeout 600 env BENCH_FRAMES=8 python bench.py || exit 1
+
+# 2. Lazy-Hessian solver: expect ~20% cheaper solve stage, same stack.
+timeout 600 env BENCH_FRAMES=8 LIBSTACKER_ECC_MODE=lazy python bench.py
+
+# 3. IC solver: expect rescue-dominated on this synthetic bench
+#    (documented bias) — recorded for completeness.
+timeout 600 env BENCH_FRAMES=8 LIBSTACKER_ECC_MODE=ic python bench.py
+
+# 4. Fused-kernel tile sweep (forward + IC variants).
+timeout 900 env PYTHONPATH=. python benchmarks/bench_ecc_tile.py --frames 8
+timeout 900 env PYTHONPATH=. python benchmarks/bench_ecc_tile.py --frames 8 --mode ic
+timeout 900 env PYTHONPATH=. python benchmarks/bench_ecc_tile.py --frames 8 --mode ic_hessian
+
+# 5. Full headline, forward vs lazy (pick the default from these).
+timeout 1800 python bench.py
+timeout 1800 env LIBSTACKER_ECC_MODE=lazy python bench.py
+
+# 6. Keypoint headline (tile-shrink dispatch engages only on large
+#    rotations; standard burst should be unchanged).
+timeout 1200 env PYTHONPATH=. python benchmarks/bench_keypoint.py
