@@ -63,8 +63,27 @@ def fast_score(
     ]  # 16 x [H, W]; e[k] > 0 where neighbour k is brighter
 
     def arc9_min(v):
-        # min over circular windows of length 9 starting at each k;
-        # log-doubling with list rotation (no data movement)
+        # min over circular windows of length 9 starting at each k.
+        # Default: log-doubling with list rotation (3 stages x 16
+        # intermediate images).  LIBSTACKER_FAST_TREE=2stage uses a
+        # width-3-then-skip-3 association instead (2 stages x 16
+        # intermediates — XLA cost analysis says the tree intermediates
+        # dominate fast_detect's 1.66 GB of HBM traffic at 4K; min is
+        # exact, so both forms are BIT-IDENTICAL).  Hardware A/B knob.
+        import os
+
+        if os.environ.get("LIBSTACKER_FAST_TREE") == "2stage":
+            w3 = [
+                jnp.minimum(jnp.minimum(v[i], v[(i + 1) % 16]),
+                            v[(i + 2) % 16])
+                for i in range(16)
+            ]
+            return [
+                jnp.minimum(
+                    jnp.minimum(w3[i], w3[(i + 3) % 16]), w3[(i + 6) % 16]
+                )
+                for i in range(16)
+            ]
         w2 = [jnp.minimum(v[i], v[(i + 1) % 16]) for i in range(16)]
         w4 = [jnp.minimum(w2[i], w2[(i + 2) % 16]) for i in range(16)]
         w8 = [jnp.minimum(w4[i], w4[(i + 4) % 16]) for i in range(16)]

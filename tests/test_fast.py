@@ -82,3 +82,18 @@ def test_fast_pallas_matches_xla(monkeypatch):
             )
         )[0]
         np.testing.assert_array_equal(got_b, want_b)
+
+
+def test_arc_tree_2stage_bit_identical(monkeypatch):
+    """LIBSTACKER_FAST_TREE=2stage (hardware A/B knob for the arc-min
+    association) is bit-identical to the default log-doubling tree —
+    min is exact, only the HBM-materialisation shape differs."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)  # local rng (conftest stream note)
+    img = rng.integers(0, 256, (192, 256), dtype=np.uint8)
+    m0, s0 = (np.asarray(x) for x in fast.fast_detect(jnp.asarray(img), 20))
+    monkeypatch.setenv("LIBSTACKER_FAST_TREE", "2stage")
+    m1, s1 = (np.asarray(x) for x in fast.fast_detect(jnp.asarray(img), 20))
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_array_equal(s0, s1)
