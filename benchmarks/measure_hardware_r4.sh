@@ -30,3 +30,11 @@ timeout 1800 env LIBSTACKER_ECC_MODE=lazy python bench.py
 # 6. Keypoint headline (tile-shrink dispatch engages only on large
 #    rotations; standard burst should be unchanged).
 timeout 1200 env PYTHONPATH=. python benchmarks/bench_keypoint.py
+
+# 7. Keypoint A/B knobs: 2stage FAST arc tree (expect fast_detect
+#    7.2 -> ~5 ms/frame at 4K if the tree intermediates are the
+#    traffic) and pooled top-k (lossless 4x reduction of the
+#    approx_max_k scans, ~2 ms/frame estimated).
+timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=. LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py

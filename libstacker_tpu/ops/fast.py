@@ -157,7 +157,15 @@ def top_k_keypoints(
     ``approx=True`` uses ``lax.approx_max_k`` — the TPU-native top-k
     (exact ``lax.top_k`` over a full image compiles pathologically
     slowly on TPU and its recall loss here is ~1-2% of *candidates*,
-    before Harris re-ranking)."""
+    before Harris re-ranking).
+
+    LIBSTACKER_TOPK=pooled routes through :func:`top_k_keypoints_nms`
+    (hardware A/B knob).  Only valid when the callers' score maps are
+    3x3 non-max suppressed — true for both FAST paths in ops/orb.py."""
+    import os
+
+    if os.environ.get("LIBSTACKER_TOPK") == "pooled":
+        return top_k_keypoints_nms(mask, score, k)
     h, w = score.shape
     flat = jnp.where(mask, score, -1.0).reshape(-1)
     if approx:
@@ -166,6 +174,46 @@ def top_k_keypoints(
         vals, idx = jax.lax.top_k(flat, k)
     ys = (idx // w).astype(jnp.int32)
     xs = (idx % w).astype(jnp.int32)
+    return TopKeypoints(ys=ys, xs=xs, score=vals, valid=vals > 0.0)
+
+
+def top_k_keypoints_nms(
+    mask: jnp.ndarray, score: jnp.ndarray, k: int
+) -> TopKeypoints:
+    """Exact-reduction top-k for 3x3 NON-MAX-SUPPRESSED score maps.
+
+    Strict 3x3 NMS leaves survivors pairwise more than 1 px apart
+    (Chebyshev), so any 2x2 block holds AT MOST ONE survivor and a 2x2
+    max-pool is a LOSSLESS 4x reduction: the pooled array has exactly
+    the survivors' values (plus -1 filler).  The top-k scan then runs
+    over H*W/4 elements instead of H*W, and ``approx_max_k``'s binned
+    recall IMPROVES at equal k (fewer elements per bin).  Positions are
+    recovered by comparing the 4 original pixels of each selected
+    block (k x 4 gather); intra-block argmax takes the first maximum in
+    raster order, matching the flat path's tie behavior.
+
+    NOT valid for arbitrary score maps (two adjacent maxima would
+    collapse into one pooled value and the second would be lost)."""
+    h, w = score.shape
+    m = jnp.where(mask, score, -1.0)
+    he, we = -(-h // 2) * 2, -(-w // 2) * 2
+    if (he, we) != (h, w):
+        m = jnp.pad(m, ((0, he - h), (0, we - w)), constant_values=-1.0)
+    pooled = m.reshape(he // 2, 2, we // 2, 2).max(axis=(1, 3)).reshape(-1)
+    kk = min(k, pooled.shape[0])
+    vals, pidx = jax.lax.approx_max_k(pooled, kk)
+    if kk < k:  # keep the static [k] slot shape of the flat path
+        vals = jnp.pad(vals, (0, k - kk), constant_values=-1.0)
+        pidx = jnp.pad(pidx, (0, k - kk))
+    by = (pidx // (we // 2)) * 2
+    bx = (pidx % (we // 2)) * 2
+    cand = jnp.stack(
+        [m[by, bx], m[by, bx + 1], m[by + 1, bx], m[by + 1, bx + 1]],
+        axis=1,
+    )  # [k, 4] — block pixels in raster order
+    sub = jnp.argmax(cand, axis=1).astype(jnp.int32)
+    ys = (by + sub // 2).astype(jnp.int32)
+    xs = (bx + sub % 2).astype(jnp.int32)
     return TopKeypoints(ys=ys, xs=xs, score=vals, valid=vals > 0.0)
 
 

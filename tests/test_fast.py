@@ -97,3 +97,41 @@ def test_arc_tree_2stage_bit_identical(monkeypatch):
     m1, s1 = (np.asarray(x) for x in fast.fast_detect(jnp.asarray(img), 20))
     np.testing.assert_array_equal(m0, m1)
     np.testing.assert_array_equal(s0, s1)
+
+
+def test_top_k_pooled_exact_on_nms_maps(monkeypatch):
+    """top_k_keypoints_nms (LIBSTACKER_TOPK=pooled): on a 3x3-NMS'd
+    score map the 2x2 max-pool reduction is lossless — the selected
+    score multiset equals the exact flat top-k's, every returned
+    position carries its own score, and the env knob routes
+    top_k_keypoints through it (vals/positions consistent).  CPU's
+    approx_max_k is exact, so the comparison is deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    for h, w in ((96, 128), (97, 131)):  # even + odd (pad path)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        mask, score = fast.fast_detect(jnp.asarray(img), 12)
+        n_surv = int(np.asarray(mask).sum())
+        assert n_surv > 20  # the map actually exercises the reduction
+        for k in (8, n_surv, n_surv + 17):
+            exact = fast.top_k_keypoints(mask, score, k, approx=False)
+            pooled = fast.top_k_keypoints_nms(mask, score, k)
+            ev = np.sort(np.asarray(exact.score)[np.asarray(exact.valid)])
+            pv = np.sort(np.asarray(pooled.score)[np.asarray(pooled.valid)])
+            np.testing.assert_array_equal(ev, pv)
+            sc = np.asarray(score)
+            ms = np.asarray(mask)
+            for y, x, v, ok in zip(
+                np.asarray(pooled.ys), np.asarray(pooled.xs),
+                np.asarray(pooled.score), np.asarray(pooled.valid),
+            ):
+                if ok:
+                    assert ms[y, x] and sc[y, x] == v
+            assert pooled.score.shape == (k,)  # static slot shape kept
+
+    monkeypatch.setenv("LIBSTACKER_TOPK", "pooled")
+    routed = fast.top_k_keypoints(mask, score, 16)
+    direct = fast.top_k_keypoints_nms(mask, score, 16)
+    np.testing.assert_array_equal(np.asarray(routed.score), np.asarray(direct.score))
+    np.testing.assert_array_equal(np.asarray(routed.ys), np.asarray(direct.ys))
