@@ -251,3 +251,74 @@ def test_sharded_keypoint_stack_matches_unsharded():
     d = np.abs(a - b)
     assert d.max() < 0.05, d.max()
     assert d.mean() < 1e-4, d.mean()
+
+
+def test_pallas_warp_accum_under_shard_map(monkeypatch):
+    """The fused Pallas warp+accumulate kernel runs INSIDE shard_map
+    (interpret mode — the VERDICT-r2 'Pallas path exercised under
+    shard_map' smoke): frames sharded over 'data', per-shard fused
+    kernel, psum; parity vs the dense unsharded masked sum."""
+    import cv2
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from libstacker_tpu.ops import warp_accum_pallas, warp_batch
+
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+
+    rng = np.random.default_rng(53)  # local rng (conftest stream note)
+    frames = np.stack([
+        cv2.GaussianBlur(
+            rng.random((192, 512, 3)).astype(np.float32), (0, 0), 1.5
+        )
+        for _ in range(8)
+    ])
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 8)
+    for i in range(8):
+        mats[i, 0, 2] = 1.25 * i - 4.0
+        mats[i, 1, 2] = -0.5 * i + 2.0
+    oks = np.ones(8, bool)
+    oks[5] = False
+
+    calls = []
+    real = warp_accum_pallas.warp_accum_rgb_pallas
+
+    def counted(*a, **kw):
+        calls.append(kw.get("interpret"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(
+        warp_accum_pallas, "warp_accum_rgb_pallas", counted
+    )
+
+    m = pmesh.make_mesh(data=4, spatial=2)
+
+    @partial(
+        shard_map, mesh=m,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,  # pallas_call inside shard_map (like mesh.py)
+    )
+    def sharded_accum(f, mt, ok):
+        part = warp_batch.warp_accumulate_rgb(
+            f, mt, ok, perspective=False, pallas_k=3
+        )
+        return jax.lax.psum(part, "data")
+
+    got = np.asarray(sharded_accum(
+        jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks)
+    ))
+    assert calls and all(c for c in calls), "fused kernel not engaged"
+
+    warped = warp_batch.warp_frames_batch(
+        jnp.asarray(frames), jnp.asarray(mats), perspective=False,
+        allow_pallas=False,
+    )
+    want = np.asarray(jnp.sum(
+        warped * jnp.asarray(oks, jnp.float32)[:, None, None, None], axis=0
+    ))
+    d = np.abs(got - want)
+    assert (d > 1e-5).mean() <= 1e-3, (d > 1e-5).mean()
+    assert d.max() < 0.02, d.max()
