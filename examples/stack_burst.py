@@ -90,6 +90,15 @@ def main():
                     "carried (same optimum, cheaper TPU iterations); "
                     "'ic' = inverse-compositional (cheapest sweeps, "
                     "biased on aliasing-prone content)")
+    ap.add_argument("--stacking", choices=("mean", "sigma_clip"),
+                    default="mean",
+                    help="stack estimator: 'mean' = reference semantics; "
+                    "'sigma_clip' = per-pixel kappa-sigma outlier "
+                    "rejection (rejects satellite trails / hot pixels / "
+                    "single-frame glitches; re-warps the burst "
+                    "1+sigma-iters times; whole-burst paths only)")
+    ap.add_argument("--sigma-kappa", type=float, default=2.5)
+    ap.add_argument("--sigma-iters", type=int, default=1)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -149,6 +158,9 @@ def main():
         border_mode=args.border_mode,
         max_iters=args.max_iters,
         confidence=args.confidence,
+        stacking=args.stacking,
+        sigma_kappa=args.sigma_kappa,
+        sigma_iters=args.sigma_iters,
     )
     ecc_params = EccMatchParameters(
         motion_type=MotionType[args.motion_type.capitalize()],
@@ -158,6 +170,9 @@ def main():
         phase_init=not args.no_phase_init,
         phase_init_rotation=args.phase_init_rotation,
         solver=args.ecc_solver,
+        stacking=args.stacking,
+        sigma_kappa=args.sigma_kappa,
+        sigma_iters=args.sigma_iters,
     )
 
     scales = []

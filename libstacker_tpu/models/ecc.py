@@ -243,7 +243,8 @@ def ecc_match_arrays(
     # solve's k=1 band almost always stack at k=1 too
     from ..ops.warp_batch import _pallas_usable
 
-    speculate = _pallas_usable(h, w)
+    sigma = getattr(params, "stacking", "mean") == "sigma_clip"
+    speculate = _pallas_usable(h, w) and not sigma
     spec_sum = None
     if speculate:
         spec_sum = _ecc_warp_accumulate_jit(
@@ -254,7 +255,25 @@ def ecc_match_arrays(
     cfg = _warp_pick_k_host(
         result.warp_matrix, result.ok, params.motion_type, scale_hw, (h, w)
     )
-    if speculate and cfg == (1, 128):
+    if sigma:
+        # beyond-reference robust stack (ops/stack.py): per-pixel
+        # kappa-sigma outlier rejection over the re-warped burst
+        from ..ops import stack as stack_ops
+
+        warps_full = jnp.asarray(result.warp_matrix)
+        if scale_hw is not None:
+            warps_full = _adjust_warp_for_scale(
+                warps_full, params.motion_type, scale_hw, (h, w)
+            )
+        stacked_img, _clip_frac = stack_ops.kappa_sigma_stack(
+            frames_j, warps_full, result.ok,
+            perspective=params.motion_type == MotionType.Homography,
+            kappa=params.sigma_kappa, iters=params.sigma_iters,
+            allow_pallas=cfg is not None,
+            pallas_k=cfg[0] if cfg else 7,
+            pallas_tile_rows=cfg[1] if cfg else 128,
+        )
+    elif speculate and cfg == (1, 128):
         stacked_sum = spec_sum
     else:
         stacked_sum = _ecc_warp_accumulate_jit(
@@ -287,11 +306,14 @@ def ecc_match_arrays(
                 f"{bad.tolist()} (NaN correlation or non-positive lambda "
                 "denominator)"
             )
+        if sigma:  # failed lanes were already excluded per pixel
+            out = np.asarray(stacked_img)
+            return (out, stats) if return_stats else out
         # drop mode: failed frames contributed nothing to the sum
         count = 1 + int(ok.sum())
         out = np.asarray(stacked_sum) / count
         return (out, stats) if return_stats else out
-    out = np.asarray(stacked_sum) / n
+    out = np.asarray(stacked_img) if sigma else np.asarray(stacked_sum) / n
     return (out, stats) if return_stats else out
 
 
@@ -329,6 +351,12 @@ def ecc_match_stream(
     on a background thread, and the final partial chunk is padded to
     ``chunk_size`` so no per-burst-length recompile ever happens."""
     params.validate()
+    if getattr(params, "stacking", "mean") != "mean":
+        raise InvalidParamsError(
+            "sigma_clip stacking needs multiple passes over the burst and"
+            " is not available in the streaming pipelines; use the"
+            " whole-burst entry points"
+        )
     files = io.normalize_files(files)
     if not files:
         raise NotEnoughFilesError()

@@ -327,9 +327,17 @@ def keypoint_match_arrays(
     # — out-of-band taps clip inside the kernel and the result is
     # discarded in favour of the correctly-banded dispatch.
     border = constants.border_mode_name(params.border_mode)
+    sigma = getattr(params, "stacking", "mean") == "sigma_clip"
+    if sigma and border not in ("constant", "transparent"):
+        raise InvalidParamsError(
+            "stacking='sigma_clip' requires BORDER_CONSTANT or "
+            "BORDER_TRANSPARENT (sample inclusion is defined by warp "
+            f"coverage), got border mode {border!r}"
+        )
     speculate = (
         border in ("constant", "transparent")
         and warp_batch._pallas_usable(h, w)
+        and not sigma
     )
     spec_sum = None
     if speculate:
@@ -352,7 +360,22 @@ def keypoint_match_arrays(
         hs_np[:, 2, 1] /= sy
     kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
     cfg, apron = _pallas_warp_dispatch(kept_hs, h, w, params.border_mode)
-    if speculate and cfg == (1, 128):
+    if sigma:
+        # beyond-reference robust stack (ops/stack.py): per-pixel
+        # kappa-sigma outlier rejection over the re-warped burst
+        from ..ops import stack as stack_ops
+
+        hs_full = jnp.asarray(hs)
+        if scale_hw is not None:
+            hs_full = _adjust_h_for_scale(hs_full, scale_hw, (h, w))
+        stacked_img, _clip_frac = stack_ops.kappa_sigma_stack(
+            frames_j, hs_full, oks, perspective=True,
+            kappa=params.sigma_kappa, iters=params.sigma_iters,
+            allow_pallas=cfg is not None,
+            pallas_k=cfg[0] if cfg else 7,
+            pallas_tile_rows=cfg[1] if cfg else 128,
+        )
+    elif speculate and cfg == (1, 128):
         stacked_sum = spec_sum
     else:
         stacked_sum = _warp_and_accumulate(
@@ -370,7 +393,9 @@ def keypoint_match_arrays(
     oks = oks_np
     kept = 1 + int(oks.sum())
     dropped = int((~oks).sum())
-    out = np.asarray(stacked_sum) / kept
+    out = (
+        np.asarray(stacked_img) if sigma else np.asarray(stacked_sum) / kept
+    )
     if return_stats:
         from ..utils.tracing import PipelineStats
 
@@ -415,6 +440,12 @@ def keypoint_match_stream(
     Returns ``(dropped_count, stacked [H,W,3] float32 RGB)`` like
     :func:`keypoint_match`."""
     params.validate()
+    if getattr(params, "stacking", "mean") != "mean":
+        raise InvalidParamsError(
+            "sigma_clip stacking needs multiple passes over the burst and"
+            " is not available in the streaming pipelines; use the"
+            " whole-burst entry points"
+        )
     files = io.normalize_files(files)
     if not files:
         raise NotEnoughFilesError()

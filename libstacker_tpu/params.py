@@ -22,6 +22,23 @@ from . import constants
 from .errors import InvalidParamsError
 
 
+def _validate_stacking(stacking: str, kappa: float, iters: int) -> None:
+    """Shared validation of the beyond-reference stacking fields."""
+    if stacking not in ("mean", "sigma_clip"):
+        raise InvalidParamsError(
+            f"stacking must be 'mean' or 'sigma_clip', got {stacking!r}"
+        )
+    if stacking == "sigma_clip":
+        if not kappa > 0.0:
+            raise InvalidParamsError(
+                f"sigma_kappa must be > 0, got {kappa}"
+            )
+        if iters < 1:
+            raise InvalidParamsError(
+                f"sigma_iters must be >= 1, got {iters}"
+            )
+
+
 class MotionType(enum.IntEnum):
     """Geometric motion models for the ECC path (ref src/lib.rs:604-609).
 
@@ -70,6 +87,16 @@ class KeyPointMatchParameters:
     max_iters: int = 2000
     #: RANSAC confidence for adaptive early exit — OpenCV's 0.995 default.
     confidence: float = 0.995
+    #: Stacking estimator: "mean" (reference semantics, src/lib.rs:
+    #: 306-343) or "sigma_clip" — per-pixel kappa-sigma outlier
+    #: rejection (ops/stack.py; beyond-reference capability, requires
+    #: BORDER_CONSTANT/TRANSPARENT and re-warps the burst 1+sigma_iters
+    #: times).
+    stacking: str = "mean"
+    #: Clip threshold in standard deviations for stacking="sigma_clip".
+    sigma_kappa: float = 2.5
+    #: Number of clipping passes for stacking="sigma_clip".
+    sigma_iters: int = 1
 
     def validate(self) -> None:
         if self.method not in (0, constants.RANSAC, constants.LMEDS):
@@ -92,6 +119,7 @@ class KeyPointMatchParameters:
             raise InvalidParamsError(
                 f"confidence must be in (0, 1), got {self.confidence}"
             )
+        _validate_stacking(self.stacking, self.sigma_kappa, self.sigma_iters)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +165,15 @@ class EccMatchParameters:
     #: Beyond-reference capabilities; the CPU/XLA fallback always runs
     #: the exact forward formulation.
     solver: str = "forward"
+    #: Stacking estimator: "mean" (reference semantics, src/lib.rs:
+    #: 807-843) or "sigma_clip" — per-pixel kappa-sigma outlier
+    #: rejection (ops/stack.py; beyond-reference capability, re-warps
+    #: the burst 1+sigma_iters times).
+    stacking: str = "mean"
+    #: Clip threshold in standard deviations for stacking="sigma_clip".
+    sigma_kappa: float = 2.5
+    #: Number of clipping passes for stacking="sigma_clip".
+    sigma_iters: int = 1
 
     def resolve_criteria(self) -> Tuple[int, float]:
         """Resolve (num_iterations, termination_eps) the way OpenCV's
@@ -163,3 +200,4 @@ class EccMatchParameters:
                 f"solver must be 'forward', 'lazy' or 'ic', "
                 f"got {self.solver!r}"
             )
+        _validate_stacking(self.stacking, self.sigma_kappa, self.sigma_iters)

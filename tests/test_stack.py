@@ -1,0 +1,216 @@
+"""Kappa-sigma clipped stacking (ops/stack.py — beyond-reference).
+
+The reference can only average (src/lib.rs:306-343 / 807-843); the
+sigma_clip mode rejects per-pixel outliers (satellite trails, hot
+pixels, single-frame glitches).  Oracle: a pure-numpy pixelwise
+kappa-sigma reduction (identity warps make the re-warping formulation
+collapse to it exactly), plus end-to-end outlier-suppression checks
+through both pipelines.
+"""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libstacker_tpu import (
+    EccMatchParameters,
+    KeyPointMatchParameters,
+    MotionType,
+    ecc_match_arrays,
+    keypoint_match_arrays,
+)
+from libstacker_tpu.errors import InvalidParamsError
+from libstacker_tpu.ops import stack
+
+
+def _numpy_kappa_sigma(v, kappa, iters):
+    """Pixelwise oracle over the frame axis of [N,H,W,3] floats."""
+    mu = v.mean(0)
+    var = (v * v).mean(0) - mu * mu
+    for _ in range(iters):
+        tol = kappa * np.sqrt(np.maximum(var, 0)) + np.float32(0.5 / 255)
+        m = np.abs(v - mu) <= tol
+        c0 = m.sum(0).astype(np.float32)
+        c1 = (m * v).sum(0)
+        c2 = (m * v * v).sum(0)
+        c1 = np.where(c0 > 0, c1, mu)
+        c2 = np.where(c0 > 0, c2, mu * mu)
+        c0 = np.maximum(c0, 1.0)
+        mu = c1 / c0
+        var = np.maximum(c2 / c0 - mu * mu, 0.0)
+    return mu
+
+
+def test_identity_warps_match_numpy_oracle():
+    rng = np.random.default_rng(11)  # local rng (conftest stream note)
+    n, h, w = 7, 24, 32
+    frames = rng.integers(0, 256, (n, h, w, 3), np.uint8)
+    mats = np.stack([np.eye(3, dtype=np.float32)] * (n - 1))
+    oks = np.ones(n - 1, bool)
+    for kappa, iters in ((1.0, 2), (2.5, 1)):
+        out, frac = stack.kappa_sigma_stack(
+            jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+            perspective=True, kappa=kappa, iters=iters, chunk=3,
+        )
+        want = _numpy_kappa_sigma(
+            frames.astype(np.float32) / 255.0, kappa, iters
+        )
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-6)
+        assert 0.0 <= frac <= 1.0
+
+
+def test_dropped_lane_and_affine_mats_excluded():
+    """ok=False lanes contribute nothing even with NaN matrices, and
+    2x3 affine matrices are accepted."""
+    rng = np.random.default_rng(13)
+    n, h, w = 5, 16, 24
+    frames = rng.integers(0, 256, (n, h, w, 3), np.uint8)
+    mats = np.stack([np.eye(3, dtype=np.float32)[:2]] * (n - 1))
+    oks = np.ones(n - 1, bool)
+    oks[2] = False
+    mats[2] = np.nan
+    out, _ = stack.kappa_sigma_stack(
+        jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+        perspective=False, kappa=3.0, iters=1, chunk=2,
+    )
+    keep = np.ones(n, bool)
+    keep[3] = False  # frame index 3 == lane 2
+    want = _numpy_kappa_sigma(
+        frames[keep].astype(np.float32) / 255.0, 3.0, 1
+    )
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-6)
+
+
+@pytest.fixture(scope="module")
+def streak_burst():
+    """8 shifted copies of a smooth base; frame 3 carries a bright
+    streak (the classic satellite trail).  Returns (clean, dirty)."""
+    rng = np.random.default_rng(17)
+    h, w = 96, 128
+    base = cv2.GaussianBlur(
+        rng.integers(40, 200, (h, w, 3), np.uint8).astype(np.uint8),
+        (0, 0), 3.0,
+    )
+    clean = []
+    for i in range(8):
+        # integer shifts: exact translations with no resampling-phase
+        # aliasing (CLAUDE.md trap), so every ECC lane converges
+        dx, dy = int(rng.integers(-3, 4)), int(rng.integers(-3, 4))
+        f = np.roll(base, (dy, dx), (0, 1))
+        noise = rng.normal(0, 2.0, f.shape)
+        clean.append(np.clip(f.astype(np.float32) + noise, 0, 255)
+                     .astype(np.uint8))
+    clean = np.stack(clean)
+    dirty = clean.copy()
+    streaked = dirty[3].copy()
+    cv2.line(streaked, (10, 20), (110, 70), (255, 255, 255), 2)
+    dirty[3] = streaked
+    streak_mask = np.zeros((h, w), np.uint8)
+    cv2.line(streak_mask, (10, 20), (110, 70), 1, 2)
+    return clean, dirty, streak_mask.astype(bool)
+
+
+def test_ecc_sigma_clip_suppresses_streak(streak_burst):
+    clean, dirty, streak = streak_burst
+    params = dict(
+        motion_type=MotionType.Translation, max_count=80, epsilon=1e-4
+    )
+    mean_clean = ecc_match_arrays(clean, EccMatchParameters(**params))
+    mean_dirty = ecc_match_arrays(dirty, EccMatchParameters(**params))
+    sig_dirty = ecc_match_arrays(
+        dirty,
+        EccMatchParameters(
+            **params, stacking="sigma_clip", sigma_kappa=2.5, sigma_iters=2
+        ),
+    )
+    core = streak & ~np.roll(streak, 3, 0)  # keep off-centre bleed out
+    err_mean = np.abs(mean_dirty - mean_clean)[core].mean()
+    err_sig = np.abs(sig_dirty - mean_clean)[core].mean()
+    assert err_mean > 0.02, err_mean  # the ghost the mean cannot avoid
+    assert err_sig < 0.25 * err_mean, (err_sig, err_mean)
+    # away from the streak both estimators agree with the clean mean
+    far = ~cv2.dilate(streak.astype(np.uint8), np.ones((9, 9))).astype(bool)
+    far[:8] = far[-8:] = False
+    far[:, :8] = far[:, -8:] = False
+    assert np.abs(sig_dirty - mean_clean)[far].mean() < 0.01
+
+
+def test_keypoint_sigma_clip_suppresses_streak():
+    rng = np.random.default_rng(19)
+    h, w = 192, 256
+    base = cv2.resize(
+        rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8).astype(np.uint8),
+        (w, h), interpolation=cv2.INTER_NEAREST,
+    )
+    frames = []
+    for i in range(6):
+        dx, dy = int(rng.integers(-4, 5)), int(rng.integers(-4, 5))
+        frames.append(np.roll(base, (dy, dx), (0, 1)))
+    frames = np.stack(frames)
+    dirty = frames.copy()
+    streaked = dirty[2].copy()
+    cv2.line(streaked, (30, 40), (220, 150), (255, 255, 255), 3)
+    dirty[2] = streaked
+    streak = np.zeros((h, w), np.uint8)
+    cv2.line(streak, (30, 40), (220, 150), 1, 3)
+    streak = streak.astype(bool)
+
+    d0, mean_out = keypoint_match_arrays(dirty, KeyPointMatchParameters())
+    d1, sig_out = keypoint_match_arrays(
+        dirty,
+        KeyPointMatchParameters(
+            stacking="sigma_clip", sigma_kappa=2.0, sigma_iters=2
+        ),
+    )
+    assert d0 == 0 and d1 == 0
+    clean_ref = frames[0].astype(np.float32) / 255.0
+    interior = np.zeros((h, w), bool)
+    interior[16:-16, 16:-16] = True
+    core = streak & interior
+    err_mean = np.abs(mean_out - clean_ref)[core].mean()
+    err_sig = np.abs(sig_out - clean_ref)[core].mean()
+    assert err_mean > 0.02, err_mean
+    assert err_sig < 0.25 * err_mean, (err_sig, err_mean)
+
+
+def test_sigma_clip_param_validation_and_streaming_guard(tmp_path):
+    with pytest.raises(InvalidParamsError):
+        KeyPointMatchParameters(stacking="median").validate()
+    with pytest.raises(InvalidParamsError):
+        KeyPointMatchParameters(
+            stacking="sigma_clip", sigma_kappa=0.0
+        ).validate()
+    with pytest.raises(InvalidParamsError):
+        EccMatchParameters(
+            motion_type=MotionType.Translation,
+            stacking="sigma_clip", sigma_iters=0,
+        ).validate()
+    # non-constant border modes have no coverage notion
+    from libstacker_tpu import constants
+
+    frames = np.zeros((2, 32, 32, 3), np.uint8)
+    with pytest.raises(InvalidParamsError):
+        keypoint_match_arrays(
+            frames,
+            KeyPointMatchParameters(
+                stacking="sigma_clip",
+                border_mode=constants.BORDER_REPLICATE,
+            ),
+        )
+    # streaming pipelines are single-pass
+    from libstacker_tpu import ecc_match_stream, keypoint_match_stream
+
+    p = tmp_path / "f0.png"
+    cv2.imwrite(str(p), np.zeros((32, 32, 3), np.uint8))
+    with pytest.raises(InvalidParamsError):
+        ecc_match_stream(
+            [str(p)],
+            EccMatchParameters(
+                motion_type=MotionType.Translation, stacking="sigma_clip"
+            ),
+        )
+    with pytest.raises(InvalidParamsError):
+        keypoint_match_stream(
+            [str(p)], KeyPointMatchParameters(stacking="sigma_clip")
+        )
