@@ -265,7 +265,7 @@ def ecc_match_arrays(
             warps_full = _adjust_warp_for_scale(
                 warps_full, params.motion_type, scale_hw, (h, w)
             )
-        stacked_img, _clip_frac = stack_ops.kappa_sigma_stack(
+        stacked_img, clip_frac = stack_ops.kappa_sigma_stack(
             frames_j, warps_full, result.ok,
             perspective=params.motion_type == MotionType.Homography,
             kappa=params.sigma_kappa, iters=params.sigma_iters,
@@ -297,6 +297,7 @@ def ecc_match_arrays(
             frames_dropped=int((~ok).sum()),
             ecc_iterations=np.asarray(result.num_iters).tolist(),
             ecc_rho=np.asarray(result.rho).tolist(),
+            clipped_sample_frac=clip_frac if sigma else None,
         )
     if not ok.all():
         bad = np.nonzero(~ok)[0] + 1

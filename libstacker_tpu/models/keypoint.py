@@ -368,7 +368,7 @@ def keypoint_match_arrays(
         hs_full = jnp.asarray(hs)
         if scale_hw is not None:
             hs_full = _adjust_h_for_scale(hs_full, scale_hw, (h, w))
-        stacked_img, _clip_frac = stack_ops.kappa_sigma_stack(
+        stacked_img, clip_frac = stack_ops.kappa_sigma_stack(
             frames_j, hs_full, oks, perspective=True,
             kappa=params.sigma_kappa, iters=params.sigma_iters,
             allow_pallas=cfg is not None,
@@ -405,6 +405,7 @@ def keypoint_match_arrays(
             frames_dropped=dropped,
             match_counts=np.asarray(mcounts).tolist(),
             inlier_counts=np.asarray(icounts).tolist(),
+            clipped_sample_frac=clip_frac if sigma else None,
         )
         return dropped, out, stats
     return dropped, out

@@ -78,6 +78,9 @@ class PipelineStats:
     match_counts: Optional[List[int]] = None
     inlier_counts: Optional[List[int]] = None
     phase_ms: Optional[Dict[str, float]] = None
+    #: stacking="sigma_clip" only: fraction of warped samples rejected
+    #: by the kappa-sigma clip (0.0 on outlier-free bursts).
+    clipped_sample_frac: Optional[float] = None
 
     def summary(self) -> str:
         parts = [

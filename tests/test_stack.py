@@ -214,3 +214,39 @@ def test_sigma_clip_param_validation_and_streaming_guard(tmp_path):
         keypoint_match_stream(
             [str(p)], KeyPointMatchParameters(stacking="sigma_clip")
         )
+
+
+def test_ecc_sigma_clip_scaled_path_and_stats(streak_burst):
+    """The scale-down branch rescales warps before the robust stack,
+    and return_stats surfaces the clipped-sample fraction."""
+    clean, dirty, streak = streak_burst
+    params = dict(
+        motion_type=MotionType.Translation, max_count=80, epsilon=1e-4
+    )
+    # drop mode: tiny scaled greys can genuinely fail a lane, and it
+    # also exercises the sigma branch of the not-all-ok path
+    mean_clean = ecc_match_arrays(
+        clean, EccMatchParameters(**params), scale_down_width=96.0,
+        on_failure="drop",
+    )
+    sig_dirty, stats = ecc_match_arrays(
+        dirty,
+        EccMatchParameters(
+            **params, stacking="sigma_clip", sigma_kappa=2.5, sigma_iters=2
+        ),
+        scale_down_width=96.0,
+        on_failure="drop",
+        return_stats=True,
+    )
+    mean_dirty = ecc_match_arrays(
+        dirty, EccMatchParameters(**params), scale_down_width=96.0,
+        on_failure="drop",
+    )
+    assert stats.frames_kept >= 7  # the burst must mostly converge
+    assert stats.clipped_sample_frac is not None
+    assert 0.0 < stats.clipped_sample_frac < 0.2
+    core = streak & ~np.roll(streak, 3, 0)
+    err_mean = np.abs(mean_dirty - mean_clean)[core].mean()
+    err_sig = np.abs(sig_dirty - mean_clean)[core].mean()
+    assert err_mean > 0.02, err_mean
+    assert err_sig < 0.25 * err_mean, (err_sig, err_mean)
