@@ -31,6 +31,13 @@ Median stacking is deliberately NOT offered: an exact median needs all
 N per-pixel samples resident (or N passes), which cannot stream over
 HBM-sized bursts; iterated kappa-sigma achieves the same outlier
 rejection in 1+iters warp sweeps.
+
+Statistics caveat (inherent to kappa-sigma, not this implementation):
+a single outlier among n samples has z-score at most (n-1)/sqrt(n(n-1))
+~ sqrt(n-1), so with the default kappa=2.5 nothing can ever be clipped
+below n = 8 samples (sqrt(7) = 2.65); short bursts need a lower kappa
+or simply don't benefit.  On outlier-free bursts the clip is a no-op
+and the result equals the mean over covered samples.
 """
 
 from __future__ import annotations

@@ -116,6 +116,9 @@ def ecc_stack_step(
     eps: float = 1e-4,
     gauss_filt_size: int = 5,
     phase_init: bool = True,
+    stacking: str = "mean",
+    sigma_kappa: float = 2.5,
+    sigma_iters: int = 1,
 ):
     """One full sharded align+stack step.
 
@@ -131,9 +134,23 @@ def ecc_stack_step(
     then ``psum`` over 'data' replaces the reference's try_reduce
     (src/lib.rs:819-833).
     Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool).
+
+    ``stacking="sigma_clip"`` (beyond-reference, see ops/stack.py):
+    kappa-sigma outlier rejection distributes naturally over the mesh —
+    each device warps only its local frames and the per-pixel moment
+    accumulators (count / sum / sum-of-squares, then the clipped
+    versions) ``psum`` over 'data'; per-device memory stays at the
+    local shard's warped frames.  The first return value is then the
+    FINAL image (per-pixel denominators — do NOT divide again).
     """
+    from ..ops import stack as stack_ops
     from ..ops.ecc import _MAX_SOLVE_LANES
-    from ..ops.warp_batch import warp_accumulate_rgb
+    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
+
+    if stacking not in ("mean", "sigma_clip"):
+        raise ValueError(
+            f"stacking must be 'mean' or 'sigma_clip', got {stacking!r}"
+        )
 
     h, w = reference_grey.shape
 
@@ -171,11 +188,54 @@ def ecc_stack_step(
         warps = jnp.concatenate([p.warp_matrix for p in parts])
         res_ok = jnp.concatenate([p.ok for p in parts])
         perspective = motion_type == MotionType.Homography
-        # fused warp+accumulate (one Pallas sweep on TPU; masked sum)
-        partial = warp_accumulate_rgb(
-            f32, warps, res_ok, perspective=perspective
-        )
-        total = jax.lax.psum(partial, "data")
+        if stacking == "sigma_clip":
+            # distributed kappa-sigma clip: local warped shard + psum'd
+            # per-pixel moments (ops/stack.py semantics, sharded)
+            from ..ops import warp as warp_ops
+
+            h_, w_ = f32.shape[1], f32.shape[2]
+            m3 = (
+                warps if warps.shape[-2] == 3
+                else jax.vmap(warp_ops.affine_to_3x3)(warps)
+            )
+            eye = jnp.eye(3, dtype=m3.dtype)
+            m3 = jnp.where(res_ok[:, None, None], m3, eye)
+            wf = warp_frames_batch(f32, m3, perspective=perspective)
+            incl = (
+                stack_ops._coverage(m3, h_, w_, perspective)
+                & res_ok[:, None, None]
+            )
+            inclf = incl.astype(jnp.float32)
+
+            def moments(mask_f, per_channel):
+                mf = mask_f if per_channel else mask_f[..., None]
+                c0 = jax.lax.psum(
+                    jnp.sum(mask_f, axis=0), "data"
+                )
+                c1 = jax.lax.psum(jnp.sum(mf * wf, axis=0), "data")
+                c2 = jax.lax.psum(jnp.sum(mf * wf * wf, axis=0), "data")
+                return c0, c1, c2
+
+            s0, s1, s2 = moments(inclf, per_channel=False)
+            s0c = s0[..., None]
+            for _ in range(sigma_iters):
+                denom = jnp.maximum(s0c, 1.0)
+                mu = s1 / denom
+                var = jnp.maximum(s2 / denom - mu * mu, 0.0)
+                tol = sigma_kappa * jnp.sqrt(var) + stack_ops._CLIP_TOL
+                m = incl[..., None] & (jnp.abs(wf - mu) <= tol)
+                s0c, s1, s2 = moments(m.astype(jnp.float32),
+                                      per_channel=True)
+                s1 = jnp.where(s0c > 0.0, s1, mu)
+                s2 = jnp.where(s0c > 0.0, s2, mu * mu)
+                s0c = jnp.maximum(s0c, 1.0)
+            total = s1 / s0c
+        else:
+            # fused warp+accumulate (one Pallas sweep on TPU; masked sum)
+            partial = warp_accumulate_rgb(
+                f32, warps, res_ok, perspective=perspective
+            )
+            total = jax.lax.psum(partial, "data")
         ok = jax.lax.all_gather(res_ok, "data", tiled=True)
         return total, ok
 

@@ -322,3 +322,53 @@ def test_pallas_warp_accum_under_shard_map(monkeypatch):
     d = np.abs(got - want)
     assert (d > 1e-5).mean() <= 1e-3, (d > 1e-5).mean()
     assert d.max() < 0.02, d.max()
+
+
+def test_sharded_sigma_clip_stack(burst):
+    """stacking='sigma_clip' in ecc_stack_step: per-pixel moments psum
+    over 'data' — sharded == unsharded, and a single-frame streak is
+    suppressed where the mean stack ghosts it."""
+    import cv2
+
+    dirty = np.asarray(burst).copy()
+    streaked = dirty[5].copy()
+    cv2.line(streaked, (8, 10), (70, 50), (255, 255, 255), 2)
+    dirty[5] = streaked
+    streak = np.zeros(dirty.shape[1:3], np.uint8)
+    cv2.line(streak, (8, 10), (70, 50), 1, 2)
+    streak = streak.astype(bool)
+
+    m = pmesh.make_mesh(data=4, spatial=2)
+    ref_grey = color.rgb_to_gray_u8(jnp.asarray(dirty[0])).astype(jnp.float32)
+    kw = dict(motion_type=MotionType.Translation, num_iters=10, eps=1e-4,
+              stacking="sigma_clip", sigma_kappa=2.5, sigma_iters=2)
+    img, ok = pmesh.ecc_stack_step(
+        pmesh.shard_frames(jnp.asarray(dirty), m), ref_grey, m, **kw
+    )
+    assert np.asarray(ok).all()
+
+    m1 = pmesh.make_mesh(jax.devices()[:1], data=1, spatial=1)
+    img1, _ = pmesh.ecc_stack_step(jnp.asarray(dirty), ref_grey, m1, **kw)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img1), atol=1e-5)
+
+    mean_sum, mok = pmesh.ecc_stack_step(
+        pmesh.shard_frames(jnp.asarray(dirty), m), ref_grey, m,
+        motion_type=MotionType.Translation, num_iters=10, eps=1e-4,
+    )
+    mean_img = np.asarray(mean_sum) / np.asarray(mok).sum()
+    clean_sum, cok = pmesh.ecc_stack_step(
+        pmesh.shard_frames(jnp.asarray(burst), m), ref_grey, m,
+        motion_type=MotionType.Translation, num_iters=10, eps=1e-4,
+    )
+    clean_img = np.asarray(clean_sum) / np.asarray(cok).sum()
+    # the solved warp composes frame 0's own shift, displacing the
+    # streak a few px from its drawn position: assert on the max ghost
+    # inside a dilated band (interior only — border rows differ too)
+    band = cv2.dilate(streak.astype(np.uint8), np.ones((11, 11)))
+    band = band.astype(bool)
+    band[:6] = band[-6:] = False
+    band[:, :6] = band[:, -6:] = False
+    ghost_mean = np.abs(mean_img - clean_img)[band].max()
+    ghost_sig = np.abs(np.asarray(img) - clean_img)[band].max()
+    assert ghost_mean > 0.04, ghost_mean
+    assert ghost_sig < 0.25 * ghost_mean, (ghost_sig, ghost_mean)
