@@ -161,6 +161,28 @@ def main():
     from libstacker_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    # The axon TPU tunnel can be down, in which case jax.devices()
+    # hangs forever (CLAUDE.md): fail with a diagnostic JSON line the
+    # driver can record instead of hanging its round-end bench run.
+    import threading
+
+    init_done = threading.Event()
+    init_timeout = int(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
+
+    def _watchdog():
+        if not init_done.wait(init_timeout):
+            print(json.dumps({
+                "metric": f"ecc_homography_{N_FRAMES}f_{H}x{W}_align_stack",
+                "value": 0.0,
+                "unit": "frames/sec",
+                "vs_baseline": 0.0,
+                "error": "TPU backend failed to initialise within "
+                         f"{init_timeout}s (tunnel down?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -168,6 +190,7 @@ def main():
     from libstacker_tpu.params import MotionType
 
     log(f"devices: {jax.devices()}")
+    init_done.set()
     log(f"building synthetic burst {N_FRAMES}x{H}x{W}...")
     frames = make_burst(N_FRAMES, H, W)
 
