@@ -100,6 +100,9 @@ def main():
     ap.add_argument("--sigma-kappa", type=float, default=2.5)
     ap.add_argument("--sigma-iters", type=int, default=1)
     args = ap.parse_args()
+    if args.stream > 0 and args.stacking != "mean":
+        ap.error("--stacking sigma_clip is not available with --stream "
+                 "(the clip needs multiple passes over the burst)")
 
     import jax.numpy as jnp
 

@@ -159,12 +159,14 @@ def top_k_keypoints(
     slowly on TPU and its recall loss here is ~1-2% of *candidates*,
     before Harris re-ranking).
 
-    LIBSTACKER_TOPK=pooled routes through :func:`top_k_keypoints_nms`
-    (hardware A/B knob).  Only valid when the callers' score maps are
-    3x3 non-max suppressed — true for both FAST paths in ops/orb.py."""
+    LIBSTACKER_TOPK=pooled routes approximate requests through
+    :func:`top_k_keypoints_nms` (hardware A/B knob).  Only valid when
+    the callers' score maps are 3x3 non-max suppressed — true for both
+    FAST paths in ops/orb.py.  Explicit ``approx=False`` calls (exact
+    oracle comparisons) are never rerouted."""
     import os
 
-    if os.environ.get("LIBSTACKER_TOPK") == "pooled":
+    if approx and os.environ.get("LIBSTACKER_TOPK") == "pooled":
         return top_k_keypoints_nms(mask, score, k)
     h, w = score.shape
     flat = jnp.where(mask, score, -1.0).reshape(-1)

@@ -57,6 +57,42 @@ from .warp_batch import warp_frames_batch
 _CLIP_TOL = np.float32(0.5 / 255.0)
 
 
+def clip_iterate(s0, s1, s2, kappa: float, iters: int, clipped_moments):
+    """The kappa-sigma iteration shared by the single-chip and sharded
+    paths (ONE source of truth for the clip semantics).
+
+    ``s0``: pass-0 per-pixel sample count ([H,W] or [H,W,C]);
+    ``s1``/``s2``: value / squared-value sums ([H,W,C]).
+    ``clipped_moments(mu, tol) -> (c0 [H,W,C], c1, c2)`` recomputes the
+    moments over samples within ``tol`` of ``mu`` (per pixel AND
+    channel) — a chunked re-warp sweep single-chip, a psum'd local
+    sweep sharded.
+
+    Returns ``(out [H,W,C], kept [H,W,C])`` where ``kept`` is the LAST
+    pass's pre-clamp surviving-sample count (pixels whose clip emptied
+    report 0, not the clamped 1 — the honest rejected-fraction base).
+    Pixels with no surviving sample fall back to that pass's mean.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not kappa > 0.0:
+        raise ValueError(f"kappa must be > 0, got {kappa}")
+    s0c = s0[..., None] if s0.ndim == s1.ndim - 1 else s0
+    kept = s0c
+    for _ in range(iters):
+        denom = jnp.maximum(s0c, 1.0)
+        mu = s1 / denom
+        var = jnp.maximum(s2 / denom - mu * mu, 0.0)
+        tol = kappa * jnp.sqrt(var) + _CLIP_TOL
+        s0c, s1, s2 = clipped_moments(mu, tol)
+        kept = s0c
+        # pixels where clipping removed everything fall back to mu
+        s1 = jnp.where(s0c > 0.0, s1, mu)
+        s2 = jnp.where(s0c > 0.0, s2, mu * mu)
+        s0c = jnp.maximum(s0c, 1.0)
+    return s1 / s0c, kept
+
+
 def _coverage(mats3: jnp.ndarray, h: int, w: int,
               perspective: bool) -> jnp.ndarray:
     """[G,H,W] bool — output pixels whose inverse-mapped source
@@ -200,18 +236,9 @@ def kappa_sigma_stack(
         return acc
 
     s0, s1, s2 = sweep(_moments_chunk)
-    s0c = s0[..., None]  # pass-0 count is per pixel, not per channel
-    total = s0
-    for _ in range(iters):
-        denom = jnp.maximum(s0c, 1.0)
-        mu = s1 / denom
-        var = jnp.maximum(s2 / denom - mu * mu, 0.0)
-        tol = kappa * jnp.sqrt(var) + _CLIP_TOL
-        s0c, s1, s2 = sweep(_clipped_chunk, mu, tol)
-        # pixels where clipping removed everything fall back to mu
-        s1 = jnp.where(s0c > 0.0, s1, mu)
-        s2 = jnp.where(s0c > 0.0, s2, mu * mu)
-        s0c = jnp.maximum(s0c, 1.0)
-    out = s1 / s0c
-    kept = float(jnp.sum(s0c)) / max(float(jnp.sum(total)) * 3.0, 1.0)
-    return out, max(0.0, 1.0 - kept)
+    out, kept = clip_iterate(
+        s0, s1, s2, kappa, iters,
+        lambda mu, tol: sweep(_clipped_chunk, mu, tol),
+    )
+    kept_frac = float(jnp.sum(kept)) / max(float(jnp.sum(s0)) * 3.0, 1.0)
+    return out, max(0.0, 1.0 - kept_frac)

@@ -142,6 +142,11 @@ def ecc_stack_step(
     versions) ``psum`` over 'data'; per-device memory stays at the
     local shard's warped frames.  The first return value is then the
     FINAL image (per-pixel denominators — do NOT divide again).
+    Parity with the unsharded clip is near-exact, not bit-exact: the
+    psum's reduction order perturbs mu/sigma at the last ulp, which can
+    flip the inclusion of samples sitting exactly on the kappa
+    boundary (each flip moves that pixel by at most one sample's
+    influence; the mean path has no such discontinuity).
     """
     from ..ops import stack as stack_ops
     from ..ops.ecc import _MAX_SOLVE_LANES
@@ -217,19 +222,16 @@ def ecc_stack_step(
                 return c0, c1, c2
 
             s0, s1, s2 = moments(inclf, per_channel=False)
-            s0c = s0[..., None]
-            for _ in range(sigma_iters):
-                denom = jnp.maximum(s0c, 1.0)
-                mu = s1 / denom
-                var = jnp.maximum(s2 / denom - mu * mu, 0.0)
-                tol = sigma_kappa * jnp.sqrt(var) + stack_ops._CLIP_TOL
+
+            def clipped_moments(mu, tol):
                 m = incl[..., None] & (jnp.abs(wf - mu) <= tol)
-                s0c, s1, s2 = moments(m.astype(jnp.float32),
-                                      per_channel=True)
-                s1 = jnp.where(s0c > 0.0, s1, mu)
-                s2 = jnp.where(s0c > 0.0, s2, mu * mu)
-                s0c = jnp.maximum(s0c, 1.0)
-            total = s1 / s0c
+                return moments(m.astype(jnp.float32), per_channel=True)
+
+            # the shared clip iteration (ops/stack.py) is the single
+            # source of truth for the kappa-sigma semantics
+            total, _kept = stack_ops.clip_iterate(
+                s0, s1, s2, sigma_kappa, sigma_iters, clipped_moments
+            )
         else:
             # fused warp+accumulate (one Pallas sweep on TPU; masked sum)
             partial = warp_accumulate_rgb(

@@ -324,11 +324,30 @@ def test_pallas_warp_accum_under_shard_map(monkeypatch):
     assert d.max() < 0.02, d.max()
 
 
-def test_sharded_sigma_clip_stack(burst):
+def test_sharded_sigma_clip_stack():
     """stacking='sigma_clip' in ecc_stack_step: per-pixel moments psum
     over 'data' — sharded == unsharded, and a single-frame streak is
     suppressed where the mean stack ghosts it."""
     import cv2
+
+    # LOCAL rng: the shared module fixture draws from the session rng,
+    # which makes its content depend on test ORDER (conftest note) —
+    # and this test's ghost thresholds are content-sensitive
+    lrng = np.random.default_rng(23)
+    h, w = 64, 80
+    base = cv2.GaussianBlur(
+        (lrng.random((h * 2, w * 2)) * 255).astype(np.uint8), (0, 0), 3.0
+    )
+    frames = []
+    for i in range(8):
+        dx, dy = lrng.uniform(-2, 2, 2)
+        mm = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, mm, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.stack([cur] * 3, -1))
+    burst = np.stack(frames)
 
     dirty = np.asarray(burst).copy()
     streaked = dirty[5].copy()
@@ -349,7 +368,13 @@ def test_sharded_sigma_clip_stack(burst):
 
     m1 = pmesh.make_mesh(jax.devices()[:1], data=1, spatial=1)
     img1, _ = pmesh.ecc_stack_step(jnp.asarray(dirty), ref_grey, m1, **kw)
-    np.testing.assert_allclose(np.asarray(img), np.asarray(img1), atol=1e-5)
+    # psum reordering perturbs mu/sigma by ~1e-7, which can FLIP clip
+    # decisions for samples sitting exactly at the kappa boundary; each
+    # flip moves that pixel by at most one sample's influence.  Parity
+    # is therefore near-exact, not bit-exact (unlike the mean path).
+    d = np.abs(np.asarray(img) - np.asarray(img1))
+    assert (d > 1e-5).mean() < 2e-3, (d > 1e-5).mean()
+    assert d.max() < 0.06, d.max()
 
     mean_sum, mok = pmesh.ecc_stack_step(
         pmesh.shard_frames(jnp.asarray(dirty), m), ref_grey, m,
