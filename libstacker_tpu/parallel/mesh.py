@@ -210,28 +210,7 @@ def ecc_stack_step(
                 stack_ops._coverage(m3, h_, w_, perspective)
                 & res_ok[:, None, None]
             )
-            inclf = incl.astype(jnp.float32)
-
-            def moments(mask_f, per_channel):
-                mf = mask_f if per_channel else mask_f[..., None]
-                c0 = jax.lax.psum(
-                    jnp.sum(mask_f, axis=0), "data"
-                )
-                c1 = jax.lax.psum(jnp.sum(mf * wf, axis=0), "data")
-                c2 = jax.lax.psum(jnp.sum(mf * wf * wf, axis=0), "data")
-                return c0, c1, c2
-
-            s0, s1, s2 = moments(inclf, per_channel=False)
-
-            def clipped_moments(mu, tol):
-                m = incl[..., None] & (jnp.abs(wf - mu) <= tol)
-                return moments(m.astype(jnp.float32), per_channel=True)
-
-            # the shared clip iteration (ops/stack.py) is the single
-            # source of truth for the kappa-sigma semantics
-            total, _kept = stack_ops.clip_iterate(
-                s0, s1, s2, sigma_kappa, sigma_iters, clipped_moments
-            )
+            total = _sharded_sigma_total(wf, incl, sigma_kappa, sigma_iters)
         else:
             # fused warp+accumulate (one Pallas sweep on TPU; masked sum)
             partial = warp_accumulate_rgb(
@@ -251,6 +230,34 @@ def ecc_stack_step(
     return fn(frames_u8, reference_grey)
 
 
+def _sharded_sigma_total(wf, incl, kappa: float, iters: int):
+    """Distributed kappa-sigma clip over locally warped frames: the
+    per-pixel moment accumulators ``psum`` over 'data' and the shared
+    clip iteration (ops/stack.clip_iterate — the single source of truth
+    for the clip semantics) runs on the replicated moments.  ``wf``:
+    [n_loc,H,W,3] warped local frames; ``incl``: [n_loc,H,W] bool
+    coverage-and-ok mask.  Returns the FINAL image (replicated)."""
+    from ..ops import stack as stack_ops
+
+    def moments(mask_f, per_channel):
+        mf = mask_f if per_channel else mask_f[..., None]
+        c0 = jax.lax.psum(jnp.sum(mask_f, axis=0), "data")
+        c1 = jax.lax.psum(jnp.sum(mf * wf, axis=0), "data")
+        c2 = jax.lax.psum(jnp.sum(mf * wf * wf, axis=0), "data")
+        return c0, c1, c2
+
+    s0, s1, s2 = moments(incl.astype(jnp.float32), per_channel=False)
+
+    def clipped_moments(mu, tol):
+        m = incl[..., None] & (jnp.abs(wf - mu) <= tol)
+        return moments(m.astype(jnp.float32), per_channel=True)
+
+    total, _kept = stack_ops.clip_iterate(
+        s0, s1, s2, kappa, iters, clipped_moments
+    )
+    return total
+
+
 def keypoint_stack_step(
     frames_u8: jnp.ndarray,
     ref_feats,
@@ -262,6 +269,9 @@ def keypoint_stack_step(
     max_iters: int = 2000,
     confidence: float = 0.995,
     seed: int = 0,
+    stacking: str = "mean",
+    sigma_kappa: float = 2.5,
+    sigma_iters: int = 1,
 ):
     """One full sharded ORB/RANSAC align+stack step — the keypoint-path
     counterpart of :func:`ecc_stack_step` (reference Rayon fan-out at
@@ -285,10 +295,17 @@ def keypoint_stack_step(
 
     Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool); divide
     by ``ok.sum()`` for the mean like keypoint_match_arrays does.
+    ``stacking="sigma_clip"`` mirrors :func:`ecc_stack_step`'s robust
+    mode (the first return is then the FINAL image — don't divide).
     """
     from ..ops import matcher, orb, ransac as ransac_ops, warp_pallas
-    from ..ops.warp_batch import warp_accumulate_rgb
+    from ..ops import stack as stack_ops
+    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
 
+    if stacking not in ("mean", "sigma_clip"):
+        raise ValueError(
+            f"stacking must be 'mean' or 'sigma_clip', got {stacking!r}"
+        )
     n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
     ndata = mesh.shape["data"]
     if n % ndata != 0:
@@ -334,23 +351,46 @@ def keypoint_stack_step(
         in_band = warp_pallas.residual_domain_ok(minv, h, w, k=7, xp=jnp)
         fast_ok = jnp.all(in_band | ~oks_l)
 
-        def fast_branch(args):
-            f32_, hs_, oks_ = args
-            return warp_accumulate_rgb(
-                f32_, hs_, oks_, perspective=True,
-                allow_pallas=True, pallas_k=7,
-            )
+        if stacking == "sigma_clip":
 
-        def exact_branch(args):
-            f32_, hs_, oks_ = args
-            return warp_accumulate_rgb(
-                f32_, hs_, oks_, perspective=True, allow_pallas=False,
-            )
+            def fast_wf(args):
+                f32_, hs_ = args
+                return warp_frames_batch(
+                    f32_, hs_, perspective=True,
+                    allow_pallas=True, pallas_k=7,
+                )
 
-        partial = jax.lax.cond(
-            fast_ok, fast_branch, exact_branch, (f32, hs_safe, oks_l)
-        )
-        total = jax.lax.psum(partial, "data")
+            def exact_wf(args):
+                f32_, hs_ = args
+                return warp_frames_batch(
+                    f32_, hs_, perspective=True, allow_pallas=False,
+                )
+
+            wf = jax.lax.cond(fast_ok, fast_wf, exact_wf, (f32, hs_safe))
+            incl = (
+                stack_ops._coverage(hs_safe, h, w, True)
+                & oks_l[:, None, None]
+            )
+            total = _sharded_sigma_total(wf, incl, sigma_kappa, sigma_iters)
+        else:
+
+            def fast_branch(args):
+                f32_, hs_, oks_ = args
+                return warp_accumulate_rgb(
+                    f32_, hs_, oks_, perspective=True,
+                    allow_pallas=True, pallas_k=7,
+                )
+
+            def exact_branch(args):
+                f32_, hs_, oks_ = args
+                return warp_accumulate_rgb(
+                    f32_, hs_, oks_, perspective=True, allow_pallas=False,
+                )
+
+            partial = jax.lax.cond(
+                fast_ok, fast_branch, exact_branch, (f32, hs_safe, oks_l)
+            )
+            total = jax.lax.psum(partial, "data")
         ok = jax.lax.all_gather(oks_l, "data", tiled=True)
         return total, ok
 

@@ -397,3 +397,65 @@ def test_sharded_sigma_clip_stack():
     ghost_sig = np.abs(np.asarray(img) - clean_img)[band].max()
     assert ghost_mean > 0.04, ghost_mean
     assert ghost_sig < 0.25 * ghost_mean, (ghost_sig, ghost_mean)
+
+
+def test_sharded_keypoint_sigma_clip():
+    """stacking='sigma_clip' on keypoint_stack_step suppresses a
+    single-frame streak that the sharded mean ghosts (the keypoint
+    counterpart of test_sharded_sigma_clip_stack)."""
+    local = np.random.default_rng(57)
+    h, w = 160, 320
+    small = local.integers(0, 256, (h // 8, w // 8), np.uint8)
+    base = cv2.GaussianBlur(
+        cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST),
+        (3, 3), 0.8,
+    )
+    frames = []
+    for i in range(8):
+        dx, dy = int(local.integers(-3, 4)), int(local.integers(-3, 4))
+        cur = np.roll(base, (dy, dx), (0, 1))
+        frames.append(np.stack([cur] * 3, -1))
+    frames = np.stack(frames)
+    dirty = frames.copy()
+    st = dirty[5].copy()
+    cv2.line(st, (20, 30), (290, 130), (255, 255, 255), 3)
+    dirty[5] = st
+    streak = np.zeros((h, w), np.uint8)
+    cv2.line(streak, (20, 30), (290, 130), 1, 3)
+
+    from libstacker_tpu.models import keypoint as kp
+
+    feats0 = kp.detect_features_chunked(jnp.asarray(dirty[:1]))
+    ref_feats = jax.tree.map(lambda x: x[0], feats0)
+    m4 = pmesh.make_mesh(data=4, spatial=2)
+    frames_j = pmesh.shard_frames(jnp.asarray(dirty), m4)
+    mean_sum, ok = pmesh.keypoint_stack_step(frames_j, ref_feats, m4, seed=3)
+    assert np.asarray(ok).all()
+    mean_img = np.asarray(mean_sum) / np.asarray(ok).sum()
+    sig_img, ok2 = pmesh.keypoint_stack_step(
+        frames_j, ref_feats, m4, seed=3,
+        stacking="sigma_clip", sigma_kappa=2.5, sigma_iters=2,
+    )
+    assert np.asarray(ok2).all()
+    sig_img = np.asarray(sig_img)
+
+    # baseline = the CLEAN sharded mean (same program, compile-cached):
+    # comparing against raw frame 0 would count bilinear-resampling
+    # error at the texture edges as "ghost" for both estimators
+    clean_sum, cok = pmesh.keypoint_stack_step(
+        pmesh.shard_frames(jnp.asarray(frames), m4), ref_feats, m4, seed=3
+    )
+    clean_img = np.asarray(clean_sum) / np.asarray(cok).sum()
+
+    band = cv2.dilate(streak, np.ones((11, 11))).astype(bool)
+    band[:10] = band[-10:] = False
+    band[:, :10] = band[:, -10:] = False
+    ghost_mean = np.abs(mean_img - clean_img)[band].max()
+    ghost_sig = np.abs(sig_img - clean_img)[band].max()
+    assert ghost_mean > 0.04, ghost_mean
+    assert ghost_sig < 0.3 * ghost_mean, (ghost_sig, ghost_mean)
+
+    with pytest.raises(ValueError):
+        pmesh.keypoint_stack_step(
+            frames_j, ref_feats, m4, stacking="median"
+        )
