@@ -203,16 +203,30 @@ def main():
                     )
                 save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
     else:
+        sigma = args.stacking == "sigma_clip"
+
+        def clip_note(stats):
+            if sigma and stats.clipped_sample_frac is not None:
+                return f" (sigma_clip rejected {stats.clipped_sample_frac:.2%} of samples)"
+            return ""
+
         for sw in scales:
             tag = "full" if sw is None else f"w{sw:.0f}"
             if args.method in ("keypoint", "all"):
                 with timer.phase(f"keypoint_match ({tag})"):
-                    dropped, img = keypoint_match_arrays(frames, kp_params, sw)
-                print(f"keypoint_match({tag}) dropped frames: {dropped}")
+                    dropped, img, kstats = keypoint_match_arrays(
+                        frames, kp_params, sw, return_stats=True
+                    )
+                print(f"keypoint_match({tag}) dropped frames: {dropped}"
+                      + clip_note(kstats))
                 save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img)
             if args.method in ("ecc", "all"):
                 with timer.phase(f"ecc_match ({tag})"):
-                    img = ecc_match_arrays(frames, ecc_params, sw)
+                    img, estats = ecc_match_arrays(
+                        frames, ecc_params, sw, return_stats=True
+                    )
+                if sigma:
+                    print(f"ecc_match({tag}){clip_note(estats)}")
                 save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
 
     print(timer.report())
