@@ -38,3 +38,19 @@ timeout 1200 env PYTHONPATH=. python benchmarks/bench_keypoint.py
 timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage python benchmarks/bench_keypoint.py
 timeout 1200 env PYTHONPATH=. LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
 timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
+
+# 8. sigma_clip robust stacking TPU smoke (kernels are the same tiled
+#    warp; this just exercises the moment sweeps + clip on Mosaic).
+timeout 900 env BENCH_FRAMES=8 python - <<'PYEOF'
+import numpy as np, time, jax.numpy as jnp
+from bench import make_burst
+from libstacker_tpu import EccMatchParameters, MotionType
+from libstacker_tpu.models.ecc import ecc_match_arrays
+frames = make_burst(8, 2160, 3840)
+p = EccMatchParameters(motion_type=MotionType.Homography, max_count=50,
+                       epsilon=1e-4, stacking="sigma_clip", sigma_iters=1)
+t0 = time.perf_counter()
+out, stats = ecc_match_arrays(frames, p, return_stats=True)
+print("sigma_clip 8x4K:", round(time.perf_counter()-t0, 2), "s,",
+      "clipped", stats.clipped_sample_frac)
+PYEOF
