@@ -99,10 +99,17 @@ def main():
                     "1+sigma-iters times; whole-burst paths only)")
     ap.add_argument("--sigma-kappa", type=float, default=2.5)
     ap.add_argument("--sigma-iters", type=int, default=1)
+    ap.add_argument("--output-scale", type=int, default=1,
+                    choices=(1, 2, 3, 4),
+                    help="super-resolution factor: stack onto an output "
+                    "grid this many times finer than the input "
+                    "(shift-and-add nearest-sample deposit; whole-burst "
+                    "paths only)")
     args = ap.parse_args()
-    if args.stream > 0 and args.stacking != "mean":
-        ap.error("--stacking sigma_clip is not available with --stream "
-                 "(the clip needs multiple passes over the burst)")
+    if args.stream > 0 and (args.stacking != "mean"
+                            or args.output_scale != 1):
+        ap.error("--stacking sigma_clip / --output-scale are not "
+                 "available with --stream (they need whole-burst passes)")
 
     import jax.numpy as jnp
 
@@ -164,6 +171,7 @@ def main():
         stacking=args.stacking,
         sigma_kappa=args.sigma_kappa,
         sigma_iters=args.sigma_iters,
+        output_scale=args.output_scale,
     )
     ecc_params = EccMatchParameters(
         motion_type=MotionType[args.motion_type.capitalize()],
@@ -176,6 +184,7 @@ def main():
         stacking=args.stacking,
         sigma_kappa=args.sigma_kappa,
         sigma_iters=args.sigma_iters,
+        output_scale=args.output_scale,
     )
 
     scales = []

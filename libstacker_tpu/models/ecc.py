@@ -209,7 +209,9 @@ def ecc_match_arrays(
 
     if n == 1:
         # reference: stacked = sum / 1 = frame 0 (src/lib.rs:836-843)
-        out = frames[0].astype(np.float32) / 255.0
+        from .keypoint import _single_frame_out
+
+        out = _single_frame_out(frames[0], params)
         if return_stats:
             from ..utils.tracing import PipelineStats
 
@@ -244,7 +246,8 @@ def ecc_match_arrays(
     from ..ops.warp_batch import _pallas_usable
 
     sigma = getattr(params, "stacking", "mean") == "sigma_clip"
-    speculate = _pallas_usable(h, w) and not sigma
+    sr_factor = getattr(params, "output_scale", 1)
+    speculate = _pallas_usable(h, w) and not sigma and sr_factor == 1
     spec_sum = None
     if speculate:
         spec_sum = _ecc_warp_accumulate_jit(
@@ -255,7 +258,20 @@ def ecc_match_arrays(
     cfg = _warp_pick_k_host(
         result.warp_matrix, result.ok, params.motion_type, scale_hw, (h, w)
     )
-    if sigma:
+    if sr_factor > 1:
+        # beyond-reference super-resolution stack (ops/stack.py)
+        from ..ops import stack as stack_ops
+
+        warps_full = jnp.asarray(result.warp_matrix)
+        if scale_hw is not None:
+            warps_full = _adjust_warp_for_scale(
+                warps_full, params.motion_type, scale_hw, (h, w)
+            )
+        stacked_img = stack_ops.super_res_stack(
+            frames_j, warps_full, result.ok, factor=sr_factor,
+            perspective=params.motion_type == MotionType.Homography,
+        )
+    elif sigma:
         # beyond-reference robust stack (ops/stack.py): per-pixel
         # kappa-sigma outlier rejection over the re-warped burst
         from ..ops import stack as stack_ops
@@ -307,14 +323,18 @@ def ecc_match_arrays(
                 f"{bad.tolist()} (NaN correlation or non-positive lambda "
                 "denominator)"
             )
-        if sigma:  # failed lanes were already excluded per pixel
+        if sigma or sr_factor > 1:  # failed lanes already excluded
             out = np.asarray(stacked_img)
             return (out, stats) if return_stats else out
         # drop mode: failed frames contributed nothing to the sum
         count = 1 + int(ok.sum())
         out = np.asarray(stacked_sum) / count
         return (out, stats) if return_stats else out
-    out = np.asarray(stacked_img) if sigma else np.asarray(stacked_sum) / n
+    out = (
+        np.asarray(stacked_img)
+        if (sigma or sr_factor > 1)
+        else np.asarray(stacked_sum) / n
+    )
     return (out, stats) if return_stats else out
 
 
@@ -352,11 +372,11 @@ def ecc_match_stream(
     on a background thread, and the final partial chunk is padded to
     ``chunk_size`` so no per-burst-length recompile ever happens."""
     params.validate()
-    if getattr(params, "stacking", "mean") != "mean":
+    if (getattr(params, "stacking", "mean") != "mean"
+            or getattr(params, "output_scale", 1) != 1):
         raise InvalidParamsError(
-            "sigma_clip stacking needs multiple passes over the burst and"
-            " is not available in the streaming pipelines; use the"
-            " whole-burst entry points"
+            "sigma_clip / output_scale stacking is not available in the"
+            " streaming pipelines; use the whole-burst entry points"
         )
     files = io.normalize_files(files)
     if not files:

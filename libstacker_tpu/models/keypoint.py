@@ -267,6 +267,22 @@ def _pallas_warp_dispatch(kept_hs, h: int, w: int, border_mode: int):
     return cfg, apron
 
 
+def _single_frame_out(frame_u8: np.ndarray, params) -> np.ndarray:
+    """n==1 stack: frame 0 itself — bilinearly upsampled when a
+    super-resolution output grid was requested (there are no other
+    frames to recover detail from)."""
+    out = frame_u8.astype(np.float32) / 255.0
+    f = getattr(params, "output_scale", 1)
+    if f > 1:
+        h, w = out.shape[:2]
+        out = np.asarray(
+            resize.resize(
+                jnp.asarray(out), (h * f, w * f), constants.INTER_LINEAR
+            )
+        )
+    return out
+
+
 def keypoint_match_arrays(
     frames: np.ndarray,
     params: KeyPointMatchParameters = KeyPointMatchParameters(),
@@ -299,7 +315,7 @@ def keypoint_match_arrays(
         # reference: single-frame stack is frame 0 itself; keep the
         # return arity consistent with the n>1 path (mirrors
         # models/ecc.py's n==1 guard)
-        out = frames[0].astype(np.float32) / 255.0
+        out = _single_frame_out(frames[0], params)
         if return_stats:
             from ..utils.tracing import PipelineStats
 
@@ -328,16 +344,20 @@ def keypoint_match_arrays(
     # discarded in favour of the correctly-banded dispatch.
     border = constants.border_mode_name(params.border_mode)
     sigma = getattr(params, "stacking", "mean") == "sigma_clip"
-    if sigma and border not in ("constant", "transparent"):
+    sr_factor = getattr(params, "output_scale", 1)
+    if (sigma or sr_factor > 1) and border not in (
+        "constant", "transparent"
+    ):
         raise InvalidParamsError(
-            "stacking='sigma_clip' requires BORDER_CONSTANT or "
-            "BORDER_TRANSPARENT (sample inclusion is defined by warp "
-            f"coverage), got border mode {border!r}"
+            "stacking='sigma_clip' / output_scale>1 require "
+            "BORDER_CONSTANT or BORDER_TRANSPARENT (sample inclusion is "
+            f"defined by warp coverage), got border mode {border!r}"
         )
     speculate = (
         border in ("constant", "transparent")
         and warp_batch._pallas_usable(h, w)
         and not sigma
+        and sr_factor == 1
     )
     spec_sum = None
     if speculate:
@@ -360,7 +380,17 @@ def keypoint_match_arrays(
         hs_np[:, 2, 1] /= sy
     kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
     cfg, apron = _pallas_warp_dispatch(kept_hs, h, w, params.border_mode)
-    if sigma:
+    if sr_factor > 1:
+        # beyond-reference super-resolution stack (ops/stack.py)
+        from ..ops import stack as stack_ops
+
+        hs_full = jnp.asarray(hs)
+        if scale_hw is not None:
+            hs_full = _adjust_h_for_scale(hs_full, scale_hw, (h, w))
+        stacked_img = stack_ops.super_res_stack(
+            frames_j, hs_full, oks, factor=sr_factor, perspective=True,
+        )
+    elif sigma:
         # beyond-reference robust stack (ops/stack.py): per-pixel
         # kappa-sigma outlier rejection over the re-warped burst
         from ..ops import stack as stack_ops
@@ -394,7 +424,9 @@ def keypoint_match_arrays(
     kept = 1 + int(oks.sum())
     dropped = int((~oks).sum())
     out = (
-        np.asarray(stacked_img) if sigma else np.asarray(stacked_sum) / kept
+        np.asarray(stacked_img)
+        if (sigma or sr_factor > 1)
+        else np.asarray(stacked_sum) / kept
     )
     if return_stats:
         from ..utils.tracing import PipelineStats
@@ -441,11 +473,11 @@ def keypoint_match_stream(
     Returns ``(dropped_count, stacked [H,W,3] float32 RGB)`` like
     :func:`keypoint_match`."""
     params.validate()
-    if getattr(params, "stacking", "mean") != "mean":
+    if (getattr(params, "stacking", "mean") != "mean"
+            or getattr(params, "output_scale", 1) != 1):
         raise InvalidParamsError(
-            "sigma_clip stacking needs multiple passes over the burst and"
-            " is not available in the streaming pipelines; use the"
-            " whole-burst entry points"
+            "sigma_clip / output_scale stacking is not available in the"
+            " streaming pipelines; use the whole-burst entry points"
         )
     files = io.normalize_files(files)
     if not files:

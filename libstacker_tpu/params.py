@@ -22,7 +22,9 @@ from . import constants
 from .errors import InvalidParamsError
 
 
-def _validate_stacking(stacking: str, kappa: float, iters: int) -> None:
+def _validate_stacking(
+    stacking: str, kappa: float, iters: int, output_scale: int = 1
+) -> None:
     """Shared validation of the beyond-reference stacking fields."""
     if stacking not in ("mean", "sigma_clip"):
         raise InvalidParamsError(
@@ -37,6 +39,15 @@ def _validate_stacking(stacking: str, kappa: float, iters: int) -> None:
             raise InvalidParamsError(
                 f"sigma_iters must be >= 1, got {iters}"
             )
+    if output_scale not in (1, 2, 3, 4):
+        raise InvalidParamsError(
+            f"output_scale must be 1, 2, 3 or 4, got {output_scale}"
+        )
+    if output_scale > 1 and stacking != "mean":
+        raise InvalidParamsError(
+            "output_scale > 1 (super-resolution) cannot be combined "
+            "with stacking='sigma_clip' yet"
+        )
 
 
 class MotionType(enum.IntEnum):
@@ -97,6 +108,11 @@ class KeyPointMatchParameters:
     sigma_kappa: float = 2.5
     #: Number of clipping passes for stacking="sigma_clip".
     sigma_iters: int = 1
+    #: Super-resolution factor: stack onto an output grid this many
+    #: times finer than the input (shift-and-add nearest-sample
+    #: deposit, ops/stack.super_res_stack; beyond-reference).  1 =
+    #: reference semantics.
+    output_scale: int = 1
 
     def validate(self) -> None:
         if self.method not in (0, constants.RANSAC, constants.LMEDS):
@@ -119,7 +135,8 @@ class KeyPointMatchParameters:
             raise InvalidParamsError(
                 f"confidence must be in (0, 1), got {self.confidence}"
             )
-        _validate_stacking(self.stacking, self.sigma_kappa, self.sigma_iters)
+        _validate_stacking(self.stacking, self.sigma_kappa, self.sigma_iters,
+                           getattr(self, "output_scale", 1))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +191,11 @@ class EccMatchParameters:
     sigma_kappa: float = 2.5
     #: Number of clipping passes for stacking="sigma_clip".
     sigma_iters: int = 1
+    #: Super-resolution factor: stack onto an output grid this many
+    #: times finer than the input (shift-and-add nearest-sample
+    #: deposit, ops/stack.super_res_stack; beyond-reference).  1 =
+    #: reference semantics.
+    output_scale: int = 1
 
     def resolve_criteria(self) -> Tuple[int, float]:
         """Resolve (num_iterations, termination_eps) the way OpenCV's
@@ -200,4 +222,5 @@ class EccMatchParameters:
                 f"solver must be 'forward', 'lazy' or 'ic', "
                 f"got {self.solver!r}"
             )
-        _validate_stacking(self.stacking, self.sigma_kappa, self.sigma_iters)
+        _validate_stacking(self.stacking, self.sigma_kappa, self.sigma_iters,
+                           getattr(self, "output_scale", 1))

@@ -250,3 +250,114 @@ def test_ecc_sigma_clip_scaled_path_and_stats(streak_burst):
     err_sig = np.abs(sig_dirty - mean_clean)[core].mean()
     assert err_mean > 0.02, err_mean
     assert err_sig < 0.25 * err_mean, (err_sig, err_mean)
+
+
+def test_super_res_recovers_contrast():
+    """super_res_stack on a near-Nyquist target: the shift-and-add
+    nearest-sample deposit must recover clearly more of the truth's
+    contrast than the bilinear mean (which low-passes it away), at
+    lower RMSE."""
+    rng = np.random.default_rng(3)
+    hf = wf = 192
+    yy, xx = np.mgrid[0:hf, 0:wf].astype(np.float64)
+    truth = 0.5 + 0.25 * np.sin(0.9 * xx) + 0.25 * np.sin(0.9 * yy)
+
+    def sample_lr(dy, dx):  # area-sample the shifted truth to LR
+        sh = np.roll(np.roll(truth, -int(round(dy * 2)), 0),
+                     -int(round(dx * 2)), 1)
+        return sh.reshape(hf // 2, 2, wf // 2, 2).mean((1, 3))
+
+    n = 16
+    shifts = [(0.0, 0.0)] + [
+        (round(rng.uniform(0, 1) * 2) / 2, round(rng.uniform(0, 1) * 2) / 2)
+        for _ in range(n - 1)
+    ]
+    frames_f = np.stack([sample_lr(dy, dx) for dy, dx in shifts])
+    frames = np.repeat(
+        np.clip(np.round(frames_f * 255), 0, 255).astype(np.uint8)[..., None],
+        3, axis=-1,
+    )
+    # f_i(x) = ref(x + d_i): forward map is the translation by d_i
+    mats = np.stack([
+        np.array([[1, 0, dx], [0, 1, dy], [0, 0, 1]], np.float32)
+        for dy, dx in shifts[1:]
+    ])
+    oks = np.ones(n - 1, bool)
+    sr = np.asarray(stack.super_res_stack(
+        jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+        factor=2, kernel_sigma=0.3, perspective=False, chunk=5,
+    ))[..., 0].astype(np.float64)
+
+    h, w = hf // 2, wf // 2
+    oy, ox = np.mgrid[0:hf, 0:wf].astype(np.float64)
+    acc = np.zeros((hf, wf))
+    for f, (dy, dx) in zip(frames_f, shifts):
+        sy = (oy + 0.5) / 2 - 0.5 - dy
+        sx = (ox + 0.5) / 2 - 0.5 - dx
+        y0 = np.clip(np.floor(sy).astype(int), 0, h - 2)
+        fy = np.clip(sy - y0, 0, 1)
+        x0 = np.clip(np.floor(sx).astype(int), 0, w - 2)
+        fx = np.clip(sx - x0, 0, 1)
+        acc += (f[y0, x0] * (1 - fy) * (1 - fx)
+                + f[y0, x0 + 1] * (1 - fy) * fx
+                + f[y0 + 1, x0] * fy * (1 - fx)
+                + f[y0 + 1, x0 + 1] * fy * fx)
+    bl = acc / n
+
+    crop = slice(8, -8)
+
+    def rmse_contrast(x):
+        r = np.sqrt(((x - truth)[crop, crop] ** 2).mean())
+        a = (x - x.mean())[crop, crop]
+        t = (truth - truth.mean())[crop, crop]
+        return r, (a * t).mean() / (t * t).mean()
+
+    r_bl, c_bl = rmse_contrast(bl)
+    r_sr, c_sr = rmse_contrast(sr)
+    assert c_sr > c_bl + 0.08, (c_sr, c_bl)
+    assert r_sr < 0.75 * r_bl, (r_sr, r_bl)
+
+
+def test_pipeline_output_scale():
+    """output_scale=2 through keypoint_match_arrays: 2x output grid,
+    content consistent with the mean stack when area-downsampled, and
+    the combo/streaming guards hold."""
+    rng = np.random.default_rng(29)
+    h, w = 192, 256
+    base = cv2.resize(
+        rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8).astype(np.uint8),
+        (w, h), interpolation=cv2.INTER_NEAREST,
+    )
+    frames = np.stack([
+        np.roll(base, (int(rng.integers(-3, 4)), int(rng.integers(-3, 4))),
+                (0, 1))
+        for _ in range(8)
+    ])
+    d0, mean_out = keypoint_match_arrays(frames, KeyPointMatchParameters())
+    d1, sr_out = keypoint_match_arrays(
+        frames, KeyPointMatchParameters(output_scale=2)
+    )
+    assert d0 == 0 and d1 == 0
+    assert sr_out.shape == (2 * h, 2 * w, 3)
+    down = sr_out.reshape(h, 2, w, 2, 3).mean((1, 3))
+    core = np.abs(down - mean_out)[10:-10, 10:-10]
+    assert core.mean() < 0.02, core.mean()
+
+    # single-frame burst upsamples frame 0
+    d2, one = keypoint_match_arrays(
+        frames[:1], KeyPointMatchParameters(output_scale=2)
+    )
+    assert d2 == 0 and one.shape == (2 * h, 2 * w, 3)
+
+    with pytest.raises(InvalidParamsError):
+        KeyPointMatchParameters(output_scale=5).validate()
+    with pytest.raises(InvalidParamsError):
+        KeyPointMatchParameters(
+            output_scale=2, stacking="sigma_clip"
+        ).validate()
+    from libstacker_tpu import keypoint_match_stream
+
+    with pytest.raises(InvalidParamsError):
+        keypoint_match_stream(
+            ["x.png"], KeyPointMatchParameters(output_scale=2)
+        )
