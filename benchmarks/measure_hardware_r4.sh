@@ -54,3 +54,20 @@ out, stats = ecc_match_arrays(frames, p, return_stats=True)
 print("sigma_clip 8x4K:", round(time.perf_counter()-t0, 2), "s,",
       "clipped", stats.clipped_sample_frac)
 PYEOF
+
+# 9. super-resolution stack TPU smoke at 1080p (XLA-gather formulation:
+#    measure small first — 4K x2 gathers may be slow; see ROADMAP's
+#    Pallas nearest-tap kernel item before scaling up).
+timeout 900 env python - <<'PYEOF'
+import numpy as np, time
+from bench import make_burst
+from libstacker_tpu import EccMatchParameters, MotionType
+from libstacker_tpu.models.ecc import ecc_match_arrays
+frames = make_burst(8, 1080, 1920)
+p = EccMatchParameters(motion_type=MotionType.Homography, max_count=50,
+                       epsilon=1e-4, output_scale=2)
+t0 = time.perf_counter()
+out = ecc_match_arrays(frames, p)
+print("super_res 8x1080p x2:", round(time.perf_counter()-t0, 2), "s,",
+      "shape", out.shape)
+PYEOF
