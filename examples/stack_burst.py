@@ -15,7 +15,10 @@ Usage:  python examples/stack_burst.py <image_dir> [--out outdir]
         [--max-count N] [--epsilon E] [--gauss-filt-size K]
         [--ransac-reproj-threshold T] [--match-ratio R]
         [--match-keep-ratio R] [--scale-width W] [--no-scaled/--no-full]
-        [--keep-all] [--stream N]
+        [--keep-all] [--stream N] [--ecc-solver forward|lazy|ic]
+        [--no-phase-init] [--phase-init-rotation]
+        [--stacking mean|sigma_clip] [--sigma-kappa K] [--sigma-iters I]
+        [--output-scale 1|2|3|4]
 
 (The reference's README lists CLI options as an unfinished todo,
 README.md:85 — these flags cover every field of both parameter structs.)
