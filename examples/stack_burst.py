@@ -113,6 +113,9 @@ def main():
                             or args.output_scale != 1):
         ap.error("--stacking sigma_clip / --output-scale are not "
                  "available with --stream (they need whole-burst passes)")
+    if args.output_scale != 1 and args.stacking != "mean":
+        ap.error("--output-scale cannot be combined with "
+                 "--stacking sigma_clip yet")
 
     import jax.numpy as jnp
 

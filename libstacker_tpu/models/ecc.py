@@ -181,7 +181,8 @@ def ecc_match_arrays(
 
     Returns the stacked ``[H,W,3] float32`` RGB image in [0,1]
     (frame 0's grid), like the reference returns a CV_32F Mat
-    (src/lib.rs:836-846).
+    (src/lib.rs:836-846).  With ``params.output_scale = f > 1`` the
+    output grid is ``[f*H, f*W, 3]`` (super-resolution stack).
     """
     params.validate()
     frames = np.asarray(frames)
@@ -255,9 +256,14 @@ def ecc_match_arrays(
             motion_type=params.motion_type, scale_hw=scale_hw,
             allow_pallas=True, pallas_k=1,
         )
-    cfg = _warp_pick_k_host(
-        result.warp_matrix, result.ok, params.motion_type, scale_hw, (h, w)
-    )
+    # the Pallas-dispatch pick needs a blocking device_get of the warp
+    # matrices — skip it on the SR path, which never reads cfg
+    cfg = None
+    if sr_factor == 1:
+        cfg = _warp_pick_k_host(
+            result.warp_matrix, result.ok, params.motion_type, scale_hw,
+            (h, w),
+        )
     if sr_factor > 1:
         # beyond-reference super-resolution stack (ops/stack.py)
         from ..ops import stack as stack_ops

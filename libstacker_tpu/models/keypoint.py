@@ -293,7 +293,8 @@ def keypoint_match_arrays(
     """Array-based ``keypoint_match``: ``frames`` is ``[N,H,W,3] uint8``
     RGB.  Returns ``(dropped_count, stacked [H,W,3] float32 RGB in
     [0,1])`` like the reference returns ``(i32, Mat)``
-    (src/lib.rs:129-144)."""
+    (src/lib.rs:129-144).  With ``params.output_scale = f > 1`` the
+    stacked image is ``[f*H, f*W, 3]`` (super-resolution stack)."""
     params.validate()
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
@@ -379,7 +380,12 @@ def keypoint_match_arrays(
         hs_np[:, 2, 0] /= sx
         hs_np[:, 2, 1] /= sy
     kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
-    cfg, apron = _pallas_warp_dispatch(kept_hs, h, w, params.border_mode)
+    # the Pallas-dispatch pick is host-side band analysis the SR branch
+    # never reads — compute it only for the sigma/mean stacks
+    if sr_factor == 1:
+        cfg, apron = _pallas_warp_dispatch(
+            kept_hs, h, w, params.border_mode
+        )
     if sr_factor > 1:
         # beyond-reference super-resolution stack (ops/stack.py)
         from ..ops import stack as stack_ops

@@ -196,44 +196,18 @@ def kappa_sigma_stack(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
-    dt = jnp.float32
-    eye = jnp.eye(3, dtype=dt)
-    mats3 = mats.astype(dt)
-    if mats3.shape[-2] == 2:  # 2x3 affine -> 3x3
-        pad = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dt), (mats3.shape[0], 1, 1))
-        mats3 = jnp.concatenate([mats3, pad], axis=1)
-    mats_all = jnp.concatenate([eye[None], mats3], axis=0)
-    # keep dropped lanes' (possibly non-finite) matrices out of the warp
-    oks_all = jnp.concatenate(
-        [jnp.ones((1,), bool), jnp.asarray(oks, bool)]
+    frames_p, mats_all, oks_all, chunk, total = _prepare_lanes(
+        frames_u8, mats, oks, chunk
     )
-    mats_all = jnp.where(oks_all[:, None, None], mats_all, eye)
-
-    chunk = max(1, min(chunk, n))
-    pad = (-n) % chunk
-    if pad:
-        frames_u8 = jnp.concatenate(
-            [frames_u8, jnp.zeros((pad, h, w, 3), frames_u8.dtype)]
-        )
-        mats_all = jnp.concatenate([mats_all, jnp.tile(eye[None], (pad, 1, 1))])
-        oks_all = jnp.concatenate([oks_all, jnp.zeros((pad,), bool)])
-
     kw = dict(
         perspective=perspective, allow_pallas=allow_pallas,
         pallas_k=pallas_k, pallas_tile_rows=pallas_tile_rows,
     )
 
     def sweep(fn, *extra):
-        acc = None
-        for s in range(0, n + pad, chunk):
-            part = fn(
-                frames_u8[s : s + chunk], mats_all[s : s + chunk],
-                oks_all[s : s + chunk], *extra, **kw,
-            )
-            acc = part if acc is None else tuple(
-                a + p for a, p in zip(acc, part)
-            )
-        return acc
+        return _sweep_chunks(
+            fn, frames_p, mats_all, oks_all, total, chunk, *extra, **kw
+        )
 
     s0, s1, s2 = sweep(_moments_chunk)
     out, kept = clip_iterate(
@@ -244,8 +218,57 @@ def kappa_sigma_stack(
     return out, max(0.0, 1.0 - kept_frac)
 
 
+def _prepare_lanes(frames_u8, mats, oks, chunk: int):
+    """Shared prologue of the re-warping stackers (kappa-sigma and
+    super-resolution): 2x3 affine -> 3x3, identity frame-0 prepend,
+    failed-lane matrix sanitisation (NaN matrices must not reach
+    ``jnp.linalg.inv``), chunk clamp + ok=False tail padding.
+    Returns (frames_padded, mats_all, oks_all, chunk, total)."""
+    n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
+    dt = jnp.float32
+    eye = jnp.eye(3, dtype=dt)
+    mats3 = mats.astype(dt)
+    if mats3.shape[-2] == 2:
+        pad = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 1.0]], dt), (mats3.shape[0], 1, 1)
+        )
+        mats3 = jnp.concatenate([mats3, pad], axis=1)
+    mats_all = jnp.concatenate([eye[None], mats3], axis=0)
+    oks_all = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.asarray(oks, bool)]
+    )
+    mats_all = jnp.where(oks_all[:, None, None], mats_all, eye)
+
+    chunk = max(1, min(chunk, n))
+    pad_n = (-n) % chunk
+    if pad_n:
+        frames_u8 = jnp.concatenate(
+            [frames_u8, jnp.zeros((pad_n, h, w, 3), frames_u8.dtype)]
+        )
+        mats_all = jnp.concatenate(
+            [mats_all, jnp.tile(eye[None], (pad_n, 1, 1))]
+        )
+        oks_all = jnp.concatenate([oks_all, jnp.zeros((pad_n,), bool)])
+    return frames_u8, mats_all, oks_all, chunk, n + pad_n
+
+
+def _sweep_chunks(fn, frames_u8, mats_all, oks_all, total, chunk,
+                  *extra, **kw):
+    """Run ``fn`` over frame chunks, summing its tuple of accumulators."""
+    acc = None
+    for s in range(0, total, chunk):
+        part = fn(
+            frames_u8[s : s + chunk], mats_all[s : s + chunk],
+            oks_all[s : s + chunk], *extra, **kw,
+        )
+        acc = part if acc is None else tuple(
+            a + p for a, p in zip(acc, part)
+        )
+    return acc
+
+
 @functools.partial(
-    jax.jit, static_argnames=("factor", "perspective")
+    jax.jit, static_argnames=("factor", "perspective", "with_fallback")
 )
 def _sr_chunk(
     frames_u8,  # [C,H,W,3]
@@ -254,16 +277,17 @@ def _sr_chunk(
     factor: int,
     kernel_sigma: float,
     perspective: bool,
+    with_fallback: bool,
 ):
     """One SR accumulation sweep over a frame chunk.
 
     For every output pixel of the ``factor``-times-finer grid, each
     frame deposits its NEAREST sample, weighted by a Gaussian of the
     sub-pixel distance (shift-and-add / kernel-regression
-    super-resolution — the gather-side formulation of drizzle).  Also
-    accumulates the plain bilinear mean as the hole fallback.
-    Returns (acc_v [Hf,Wf,3], acc_w [Hf,Wf], bilin [Hf,Wf,3],
-    cnt [Hf,Wf])."""
+    super-resolution — the gather-side formulation of drizzle).
+    Returns (acc_v [Hf,Wf,3], acc_w [Hf,Wf]); with ``with_fallback``
+    additionally (bilin [Hf,Wf,3], cnt [Hf,Wf]) — only needed for tiny
+    kernel sigmas, see :func:`super_res_stack`."""
     c, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
     hf, wf = h * factor, w * factor
     f32 = color.u8_to_f32(frames_u8)
@@ -292,6 +316,8 @@ def _sr_chunk(
         qyi = jnp.clip(qy, 0, h - 1).astype(jnp.int32)
         qxi = jnp.clip(qx, 0, w - 1).astype(jnp.int32)
         v = frame[qyi, qxi]  # [Hf,Wf,3] nearest-sample gather
+        if not with_fallback:
+            return wgt[..., None] * v, wgt
         # bilinear fallback sample (border-clamped; fully-outside
         # pixels carry weight 0 via `cov` below)
         y0 = jnp.clip(jnp.floor(sy), 0, h - 2)
@@ -314,8 +340,8 @@ def _sr_chunk(
         covf = cov.astype(jnp.float32)
         return wgt[..., None] * v, wgt, bl * covf[..., None], covf
 
-    av, aw, bl, cnt = jax.vmap(one)(f32, minv, oks)
-    return av.sum(0), aw.sum(0), bl.sum(0), cnt.sum(0)
+    parts = jax.vmap(one)(f32, minv, oks)
+    return tuple(p.sum(0) for p in parts)
 
 
 def super_res_stack(
@@ -351,44 +377,27 @@ def super_res_stack(
         raise ValueError(f"factor must be in 2..4, got {factor}")
     if not kernel_sigma > 0.0:
         raise ValueError(f"kernel_sigma must be > 0, got {kernel_sigma}")
-    n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
-    dt = jnp.float32
-    eye = jnp.eye(3, dtype=dt)
-    mats3 = mats.astype(dt)
-    if mats3.shape[-2] == 2:
-        pad = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dt), (mats3.shape[0], 1, 1))
-        mats3 = jnp.concatenate([mats3, pad], axis=1)
-    mats_all = jnp.concatenate([eye[None], mats3], axis=0)
-    oks_all = jnp.concatenate(
-        [jnp.ones((1,), bool), jnp.asarray(oks, bool)]
+    frames_p, mats_all, oks_all, chunk, total = _prepare_lanes(
+        frames_u8, mats, oks, chunk
     )
-    mats_all = jnp.where(oks_all[:, None, None], mats_all, eye)
-
-    chunk = max(1, min(chunk, n))
-    pad_n = (-n) % chunk
-    if pad_n:
-        frames_u8 = jnp.concatenate(
-            [frames_u8, jnp.zeros((pad_n, h, w, 3), frames_u8.dtype)]
-        )
-        mats_all = jnp.concatenate(
-            [mats_all, jnp.tile(eye[None], (pad_n, 1, 1))]
-        )
-        oks_all = jnp.concatenate([oks_all, jnp.zeros((pad_n,), bool)])
-
-    acc = None
-    for s in range(0, n + pad_n, chunk):
-        part = _sr_chunk(
-            frames_u8[s : s + chunk], mats_all[s : s + chunk],
-            oks_all[s : s + chunk], factor=factor,
-            kernel_sigma=kernel_sigma, perspective=perspective,
-        )
-        acc = part if acc is None else tuple(
-            a + p for a, p in zip(acc, part)
-        )
-    av, aw, bl, cnt = acc
-    fallback = bl / jnp.maximum(cnt, 1.0)[..., None]
-    out = jnp.where(
-        (aw > 1e-6)[..., None], av / jnp.maximum(aw, 1e-6)[..., None],
-        fallback,
+    # Frame 0 always deposits with the identity map (max nearest-sample
+    # distance 0.5 px per axis), so every output pixel carries weight
+    # >= exp(-0.5 / (2 sigma^2)) — above the 1e-6 hole threshold for
+    # sigma >= 0.15.  The bilinear fallback accumulators (4 extra
+    # full-grid gathers per frame) are only needed below that.
+    with_fallback = kernel_sigma < 0.15
+    acc = _sweep_chunks(
+        _sr_chunk, frames_p, mats_all, oks_all, total, chunk,
+        factor=factor, kernel_sigma=kernel_sigma,
+        perspective=perspective, with_fallback=with_fallback,
     )
-    return out
+    if with_fallback:
+        av, aw, bl, cnt = acc
+        fallback = bl / jnp.maximum(cnt, 1.0)[..., None]
+        return jnp.where(
+            (aw > 1e-6)[..., None],
+            av / jnp.maximum(aw, 1e-6)[..., None],
+            fallback,
+        )
+    av, aw = acc
+    return av / jnp.maximum(aw, 1e-6)[..., None]
