@@ -195,7 +195,6 @@ def kappa_sigma_stack(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
     frames_p, mats_all, oks_all, chunk, total = _prepare_lanes(
         frames_u8, mats, oks, chunk
     )
