@@ -38,6 +38,8 @@ timeout 1200 env PYTHONPATH=. python benchmarks/bench_keypoint.py
 timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage python benchmarks/bench_keypoint.py
 timeout 1200 env PYTHONPATH=. LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
 timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=noshare python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=noshare LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
 
 # 8. sigma_clip robust stacking TPU smoke (kernels are the same tiled
 #    warp; this just exercises the moment sweeps + clip on Mosaic).

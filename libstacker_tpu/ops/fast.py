@@ -72,7 +72,22 @@ def fast_score(
         # exact, so both forms are BIT-IDENTICAL).  Hardware A/B knob.
         import os
 
-        if os.environ.get("LIBSTACKER_FAST_TREE") == "2stage":
+        tree = os.environ.get("LIBSTACKER_FAST_TREE")
+        if tree == "noshare":
+            # Zero shared subexpressions: each arc is its own 8-min
+            # chain with single-consumer intermediates, so XLA can fuse
+            # the whole segment test into one pass over the padded
+            # image instead of materialising the w2/w4/w8 stages
+            # (recompute-over-materialise: ~2x the min ops, ~none of
+            # the tree's HBM traffic).  min is exact -> bit-identical.
+            out = []
+            for i in range(16):
+                m = v[i % 16]
+                for j in range(1, 9):
+                    m = jnp.minimum(m, v[(i + j) % 16])
+                out.append(m)
+            return out
+        if tree == "2stage":
             w3 = [
                 jnp.minimum(jnp.minimum(v[i], v[(i + 1) % 16]),
                             v[(i + 2) % 16])

@@ -93,10 +93,13 @@ def test_arc_tree_2stage_bit_identical(monkeypatch):
     rng = np.random.default_rng(41)  # local rng (conftest stream note)
     img = rng.integers(0, 256, (192, 256), dtype=np.uint8)
     m0, s0 = (np.asarray(x) for x in fast.fast_detect(jnp.asarray(img), 20))
-    monkeypatch.setenv("LIBSTACKER_FAST_TREE", "2stage")
-    m1, s1 = (np.asarray(x) for x in fast.fast_detect(jnp.asarray(img), 20))
-    np.testing.assert_array_equal(m0, m1)
-    np.testing.assert_array_equal(s0, s1)
+    for tree in ("2stage", "noshare"):
+        monkeypatch.setenv("LIBSTACKER_FAST_TREE", tree)
+        m1, s1 = (
+            np.asarray(x) for x in fast.fast_detect(jnp.asarray(img), 20)
+        )
+        np.testing.assert_array_equal(m0, m1)
+        np.testing.assert_array_equal(s0, s1)
 
 
 def test_top_k_pooled_exact_on_nms_maps(monkeypatch):
