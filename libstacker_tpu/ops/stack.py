@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import color
-from .warp_batch import warp_frames_batch
+from .warp_batch import _pallas_usable, _warp_interpret, warp_frames_batch
 
 # half an 8-bit LSB in the [0,1] value domain: keeps bit-identical
 # samples (sigma == 0) included instead of collapsing to frame 0
@@ -120,19 +120,45 @@ def _coverage(mats3: jnp.ndarray, h: int, w: int,
     return jax.vmap(one)(minv)
 
 
+def _fused_moments_ok(
+    h: int, w: int, allow_pallas: bool, pallas_k: int,
+    pallas_tile_rows: int,
+) -> bool:
+    """Host-side dispatch for the FUSED moments kernel (same geometry
+    gate as ops/warp_batch.warp_accumulate_rgb; the warp-domain gate is
+    the caller's ``allow_pallas``, from pallas_pick_config)."""
+    wh = ((pallas_tile_rows + 2 * pallas_k + 10 + 7) // 8) * 8
+    fits = ((h + 7) // 8) * 8 >= wh and ((w + 127) // 128) * 128 >= 384
+    return bool(allow_pallas and _pallas_usable(h, w) and fits)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "perspective", "allow_pallas", "pallas_k", "pallas_tile_rows",
+        "fused",
     ),
 )
 def _moments_chunk(
     frames_u8, mats, oks, perspective,
-    allow_pallas=True, pallas_k=7, pallas_tile_rows=128,
+    allow_pallas=True, pallas_k=7, pallas_tile_rows=128, fused=False,
 ):
-    """One re-warp sweep over a frame chunk -> (S0 [H,W], S1/S2 [H,W,3])."""
+    """One re-warp sweep over a frame chunk -> (S0 [H,W], S1/S2 [H,W,3]).
+
+    ``fused=True`` (host-gated by :func:`_fused_moments_ok`) runs the
+    single-sweep Pallas moments kernel: no [C,H,W,3] warped
+    intermediate, coverage + moment accumulation in-tile."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
     f = color.u8_to_f32(frames_u8)
+    if fused:
+        from . import warp_accum_pallas
+
+        minv = jnp.linalg.inv(mats.astype(jnp.float32))
+        s0c, s1, s2 = warp_accum_pallas.warp_moments_rgb_pallas(
+            f, minv, oks, k=pallas_k, tile=(pallas_tile_rows, 128),
+            quant_affine=not perspective, interpret=_warp_interpret(),
+        )
+        return s0c[..., 0], s1, s2
     wf = warp_frames_batch(
         f, mats, perspective=perspective, allow_pallas=allow_pallas,
         pallas_k=pallas_k, pallas_tile_rows=pallas_tile_rows,
@@ -149,16 +175,26 @@ def _moments_chunk(
     jax.jit,
     static_argnames=(
         "perspective", "allow_pallas", "pallas_k", "pallas_tile_rows",
+        "fused",
     ),
 )
 def _clipped_chunk(
     frames_u8, mats, oks, mu, tol, perspective,
-    allow_pallas=True, pallas_k=7, pallas_tile_rows=128,
+    allow_pallas=True, pallas_k=7, pallas_tile_rows=128, fused=False,
 ):
     """Re-warp sweep accumulating only samples within ``tol`` of ``mu``
     (per pixel AND per channel) -> (C0/C1/C2 [H,W,3])."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
     f = color.u8_to_f32(frames_u8)
+    if fused:
+        from . import warp_accum_pallas
+
+        minv = jnp.linalg.inv(mats.astype(jnp.float32))
+        return warp_accum_pallas.warp_moments_rgb_pallas(
+            f, minv, oks, mu=mu, tol=tol, k=pallas_k,
+            tile=(pallas_tile_rows, 128),
+            quant_affine=not perspective, interpret=_warp_interpret(),
+        )
     wf = warp_frames_batch(
         f, mats, perspective=perspective, allow_pallas=allow_pallas,
         pallas_k=pallas_k, pallas_tile_rows=pallas_tile_rows,
@@ -198,9 +234,13 @@ def kappa_sigma_stack(
     frames_p, mats_all, oks_all, chunk, total = _prepare_lanes(
         frames_u8, mats, oks, chunk
     )
+    h, w = frames_u8.shape[1], frames_u8.shape[2]
     kw = dict(
         perspective=perspective, allow_pallas=allow_pallas,
         pallas_k=pallas_k, pallas_tile_rows=pallas_tile_rows,
+        fused=_fused_moments_ok(
+            h, w, allow_pallas, pallas_k, pallas_tile_rows
+        ),
     )
 
     def sweep(fn, *extra):

@@ -45,13 +45,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _warp_accum_kernel(
-    m_ref,  # SMEM [N, 12]: 9 inverse-matrix entries + valid + 2 pad
-    bv_ref,  # SMEM [3]: per-channel border value
-    src_ref,  # ANY [N, HP, 3*WP] f32 (interleaved channels)
-    out_ref,  # VMEM [1, TH, 3*TW] — revisited across the frame axis
-    scratch,  # VMEM [2, WH, 3*WW]
-    sem,  # DMA semaphores [2]
-    *,
+    *refs,
     th: int,
     tw: int,
     k: int,
@@ -63,7 +57,27 @@ def _warp_accum_kernel(
     nx: int,
     nf: int,
     quant_affine: bool,
+    moments: bool = False,
+    clip: bool = False,
 ):
+    # ref layout (moments/clip extend the plain accumulate kernel):
+    #   m_ref    SMEM [N, 12]: 9 inverse-matrix entries + valid + 2 pad
+    #   bv_ref   SMEM [3]: per-channel border value (unused in moments
+    #            mode — covered samples never touch the border term)
+    #   src_ref  ANY [N, HP, 3*WP] f32 (interleaved channels)
+    #   mu/tol   VMEM [TH, 3*TW] (clip mode only): per-lane clip centre
+    #            and tolerance, resident across the frame axis
+    #   outputs  VMEM [1, TH, 3*TW] — revisited across the frame axis:
+    #            plain: warped masked sum; moments: S0/S1/S2
+    #   scratch  VMEM [2, WH, 3*WW] + DMA semaphores [2]
+    if clip:
+        (m_ref, bv_ref, src_ref, mu_ref, tol_ref,
+         s0_ref, s1_ref, s2_ref, scratch, sem) = refs
+    elif moments:
+        (m_ref, bv_ref, src_ref,
+         s0_ref, s1_ref, s2_ref, scratch, sem) = refs
+    else:
+        m_ref, bv_ref, src_ref, out_ref, scratch, sem = refs
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n = pl.program_id(2)
@@ -180,6 +194,39 @@ def _warp_accum_kernel(
             t = lo + ci
             tmp = tmp + wx * win[s : s + th, 3 * t : 3 * t + 3 * tw]
         acc = acc + w_s * tmp
+    if moments or clip:
+        # Per-pixel COVERAGE from the UNQUANTISED source coordinates
+        # (same float expressions as ops/stack._coverage): a sample
+        # counts only where every nonzero-weight tap is interior, so
+        # `acc` alone IS the warped value there (wsum == 1, no border
+        # term).  Sample mask = coverage AND lane validity AND (clip
+        # mode) |v - mu| <= tol per lane.
+        cov = (
+            (sx >= 0.0) & (sx <= w - 1.0) & (sy >= 0.0) & (sy <= h - 1.0)
+        )
+        if not quant_affine:
+            cov = cov & (den > 1e-6)
+        mfl = cov.astype(jnp.float32) * valid_f
+        if clip:
+            mfl = mfl * (
+                jnp.abs(acc - mu_ref[:, :]) <= tol_ref[:, :]
+            ).astype(jnp.float32)
+        c1 = mfl * acc
+
+        @pl.when(n == 0)
+        def _():
+            s0_ref[0, :, :] = mfl
+            s1_ref[0, :, :] = c1
+            s2_ref[0, :, :] = c1 * acc
+
+        @pl.when(n > 0)
+        def _():
+            s0_ref[0, :, :] = s0_ref[0, :, :] + mfl
+            s1_ref[0, :, :] = s1_ref[0, :, :] + c1
+            s2_ref[0, :, :] = s2_ref[0, :, :] + c1 * acc
+
+        return
+
     # BORDER_CONSTANT: missing tap weight goes to the per-channel value
     bv_lane = jnp.where(
         il % 3 == 0, bv_ref[0], jnp.where(il % 3 == 1, bv_ref[1], bv_ref[2])
@@ -212,6 +259,59 @@ def warp_accum_rgb_pallas(
     """Fused ``sum_n valid[n] * warp(frames[n], minv[n])`` -> [H, W, 3]
     f32 (BORDER_CONSTANT).  Bit-identical per-lane math to
     ops/warp_pallas.warp_bilinear_pallas; see module docstring."""
+    out = _launch(
+        frames, minv, valid, border_value, k, tile, quant_affine,
+        interpret, mu=None, tol=None, moments=False,
+    )
+    h, w = frames.shape[1], frames.shape[2]
+    return out[0].reshape(h, w, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "quant_affine", "interpret")
+)
+def warp_moments_rgb_pallas(
+    frames: jnp.ndarray,  # [N, H, W, 3] float32
+    minv: jnp.ndarray,  # [N, 3, 3] INVERSE maps
+    valid: jnp.ndarray,  # [N] bool/float
+    mu: Optional[jnp.ndarray] = None,  # [H, W, 3] clip centre
+    tol: Optional[jnp.ndarray] = None,  # [H, W, 3] clip tolerance
+    k: int = 7,
+    tile: Tuple[int, int] = (128, 128),
+    quant_affine: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused per-pixel MOMENTS of the warped burst for kappa-sigma
+    stacking (ops/stack): one sweep returns
+
+      S0 = sum_n m_n,  S1 = sum_n m_n * v_n,  S2 = sum_n m_n * v_n^2
+
+    each [H, W, 3] f32, where ``v_n`` is the warped value (identical
+    tap math to :func:`warp_accum_rgb_pallas`) and ``m_n`` is coverage
+    (every contributing tap interior — same unquantised-coordinate
+    test as ops/stack._coverage) AND lane validity AND, when
+    ``mu``/``tol`` are given, the per-lane clip test |v - mu| <= tol.
+    S0's channels are identical in the non-clip pass (coverage is
+    per-pixel).  Replaces the unfused re-warp sweeps that materialise
+    each chunk's [C, H, W, 3] warped intermediate."""
+    if (mu is None) != (tol is None):
+        raise ValueError("mu and tol must be given together")
+    h, w = frames.shape[1], frames.shape[2]
+    s0, s1, s2 = _launch(
+        frames, minv, valid, 0.0, k, tile, quant_affine, interpret,
+        mu=mu, tol=tol, moments=True,
+    )
+    return (
+        s0[0].reshape(h, w, 3),
+        s1[0].reshape(h, w, 3),
+        s2[0].reshape(h, w, 3),
+    )
+
+
+def _launch(
+    frames, minv, valid, border_value, k, tile, quant_affine, interpret,
+    mu, tol, moments,
+):
     n, h, w, c = frames.shape
     assert c == 3, frames.shape
     th, tw = tile
@@ -244,27 +344,41 @@ def warp_accum_rgb_pallas(
         jnp.asarray(border_value, jnp.float32).reshape(-1), (3,)
     )
     ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
+    clip = moments and mu is not None
     kernel = functools.partial(
         _warp_accum_kernel, th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
         ny=ny, nx=nx, nf=n, quant_affine=quant_affine,
+        moments=moments, clip=clip,
     )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, h, 3 * w), jnp.float32),
-        grid=(ny, nx, n),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th, 3 * tw), lambda i, j, nn: (0, i, j),
+    out_tile = pl.BlockSpec(
+        (1, th, 3 * tw), lambda i, j, nn: (0, i, j),
+        memory_space=pltpu.VMEM,
+    )
+    one_shape = jax.ShapeDtypeStruct((1, h, 3 * w), jnp.float32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [params, bv, src]
+    if clip:
+        # clip-centre/tolerance tiles: index map constant in the frame
+        # axis, so they stay VMEM-resident across the whole burst
+        lane_tile = pl.BlockSpec(
+            (th, 3 * tw), lambda i, j, nn: (i, j),
             memory_space=pltpu.VMEM,
-        ),
+        )
+        in_specs += [lane_tile, lane_tile]
+        operands += [mu.reshape(h, 3 * w), tol.reshape(h, 3 * w)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=(one_shape,) * 3 if moments else one_shape,
+        grid=(ny, nx, n),
+        in_specs=in_specs,
+        out_specs=(out_tile,) * 3 if moments else out_tile,
         scratch_shapes=[
             pltpu.VMEM((2, wh, 3 * ww), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(params, bv, src)
-    return out[0].reshape(h, w, 3)
+    )(*operands)

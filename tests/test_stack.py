@@ -252,6 +252,44 @@ def test_ecc_sigma_clip_scaled_path_and_stats(streak_burst):
     assert err_sig < 0.25 * err_mean, (err_sig, err_mean)
 
 
+def test_kappa_sigma_fused_kernel_end_to_end(monkeypatch):
+    """kappa_sigma_stack routed through the fused Pallas moments kernel
+    (interpret mode) matches the unfused XLA formulation — the robust
+    stack's (1+iters) sweeps without any [C,H,W,3] warped
+    intermediate."""
+    rng = np.random.default_rng(23)  # local rng (conftest stream note)
+    n, h, w = 5, 192, 512
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8),
+        (0, 0), 2.0,
+    )
+    frames = np.stack([
+        np.roll(base, (int(rng.integers(-3, 4)), int(rng.integers(-3, 4))),
+                (0, 1))
+        for _ in range(n)
+    ])
+    frames[2, 60:64, 100:300] = 255  # one-frame glitch to clip
+    mats = np.stack([np.eye(3, dtype=np.float32)] * (n - 1))
+    for i in range(n - 1):
+        mats[i, 0, 2] = 1.25 * i - 2.0
+        mats[i, 1, 2] = -0.75 * i + 1.0
+    oks = np.ones(n - 1, bool)
+    want, frac_w = stack.kappa_sigma_stack(
+        jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+        kappa=2.0, iters=2, chunk=3, allow_pallas=False,
+    )
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    got, frac_g = stack.kappa_sigma_stack(
+        jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+        kappa=2.0, iters=2, chunk=3, allow_pallas=True,
+    )
+    d = np.abs(np.asarray(got) - np.asarray(want))
+    # isolated quantisation-/coverage-boundary flips only
+    assert (d > 1e-4).mean() <= 1e-3, (d > 1e-4).mean()
+    assert abs(frac_g - frac_w) < 5e-3, (frac_g, frac_w)
+
+
 def test_super_res_recovers_contrast():
     """super_res_stack on a near-Nyquist target: the shift-and-add
     nearest-sample deposit must recover clearly more of the truth's

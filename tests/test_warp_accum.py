@@ -158,6 +158,57 @@ def test_kernel_rejects_bad_k(burst):
         )
 
 
+def _u8(frames):
+    return np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
+
+
+def _flip_bounded(got, want, atol=1e-5, frac=1e-3):
+    """Interpret-mode FMA flips at quantisation-bin / coverage
+    boundaries are isolated; bound their fraction, not their size
+    (a coverage flip changes a count by a whole 1.0)."""
+    for g, w_ in zip(got, want):
+        d = np.abs(np.asarray(g) - np.asarray(w_))
+        assert (d > atol).mean() <= frac, (d > atol).mean()
+
+
+def test_fused_moments_matches_unfused(burst, monkeypatch):
+    """warp_moments_rgb_pallas (sigma-clip pass 0) vs the unfused
+    coverage-masked moment sweep of ops/stack."""
+    from libstacker_tpu.ops import stack as stack_ops
+
+    frames, mats = burst
+    oks = np.asarray([True, True, False, True])
+    args = (
+        jnp.asarray(_u8(frames)), jnp.asarray(mats),
+        jnp.asarray(oks), True,
+    )
+    want = stack_ops._moments_chunk(*args, fused=False)
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    got = stack_ops._moments_chunk(*args, fused=True)
+    _flip_bounded(got, want)
+
+
+def test_fused_clipped_moments_match_unfused(burst, monkeypatch):
+    """The clip pass (mu/tol per-lane inputs resident across frames)."""
+    from libstacker_tpu.ops import stack as stack_ops
+
+    frames, mats = burst
+    oks = np.ones(4, bool)
+    args = (jnp.asarray(_u8(frames)), jnp.asarray(mats),
+            jnp.asarray(oks))
+    s0, s1, s2 = stack_ops._moments_chunk(*args, True, fused=False)
+    denom = jnp.maximum(s0, 1.0)[..., None]
+    mu = s1 / denom
+    var = jnp.maximum(s2 / denom - mu * mu, 0.0)
+    tol = 1.5 * jnp.sqrt(var) + np.float32(0.5 / 255.0)
+    want = stack_ops._clipped_chunk(*args, mu, tol, True, fused=False)
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    got = stack_ops._clipped_chunk(*args, mu, tol, True, fused=True)
+    _flip_bounded(got, want)
+
+
 def test_fused_large_rotation_shrunk_tile():
     """Stage-3 accumulation of a large (10 deg) rotation through the
     tile-shrink rung (k=15, 64-row tiles) matches the exact XLA path —
