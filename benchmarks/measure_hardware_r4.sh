@@ -57,19 +57,21 @@ print("sigma_clip 8x4K:", round(time.perf_counter()-t0, 2), "s,",
       "clipped", stats.clipped_sample_frac)
 PYEOF
 
-# 9. super-resolution stack TPU smoke at 1080p (XLA-gather formulation:
-#    measure small first — 4K x2 gathers may be slow; see ROADMAP's
-#    Pallas nearest-tap kernel item before scaling up).
+# 9. super-resolution stack TPU smoke: 1080p first (Mosaic-compiles the
+#    phase-decomposed nearest-tap kernel, ops/sr_pallas — solved warps
+#    in-band dispatch to it automatically), then 4K x2 to time the
+#    kernel path at full scale.
 timeout 900 env python - <<'PYEOF'
 import numpy as np, time
 from bench import make_burst
 from libstacker_tpu import EccMatchParameters, MotionType
 from libstacker_tpu.models.ecc import ecc_match_arrays
-frames = make_burst(8, 1080, 1920)
-p = EccMatchParameters(motion_type=MotionType.Homography, max_count=50,
-                       epsilon=1e-4, output_scale=2)
-t0 = time.perf_counter()
-out = ecc_match_arrays(frames, p)
-print("super_res 8x1080p x2:", round(time.perf_counter()-t0, 2), "s,",
-      "shape", out.shape)
+for h, w in ((1080, 1920), (2160, 3840)):
+    frames = make_burst(8, h, w)
+    p = EccMatchParameters(motion_type=MotionType.Homography, max_count=50,
+                           epsilon=1e-4, output_scale=2)
+    t0 = time.perf_counter()
+    out = ecc_match_arrays(frames, p)
+    print(f"super_res 8x{h}p x2:", round(time.perf_counter()-t0, 2), "s,",
+          "shape", out.shape)
 PYEOF

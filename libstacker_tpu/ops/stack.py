@@ -407,15 +407,19 @@ def super_res_stack(
     back to the bilinear mean.  Beyond-reference capability; the
     reference can only average at input resolution.
 
-    XLA formulation (explicit gathers; chunked over frames).  A Pallas
-    window-DMA kernel (nearest = the warp kernel with taps snapped to
-    the 1-px grid on a factor-scaled output) is queued future work —
-    see ROADMAP.
+    On TPU the deposit runs as a fused Pallas sweep per output PHASE
+    (ops/sr_pallas: each of the factor^2 phases is a source-resolution
+    warp with matrix ``minv @ T(c_p)``, so the window-DMA nearest-tap
+    kernel applies with the standard residual band; phases are
+    lane-interleaved into the fine grid afterwards).  Falls back to the
+    XLA gather formulation off-TPU, for out-of-band warps, or for the
+    tiny-sigma hole-fallback mode.
     """
     if factor < 2 or factor > 4:
         raise ValueError(f"factor must be in 2..4, got {factor}")
     if not kernel_sigma > 0.0:
         raise ValueError(f"kernel_sigma must be > 0, got {kernel_sigma}")
+    h, w = frames_u8.shape[1], frames_u8.shape[2]
     frames_p, mats_all, oks_all, chunk, total = _prepare_lanes(
         frames_u8, mats, oks, chunk
     )
@@ -425,6 +429,22 @@ def super_res_stack(
     # sigma >= 0.15.  The bilinear fallback accumulators (4 extra
     # full-grid gathers per frame) are only needed below that.
     with_fallback = kernel_sigma < 0.15
+    cfg = None
+    if not with_fallback:
+        cfg = _sr_pick_config(mats_all, h, w, factor)
+    if cfg is not None:
+        av, aw = _sweep_chunks(
+            _sr_kernel_chunk, frames_p, mats_all, oks_all, total, chunk,
+            factor=factor, kernel_sigma=kernel_sigma,
+            perspective=perspective, pallas_k=cfg[0],
+            pallas_tile_rows=cfg[1],
+        )
+        f = factor
+        av = av.reshape(f, f, h, w, 3).transpose(2, 0, 3, 1, 4)
+        aw = aw.reshape(f, f, h, w).transpose(2, 0, 3, 1)
+        av = av.reshape(f * h, f * w, 3)
+        aw = aw.reshape(f * h, f * w)
+        return av / jnp.maximum(aw, 1e-6)[..., None]
     acc = _sweep_chunks(
         _sr_chunk, frames_p, mats_all, oks_all, total, chunk,
         factor=factor, kernel_sigma=kernel_sigma,
@@ -440,3 +460,54 @@ def super_res_stack(
         )
     av, aw = acc
     return av / jnp.maximum(aw, 1e-6)[..., None]
+
+
+def _sr_pick_config(mats_all, h: int, w: int, factor: int):
+    """Host-side dispatch for the SR Pallas kernel: the cheapest
+    (k, tile_rows) rung whose residual band covers every FORWARD phase
+    map ``T(-c) @ mats`` (see ops/sr_pallas), or None (XLA path)."""
+    from .sr_pallas import phase_offsets, phase_shift_matrix
+    from .warp_batch import pallas_pick_config
+
+    m = np.asarray(jax.device_get(mats_all), np.float64)
+    fwd = []
+    for c_py in phase_offsets(factor):
+        for c_px in phase_offsets(factor):
+            tinv = np.linalg.inv(phase_shift_matrix(c_px, c_py))
+            fwd.append(tinv[None] @ m)
+    return pallas_pick_config(np.concatenate(fwd, 0), h, w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "factor", "kernel_sigma", "perspective", "pallas_k",
+        "pallas_tile_rows",
+    ),
+)
+def _sr_kernel_chunk(
+    frames_u8, mats, oks, factor, kernel_sigma, perspective,
+    pallas_k, pallas_tile_rows,
+):
+    """One fused-kernel SR sweep over a frame chunk -> stacked
+    per-phase accumulators (av [f^2,H,W,3], aw [f^2,H,W])."""
+    from . import sr_pallas
+    from .warp_batch import _warp_interpret
+
+    f32 = color.u8_to_f32(frames_u8)
+    minv = jnp.linalg.inv(mats.astype(jnp.float32))
+    interpret = _warp_interpret()
+    avs, aws = [], []
+    for c_py in sr_pallas.phase_offsets(factor):
+        for c_px in sr_pallas.phase_offsets(factor):
+            t = jnp.asarray(
+                sr_pallas.phase_shift_matrix(c_px, c_py), jnp.float32
+            )
+            av, aw = sr_pallas.sr_deposit_pallas(
+                f32, minv @ t, oks, kernel_sigma=kernel_sigma,
+                k=pallas_k, tile=(pallas_tile_rows, 128),
+                perspective=perspective, interpret=interpret,
+            )
+            avs.append(av)
+            aws.append(aw[..., 0])
+    return jnp.stack(avs), jnp.stack(aws)

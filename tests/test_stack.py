@@ -356,6 +356,48 @@ def test_super_res_recovers_contrast():
     assert r_sr < 0.75 * r_bl, (r_sr, r_bl)
 
 
+def test_super_res_pallas_matches_xla(monkeypatch):
+    """The phase-decomposed SR Pallas kernel (interpret mode) matches
+    the XLA gather formulation: each output phase is a source-resolution
+    nearest-tap warp, lane-interleaved back into the fine grid."""
+    rng = np.random.default_rng(31)  # local rng (conftest stream note)
+    n, h, w = 5, 192, 512
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8),
+        (0, 0), 1.2,
+    )
+    frames = np.stack([base] + [
+        np.roll(base, (int(rng.integers(-2, 3)), int(rng.integers(-2, 3))),
+                (0, 1))
+        for _ in range(n - 1)
+    ])
+    mats = np.stack([np.eye(3, dtype=np.float32)] * (n - 1))
+    for i in range(n - 1):
+        mats[i, 0, 2] = 0.6 * i - 1.2 + 0.37
+        mats[i, 1, 2] = -0.45 * i + 0.8 + 0.21
+    oks = np.ones(n - 1, bool)
+    oks[3] = False
+    for factor in (2, 3):
+        want = np.asarray(stack.super_res_stack(
+            jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+            factor=factor, perspective=True, chunk=3,
+        ))
+        monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+        monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+        got = np.asarray(stack.super_res_stack(
+            jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+            factor=factor, perspective=True, chunk=3,
+        ))
+        monkeypatch.delenv("LIBSTACKER_FORCE_PALLAS")
+        monkeypatch.delenv("LIBSTACKER_WARP_INTERPRET")
+        d = np.abs(got - want)
+        # sub-ulp matrix-composition differences can flip a nearest-tap
+        # choice only at exact .5 sample boundaries (measure zero on
+        # float shifts); weights differ by ~ulp
+        assert (d > 1e-4).mean() <= 1e-3, (factor, (d > 1e-4).mean())
+        assert np.median(d) < 1e-6
+
+
 def test_pipeline_output_scale():
     """output_scale=2 through keypoint_match_arrays: 2x output grid,
     content consistent with the mean stack when area-downsampled, and
