@@ -209,6 +209,57 @@ def test_fused_clipped_moments_match_unfused(burst, monkeypatch):
     _flip_bounded(got, want)
 
 
+@pytest.mark.parametrize("hw", [(192, 400), (161, 512)])
+def test_fused_moments_non_aligned_sizes(hw, monkeypatch):
+    """Moments kernel at non-(8,128)-aligned sizes (the r2 warp-kernel
+    corruption class): the hp/wp padding + ragged output tiles must not
+    leak pad garbage into the accumulators."""
+    from libstacker_tpu.ops import stack as stack_ops
+
+    h, w = hw
+    rng = np.random.default_rng(57)  # local: see conftest rng note
+    frames = rng.integers(0, 256, (3, h, w, 3), np.uint8)
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 3)
+    for i in range(3):
+        mats[i, 0, 2] = 2.3 * i - 1.7
+        mats[i, 1, 2] = -1.1 * i + 0.6
+    oks = np.ones(3, bool)
+    args = (jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks), True)
+    want = stack_ops._moments_chunk(*args, fused=False)
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    got = stack_ops._moments_chunk(*args, fused=True)
+    _flip_bounded(got, want)
+
+
+def test_sr_deposit_non_aligned_size(monkeypatch):
+    """SR kernel at a non-aligned size via super_res_stack dispatch."""
+    from libstacker_tpu.ops import stack as stack_ops
+
+    h, w = 161, 400
+    rng = np.random.default_rng(59)  # local: see conftest rng note
+    base = rng.integers(0, 256, (h, w, 3), np.uint8)
+    frames = np.stack(
+        [base] + [np.roll(base, (1, -2 + i), (0, 1)) for i in range(2)]
+    )
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    mats[0, 0, 2] = 0.4
+    mats[1, 1, 2] = -0.55
+    oks = np.ones(2, bool)
+    want = np.asarray(stack_ops.super_res_stack(
+        jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+        factor=2, perspective=True, chunk=3,
+    ))
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    got = np.asarray(stack_ops.super_res_stack(
+        jnp.asarray(frames), jnp.asarray(mats), jnp.asarray(oks),
+        factor=2, perspective=True, chunk=3,
+    ))
+    d = np.abs(got - want)
+    assert (d > 1e-4).mean() <= 1e-3, (d > 1e-4).mean()
+
+
 def test_fused_large_rotation_shrunk_tile():
     """Stage-3 accumulation of a large (10 deg) rotation through the
     tile-shrink rung (k=15, 64-row tiles) matches the exact XLA path —
