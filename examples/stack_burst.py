@@ -108,6 +108,12 @@ def main():
                     "grid this many times finer than the input "
                     "(shift-and-add nearest-sample deposit; whole-burst "
                     "paths only)")
+    ap.add_argument("--ecc-mask", metavar="PATH", default=None,
+                    help="grayscale mask image (nonzero = valid): "
+                    "excludes reference-frame pixels from the ECC "
+                    "alignment (cv2 findTransformECC's inputMask — "
+                    "moving subjects, lens dirt, dead sensor regions); "
+                    "stacking still averages every pixel")
     args = ap.parse_args()
     if args.stream > 0 and (args.stacking != "mean"
                             or args.output_scale != 1):
@@ -144,6 +150,17 @@ def main():
 
     with timer.phase("load+decode"):
         frames = io.load_frames(files)
+
+    ecc_mask = None
+    if args.ecc_mask:
+        ecc_mask = np.asarray(io.imread_gray(args.ecc_mask))
+        if ecc_mask.shape != frames.shape[1:3]:
+            print(
+                f"--ecc-mask shape {ecc_mask.shape} does not match the "
+                f"frames {frames.shape[1:3]}",
+                file=sys.stderr,
+            )
+            return 1
 
     with timer.phase("sharpness (all metrics, batched)"):
         grey = color.rgb_to_gray_u8(jnp.asarray(frames))
@@ -214,7 +231,8 @@ def main():
             if args.method in ("ecc", "all"):
                 with timer.phase(f"ecc_match_stream ({tag})"):
                     img = ecc_match_stream(
-                        kept_files, ecc_params, sw, chunk_size=args.stream
+                        kept_files, ecc_params, sw, chunk_size=args.stream,
+                        mask=ecc_mask,
                     )
                 save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
     else:
@@ -238,7 +256,8 @@ def main():
             if args.method in ("ecc", "all"):
                 with timer.phase(f"ecc_match ({tag})"):
                     img, estats = ecc_match_arrays(
-                        frames, ecc_params, sw, return_stats=True
+                        frames, ecc_params, sw, return_stats=True,
+                        mask=ecc_mask,
                     )
                 if sigma:
                     print(f"ecc_match({tag}){clip_note(estats)}")

@@ -85,6 +85,20 @@ def _ecc_grey_jit(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
     return grey.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("scale_hw",))
+def _ecc_mask_jit(mask, scale_hw: Optional[tuple] = None):
+    """Binarise the user's reference-frame mask (nonzero = valid) and,
+    on the scaled path, shrink it conservatively to the solve grid (a
+    scaled pixel stays valid only if >= half its INTER_AREA footprint
+    was)."""
+    m = (mask > 0).astype(jnp.float32)
+    if scale_hw is not None:
+        m = (resize.resize(m, scale_hw, interpolation=3) >= 0.5).astype(
+            jnp.float32
+        )
+    return m
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("motion_type", "scale_hw", "allow_pallas", "pallas_k",
@@ -176,6 +190,7 @@ def ecc_match_arrays(
     scale_down_width: Optional[float] = None,
     on_failure: str = "raise",
     return_stats: bool = False,
+    mask: Optional[np.ndarray] = None,
 ):
     """Array-based ``ecc_match``: ``frames`` is ``[N,H,W,3] uint8`` RGB.
 
@@ -183,6 +198,15 @@ def ecc_match_arrays(
     (frame 0's grid), like the reference returns a CV_32F Mat
     (src/lib.rs:836-846).  With ``params.output_scale = f > 1`` the
     output grid is ``[f*H, f*W, 3]`` (super-resolution stack).
+
+    ``mask`` ([H,W], nonzero = valid) excludes reference-frame pixels
+    from the alignment (cv2.findTransformECC's ``inputMask`` — frame 0
+    is the ECC input image in this pipeline's convention): moving
+    subjects, lens dirt or dead sensor regions stop perturbing the
+    solved warps.  Stacking is unaffected — every output pixel still
+    averages all frames.  Masked solves disable the phase-correlation
+    warm start (the whole-frame FFT would see the masked content) and
+    run identity-initialised like OpenCV.
     """
     params.validate()
     frames = np.asarray(frames)
@@ -222,8 +246,19 @@ def ecc_match_arrays(
 
     frames_j = jnp.asarray(frames)
     grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
+    input_mask = None
+    if mask is not None:
+        mask = np.asarray(mask)
+        if mask.ndim == 3 and mask.shape[-1] == 1:
+            mask = mask[..., 0]
+        if mask.shape != (h, w):
+            raise InvalidParamsError(
+                f"mask must be [H,W] matching the frames, got {mask.shape}"
+                f" for frames {(h, w)}"
+            )
+        input_mask = _ecc_mask_jit(jnp.asarray(mask), scale_hw=scale_hw)
     warp_init = None
-    if getattr(params, "phase_init", False):
+    if getattr(params, "phase_init", False) and input_mask is None:
         from ..ops import phasecorr
 
         warp_init = phasecorr.phase_init_warps(
@@ -239,6 +274,7 @@ def ecc_match_arrays(
         gauss_filt_size=params.gauss_filt_size,
         warp_init=warp_init,
         mode=_solver_mode(params),
+        input_mask=input_mask,
     )
     # speculative k=1 stage 3 (same trick as the keypoint pipelines):
     # dispatch the common-case band before the warp matrices cross to
@@ -350,15 +386,19 @@ def ecc_match(
     scale_down_width: Optional[float] = None,
     on_failure: str = "raise",
     return_stats: bool = False,
+    mask: Optional[np.ndarray] = None,
 ):
     """Align and stack image files with ECC (ref src/lib.rs:702-717).
 
     Returns the stacked ``[H,W,3] float32`` RGB image in [0,1]
-    (plus a PipelineStats record when ``return_stats``).
+    (plus a PipelineStats record when ``return_stats``).  ``mask``
+    excludes reference-frame pixels from the alignment (see
+    :func:`ecc_match_arrays`).
     """
     frames = io.load_frames(files)
     return ecc_match_arrays(
-        frames, params, scale_down_width, on_failure, return_stats
+        frames, params, scale_down_width, on_failure, return_stats,
+        mask=mask,
     )
 
 
@@ -368,6 +408,7 @@ def ecc_match_stream(
     scale_down_width: Optional[float] = None,
     chunk_size: int = 16,
     on_failure: str = "raise",
+    mask: Optional[np.ndarray] = None,
 ):
     """Streaming ``ecc_match`` for bursts larger than HBM: frames are
     decoded, aligned and accumulated in chunks of ``chunk_size`` against
@@ -407,6 +448,17 @@ def ecc_match_stream(
 
     ref_j = jnp.asarray(ref)
     ref_grey = _ecc_grey_jit(ref_j, scale_hw=scale_hw)[0]
+    input_mask = None
+    if mask is not None:
+        mask = np.asarray(mask)
+        if mask.ndim == 3 and mask.shape[-1] == 1:
+            mask = mask[..., 0]
+        if mask.shape != (h, w):
+            raise InvalidParamsError(
+                f"mask must be [H,W] matching the frames, got {mask.shape}"
+                f" for frames {(h, w)}"
+            )
+        input_mask = _ecc_mask_jit(jnp.asarray(mask), scale_hw=scale_hw)
     acc = color.u8_to_f32(ref_j[0])
     all_ok = []
     # True async H2D double-buffering (SURVEY §7 phase 6): the NEXT
@@ -432,7 +484,7 @@ def ecc_match_stream(
         cur = put_next()
         grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
         warp_init = None
-        if getattr(params, "phase_init", False):
+        if getattr(params, "phase_init", False) and input_mask is None:
             from ..ops import phasecorr
 
             warp_init = phasecorr.phase_init_warps(
@@ -448,6 +500,7 @@ def ecc_match_stream(
             gauss_filt_size=params.gauss_filt_size,
             warp_init=warp_init,
             mode=_solver_mode(params),
+            input_mask=input_mask,
         )
         real = jnp.arange(chunk_size) < n_real
         ok_lane = result.ok & real

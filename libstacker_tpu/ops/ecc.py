@@ -39,6 +39,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .. import constants
 from ..params import MotionType
 from . import filters, warp
 
@@ -184,11 +185,12 @@ def find_transform_ecc(
     gauss_filt_size: int = 5,
     warp_init: Optional[jnp.ndarray] = None,
     mode: Optional[str] = None,
+    input_mask: Optional[jnp.ndarray] = None,
 ) -> EccResult:
     """Estimate the warp aligning ``input_image`` to ``template``.
 
     Semantics match ``cv2.findTransformECC(template, input, warp, motion,
-    criteria, None, gauss_filt_size)``: the returned matrix ``M`` warps
+    criteria, input_mask, gauss_filt_size)``: the returned matrix ``M`` warps
     ``input_image`` onto the template grid via dst(x,y) = input(M(x,y))
     (i.e. the WARP_INVERSE_MAP convention used internally; the caller
     then applies plain ``warp_affine``/``warp_perspective`` exactly like
@@ -215,6 +217,7 @@ def find_transform_ecc(
             else jnp.asarray(warp_init, jnp.float32)[None]
         ),
         mode=mode,
+        input_mask=input_mask,
     )
     return EccResult(
         rho=res.rho[0],
@@ -242,6 +245,23 @@ def _prepare_inputs(templates, input_image, gauss_filt_size):
         templates.astype(jnp.float32), gauss_filt_size
     )
     return templates_f, image_f, gx, gy
+
+
+@functools.partial(jax.jit, static_argnames=("gauss_filt_size",))
+def _ecc_prepare_input_masked_jit(input_image, input_mask, gauss_filt_size):
+    """Input-side fields plus OpenCV's inputMask preprocessing
+    (ecc.cpp): threshold the mask to 0/1, Gaussian-blur it with the
+    same ``gauss_filt_size``, re-threshold at 0.95 via the
+    ``* 0.5/0.95`` + rounding-convert trick (an erosion by the blur
+    support, so no partially-masked pixel survives), and pre-multiply
+    the input gradients by the resulting binary mask — exactly what
+    ``gradientX.mul(preMaskFloat)`` does before the iteration loop."""
+    image_f, gx, gy = _input_fields(input_image, gauss_filt_size)
+    pre = (input_mask > 0).astype(jnp.float32)
+    pre_f = filters.gaussian_blur(pre, gauss_filt_size)
+    # cvRound is round-half-even, same as jnp.round
+    pre_bin = jnp.round(pre_f * (0.5 / 0.95))
+    return image_f, gx * pre_bin, gy * pre_bin, pre_bin
 
 
 def _reactivate_carry(carry, eps, lane_mask):
@@ -421,6 +441,7 @@ def _ecc_loop_batched(
     use_pallas: bool,
     warp_k: int = 7,
     mode: str = "forward",
+    pre_mask: Optional[jnp.ndarray] = None,
 ) -> tuple:
     """Explicitly-batched Gauss-Newton ECC slab.  With ``use_pallas``
     each iteration runs as ONE fused Pallas sweep (ops/ecc_pallas.py)
@@ -435,7 +456,15 @@ def _ecc_loop_batched(
     (``with_hessian`` kernel variant on each lane's first active
     iteration) and carried, and the warp update composes
     W <- W @ inv(w(dp)) — see ops/ecc_pallas.py's IC section.  The
-    carry then has two extra entries (hessian [B,P,P], h_ok [B])."""
+    carry then has two extra entries (hessian [B,P,P], h_ok [B]).
+
+    ``pre_mask`` (XLA path only; the driver gates ``use_pallas`` off
+    when a mask is given): OpenCV inputMask support — the preprocessed
+    binary mask (see :func:`_ecc_prepare_input_masked_jit`) is warped
+    with INTER_NEAREST + BORDER_CONSTANT(0) by each lane's current
+    warp and replaces the all-ones validity mask in the zero-mean
+    statistics, exactly like ecc.cpp's per-iteration
+    ``warpAffine(preMaskFloat, imageMask, map, maskFlags)``."""
     b, hd, wd = templates_f.shape
     hs, ws = image_f.shape
     xg = jnp.arange(wd, dtype=jnp.float32)[None, :] * jnp.ones(
@@ -674,10 +703,30 @@ def _ecc_loop_batched(
             image_warped = warped[:, 0]
             gxw = warped[:, 1]
             gyw = warped[:, 2]
-            mask = jax.vmap(
-                lambda mm: warp.warp_valid_mask(mm, (hs, ws), (hd, wd),
-                                                inverse_map=True)
-            )(m3)
+            if pre_mask is not None:
+                # user inputMask: nearest-warp the preprocessed binary
+                # mask with the current warp — out-of-bounds pixels
+                # land on the constant-0 border, so this subsumes the
+                # validity mask (OpenCV relies on the same fact)
+                if perspective:
+                    warp_m = lambda mm: warp.warp_perspective(
+                        pre_mask, mm, (hd, wd), border_mode="constant",
+                        border_value=0.0, inverse_map=True,
+                        interpolation=constants.INTER_NEAREST,
+                    )
+                else:
+                    warp_m = lambda mm: warp.warp_affine(
+                        pre_mask, mm[:2], (hd, wd),
+                        border_mode="constant", border_value=0.0,
+                        inverse_map=True,
+                        interpolation=constants.INTER_NEAREST,
+                    )
+                mask = jax.vmap(warp_m)(m3)
+            else:
+                mask = jax.vmap(
+                    lambda mm: warp.warp_valid_mask(mm, (hs, ws), (hd, wd),
+                                                    inverse_map=True)
+                )(m3)
             n = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)  # [B]
 
             def mstats(x):
@@ -829,11 +878,11 @@ def _ecc_prepare_templates_jit(
 )
 def _ecc_slab_jit(
     templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
-    slab_iters, use_pallas=False, warp_k=7, mode="forward",
+    slab_iters, use_pallas=False, warp_k=7, mode="forward", pre_mask=None,
 ):
     new_c = _ecc_loop_batched(
         templates_f, image_f, gx, gy, carry, motion_type, num_iters, eps,
-        slab_iters, use_pallas, warp_k, mode,
+        slab_iters, use_pallas, warp_k, mode, pre_mask,
     )
     m, rho, last_rho, it, ok = new_c[:5]
     done = (it >= num_iters) | (jnp.abs(rho - last_rho) < eps) | ~ok
@@ -879,6 +928,7 @@ def find_transform_ecc_batched(
     coarse_levels: int = 0,
     warp_init: Optional[jnp.ndarray] = None,
     mode: Optional[str] = None,
+    input_mask: Optional[jnp.ndarray] = None,
 ) -> EccResult:
     """Batched ECC: estimate one warp per template frame against a shared
     input image (the reference's per-thread ``find_transform_ecc`` calls
@@ -900,6 +950,16 @@ def find_transform_ecc_batched(
     cheaper; converges to the same correlation optimum within the eps
     tolerance).  ``None`` resolves via LIBSTACKER_ECC_MODE.  The XLA
     fallback/rescue path always runs the exact forward formulation.
+
+    ``input_mask`` ([H,W], nonzero = valid) is cv2.findTransformECC's
+    ``inputMask``: pixels of ``input_image`` excluded from the
+    correlation (moving subjects, dead sensor regions).  Semantics
+    match ecc.cpp exactly — the mask is binarised, blurred with
+    ``gauss_filt_size`` and re-thresholded at 0.95, the input
+    gradients are pre-multiplied by it, and every iteration
+    nearest-warps it in place of the all-ones validity mask.  Masked
+    solves run on the exact XLA formulation (the fused Pallas kernel
+    has no mask operand yet).
     """
     if mode is None:
         mode = _ecc_mode_default()
@@ -916,16 +976,27 @@ def find_transform_ecc_batched(
                 continue
             tl = _resize.resize(templates, (h // s, w // s), 3)
             il = _resize.resize(input_image, (h // s, w // s), 3)
+            ml = None
+            if input_mask is not None:
+                # conservative mask downscale: a coarse pixel is valid
+                # only if >= half its INTER_AREA footprint was
+                ml = (
+                    _resize.resize(
+                        (jnp.asarray(input_mask) > 0).astype(jnp.float32),
+                        (h // s, w // s), 3,
+                    )
+                    >= 0.5
+                )
             res = find_transform_ecc_batched(
                 tl, il, motion_type, num_iters, eps, gauss_filt_size,
                 slab_iters=None, coarse_levels=0, warp_init=init,
-                mode=mode,
+                mode=mode, input_mask=ml,
             )
             init = _rescale_warp_batch(res.warp_matrix, motion_type, 2.0)
         return find_transform_ecc_batched(
             templates, input_image, motion_type, num_iters, eps,
             gauss_filt_size, slab_iters=slab_iters, coarse_levels=0,
-            warp_init=init, mode=mode,
+            warp_init=init, mode=mode, input_mask=input_mask,
         )
 
     n, h, w = templates.shape
@@ -950,7 +1021,21 @@ def find_transform_ecc_batched(
     group_n = min(
         _MAX_SOLVE_LANES, max(1, int(4e8) // max(1, 4 * h * w))
     )
-    image_f, gx, gy = _ecc_prepare_input_jit(input_image, gauss_filt_size)
+    pre_mask = None
+    if input_mask is not None:
+        input_mask = jnp.asarray(input_mask)
+        if input_mask.shape != input_image.shape:
+            raise ValueError(
+                f"input_mask shape {input_mask.shape} must match "
+                f"input_image shape {input_image.shape}"
+            )
+        image_f, gx, gy, pre_mask = _ecc_prepare_input_masked_jit(
+            input_image, input_mask, gauss_filt_size
+        )
+    else:
+        image_f, gx, gy = _ecc_prepare_input_jit(
+            input_image, gauss_filt_size
+        )
 
     class _Group:
         __slots__ = ("templates_f", "carry", "slab_iters", "res", "done",
@@ -995,6 +1080,7 @@ def find_transform_ecc_batched(
                         g.templates_f, image_f, gx, gy, g.carry,
                         motion_type, num_iters, eps, g.slab_iters,
                         use_pallas=use_pallas, warp_k=warp_k, mode=mode,
+                        pre_mask=pre_mask,
                     )
                 flag_rows.append(
                     jnp.stack([jnp.all(g.done), jnp.all(g.res.ok)])
@@ -1019,7 +1105,11 @@ def find_transform_ecc_batched(
     # fused kernel reconstructs its statistics from f32 moment sums
     # whose cancellation can differ from the exact path's, so the final
     # verdict belongs to the reference formulation.
-    use_pallas = _pallas_ok(h, w) and tuple(input_image.shape) == (h, w)
+    use_pallas = (
+        _pallas_ok(h, w)
+        and tuple(input_image.shape) == (h, w)
+        and pre_mask is None
+    )
     all_idx = list(range(len(groups)))
     if not use_pallas:
         drive(all_idx, False)
