@@ -18,7 +18,7 @@ Usage:  python examples/stack_burst.py <image_dir> [--out outdir]
         [--keep-all] [--stream N] [--ecc-solver forward|lazy|ic]
         [--no-phase-init] [--phase-init-rotation]
         [--stacking mean|sigma_clip] [--sigma-kappa K] [--sigma-iters I]
-        [--output-scale 1|2|3|4]
+        [--output-scale 1|2|3|4] [--align-mask PATH]
 
 (The reference's README lists CLI options as an unfinished todo,
 README.md:85 — these flags cover every field of both parameter structs.)
@@ -108,11 +108,15 @@ def main():
                     "grid this many times finer than the input "
                     "(shift-and-add nearest-sample deposit; whole-burst "
                     "paths only)")
-    ap.add_argument("--ecc-mask", metavar="PATH", default=None,
+    ap.add_argument("--align-mask", "--ecc-mask", dest="align_mask",
+                    metavar="PATH", default=None,
                     help="grayscale mask image (nonzero = valid): "
-                    "excludes reference-frame pixels from the ECC "
-                    "alignment (cv2 findTransformECC's inputMask — "
-                    "moving subjects, lens dirt, dead sensor regions); "
+                    "excludes pixels from the alignment — ECC solves "
+                    "ignore them on the reference frame (cv2 "
+                    "findTransformECC's inputMask) and ORB detects no "
+                    "keypoints there in any frame (cv2 "
+                    "detectAndCompute's mask).  For moving subjects, "
+                    "lens dirt, watermarks, dead sensor regions; "
                     "stacking still averages every pixel")
     args = ap.parse_args()
     if args.stream > 0 and (args.stacking != "mean"
@@ -151,13 +155,13 @@ def main():
     with timer.phase("load+decode"):
         frames = io.load_frames(files)
 
-    ecc_mask = None
-    if args.ecc_mask:
-        ecc_mask = np.asarray(io.imread_gray(args.ecc_mask))
-        if ecc_mask.shape != frames.shape[1:3]:
+    align_mask = None
+    if args.align_mask:
+        align_mask = np.asarray(io.imread_gray(args.align_mask))
+        if align_mask.shape != frames.shape[1:3]:
             print(
-                f"--ecc-mask shape {ecc_mask.shape} does not match the "
-                f"frames {frames.shape[1:3]}",
+                f"--align-mask shape {align_mask.shape} does not match "
+                f"the frames {frames.shape[1:3]}",
                 file=sys.stderr,
             )
             return 1
@@ -224,7 +228,8 @@ def main():
             if args.method in ("keypoint", "all"):
                 with timer.phase(f"keypoint_match_stream ({tag})"):
                     dropped, img = keypoint_match_stream(
-                        kept_files, kp_params, sw, chunk_size=args.stream
+                        kept_files, kp_params, sw, chunk_size=args.stream,
+                        mask=align_mask,
                     )
                 print(f"keypoint stream({tag}) dropped: {dropped}")
                 save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img)
@@ -232,7 +237,7 @@ def main():
                 with timer.phase(f"ecc_match_stream ({tag})"):
                     img = ecc_match_stream(
                         kept_files, ecc_params, sw, chunk_size=args.stream,
-                        mask=ecc_mask,
+                        mask=align_mask,
                     )
                 save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
     else:
@@ -248,7 +253,8 @@ def main():
             if args.method in ("keypoint", "all"):
                 with timer.phase(f"keypoint_match ({tag})"):
                     dropped, img, kstats = keypoint_match_arrays(
-                        frames, kp_params, sw, return_stats=True
+                        frames, kp_params, sw, return_stats=True,
+                        mask=align_mask,
                     )
                 print(f"keypoint_match({tag}) dropped frames: {dropped}"
                       + clip_note(kstats))
@@ -257,7 +263,7 @@ def main():
                 with timer.phase(f"ecc_match ({tag})"):
                     img, estats = ecc_match_arrays(
                         frames, ecc_params, sw, return_stats=True,
-                        mask=ecc_mask,
+                        mask=align_mask,
                     )
                 if sigma:
                     print(f"ecc_match({tag}){clip_note(estats)}")

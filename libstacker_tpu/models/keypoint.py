@@ -49,17 +49,26 @@ def _adjust_h_for_scale(h: jnp.ndarray, small_hw, full_hw) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("scale_hw",))
-def _grey_and_detect(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
+def _grey_and_detect(
+    frames_u8: jnp.ndarray,
+    scale_hw: Optional[tuple] = None,
+    det_mask: Optional[jnp.ndarray] = None,
+):
     """Stage 1: grayscale (+ optional INTER_AREA scale-down) and batched
-    ORB detection/description over all frames."""
+    ORB detection/description over all frames.  ``det_mask`` is a
+    prepared binary [h,w] mask at the detection grid, shared by every
+    frame (cv2 detectAndCompute's mask; see ops/orb.py)."""
     grey = color.rgb_to_gray_u8(frames_u8)
     if scale_hw is not None:
         grey = resize.resize(grey, scale_hw, constants.INTER_AREA)
-    return jax.vmap(orb.orb_detect_and_compute)(grey)
+    return jax.vmap(
+        lambda g: orb.orb_detect_and_compute(g, mask=det_mask)
+    )(grey)
 
 
 def detect_features_chunked(
-    frames_u8, scale_hw: Optional[tuple] = None, chunk: Optional[int] = None
+    frames_u8, scale_hw: Optional[tuple] = None, chunk: Optional[int] = None,
+    det_mask: Optional[jnp.ndarray] = None,
 ):
     """Host-chunked stage 1: the dense FAST/ORB programs keep ~20 HW-sized
     f32 intermediates per frame, so a whole 4K burst cannot be vmapped at
@@ -84,7 +93,8 @@ def detect_features_chunked(
         per_frame = 8 * h * w * 4
         chunk = max(1, min(n, budget // max(per_frame, 1)))
     if chunk >= n:
-        return _grey_and_detect(frames_u8, scale_hw=scale_hw)
+        return _grey_and_detect(frames_u8, scale_hw=scale_hw,
+                                det_mask=det_mask)
     # balance chunk sizes (ceil(n / nchunks)) so tail padding wastes at
     # most nchunks-1 frames of detection across the whole burst
     chunk = -(-n // (-(-n // chunk)))
@@ -98,7 +108,7 @@ def detect_features_chunked(
             # padded frames' features are sliced off below
             reps = jnp.repeat(sub[-1:], chunk - (e - s0), axis=0)
             sub = jnp.concatenate([sub, reps], axis=0)
-        feats = _grey_and_detect(sub, scale_hw=scale_hw)
+        feats = _grey_and_detect(sub, scale_hw=scale_hw, det_mask=det_mask)
         if e - s0 < chunk:
             feats = jax.tree.map(lambda x: x[: e - s0], feats)
         parts.append(feats)
@@ -267,6 +277,25 @@ def _pallas_warp_dispatch(kept_hs, h: int, w: int, border_mode: int):
     return cfg, apron
 
 
+def _prepare_det_mask(mask, full_hw, scale_hw):
+    """Validate + binarise the user's detection mask and, on the scaled
+    path, shrink it conservatively to the detection grid (same contract
+    as models/ecc's mask helper)."""
+    if mask is None:
+        return None
+    mask = np.asarray(mask)
+    if mask.ndim == 3 and mask.shape[-1] == 1:
+        mask = mask[..., 0]
+    if mask.shape != tuple(full_hw):
+        raise InvalidParamsError(
+            f"mask must be [H,W] matching the frames, got {mask.shape}"
+            f" for frames {tuple(full_hw)}"
+        )
+    from .ecc import _ecc_mask_jit
+
+    return _ecc_mask_jit(jnp.asarray(mask), scale_hw=scale_hw)
+
+
 def _single_frame_out(frame_u8: np.ndarray, params) -> np.ndarray:
     """n==1 stack: frame 0 itself — bilinearly upsampled when a
     super-resolution output grid was requested (there are no other
@@ -289,12 +318,19 @@ def keypoint_match_arrays(
     scale_down_width: Optional[float] = None,
     seed: int = 0,
     return_stats: bool = False,
+    mask: Optional[np.ndarray] = None,
 ):
     """Array-based ``keypoint_match``: ``frames`` is ``[N,H,W,3] uint8``
     RGB.  Returns ``(dropped_count, stacked [H,W,3] float32 RGB in
     [0,1])`` like the reference returns ``(i32, Mat)``
     (src/lib.rs:129-144).  With ``params.output_scale = f > 1`` the
-    stacked image is ``[f*H, f*W, 3]`` (super-resolution stack)."""
+    stacked image is ``[f*H, f*W, 3]`` (super-resolution stack).
+
+    ``mask`` ([H,W], nonzero = valid) is cv2 ``detectAndCompute``'s
+    detection mask, applied to EVERY frame (sensor-fixed artifacts:
+    lens dirt, watermarks, dead regions): no keypoints are detected in
+    the masked region, so static overlay content cannot vote for an
+    identity homography.  Stacking is unaffected."""
     params.validate()
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
@@ -326,7 +362,10 @@ def keypoint_match_arrays(
         return 0, out
 
     frames_j = jnp.asarray(frames)
-    feats = detect_features_chunked(frames_j, scale_hw=scale_hw)
+    det_mask = _prepare_det_mask(mask, (h, w), scale_hw)
+    feats = detect_features_chunked(
+        frames_j, scale_hw=scale_hw, det_mask=det_mask
+    )
     hs, oks, mcounts, icounts = _match_and_estimate(
         feats,
         jax.random.PRNGKey(seed),
@@ -455,12 +494,14 @@ def keypoint_match(
     scale_down_width: Optional[float] = None,
     seed: int = 0,
     return_stats: bool = False,
+    mask: Optional[np.ndarray] = None,
 ):
     """Align and stack image files by ORB keypoint matching
-    (ref src/lib.rs:129-144)."""
+    (ref src/lib.rs:129-144).  ``mask`` excludes regions from keypoint
+    detection in every frame (see :func:`keypoint_match_arrays`)."""
     frames = io.load_frames(files)
     return keypoint_match_arrays(
-        frames, params, scale_down_width, seed, return_stats
+        frames, params, scale_down_width, seed, return_stats, mask=mask
     )
 
 
@@ -470,6 +511,7 @@ def keypoint_match_stream(
     scale_down_width: Optional[float] = None,
     seed: int = 0,
     chunk_size: int = 16,
+    mask: Optional[np.ndarray] = None,
 ):
     """Streaming ``keypoint_match`` for bursts larger than HBM: frames
     are decoded (one chunk ahead on a background thread), ORB-matched
@@ -503,7 +545,10 @@ def keypoint_match_stream(
         return 0, ref[0].astype(np.float32) / 255.0
 
     ref_j = jnp.asarray(ref)
-    feats0 = detect_features_chunked(ref_j, scale_hw=scale_hw)
+    det_mask = _prepare_det_mask(mask, (h, w), scale_hw)
+    feats0 = detect_features_chunked(
+        ref_j, scale_hw=scale_hw, det_mask=det_mask
+    )
     acc = color.u8_to_f32(ref_j[0])
     key = jax.random.PRNGKey(seed)
     all_ok = []
@@ -525,7 +570,9 @@ def keypoint_match_stream(
     while cur is not None:
         frames_j, n_real = cur
         cur = put_next()
-        feats = detect_features_chunked(frames_j, scale_hw=scale_hw)
+        feats = detect_features_chunked(
+            frames_j, scale_hw=scale_hw, det_mask=det_mask
+        )
         feats_all = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), feats0, feats
         )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -182,9 +182,21 @@ def orb_detect_and_compute(
     edge_threshold: int = 31,
     patch_size: int = 31,
     fast_threshold: int = 20,
+    mask: Optional[jnp.ndarray] = None,
 ) -> OrbFeatures:
     """Detect + describe on a single ``[H,W]`` uint8 grayscale image.
-    ``vmap`` over a burst for the batched path."""
+    ``vmap`` over a burst for the batched path.
+
+    ``mask`` ([H,W], nonzero = valid) is cv2 ``detectAndCompute``'s
+    detection mask.  OpenCV semantics, pinned by black-box probing of
+    cv2.ORB on a half-plane mask: the mask pyramid is resized
+    SUCCESSIVELY level-to-level with INTER_LINEAR like the image, and
+    re-binarised each level so only fully-interior pixels survive
+    (orb.cpp's THRESH_TOZERO at 254 — the valid region erodes ~1 px
+    per octave); keypoints are filtered AFTER FAST's non-max
+    suppression (a masked-out stronger corner still suppresses valid
+    neighbours — KeyPointsFilter::runByPixelsMask runs on the NMS
+    output)."""
     h, w = img.shape
     quotas = _features_per_level(nfeatures, nlevels, scale_factor)
     # The patch-space rBRIEF blur needs BLUR_RADIUS + 3 = 24 px of
@@ -196,6 +208,9 @@ def orb_detect_and_compute(
     edge_threshold = max(edge_threshold, orb_pallas.BLUR_RADIUS + 3)
 
     level_img = img
+    level_mask = None
+    if mask is not None:
+        level_mask = (jnp.asarray(mask) > 0).astype(jnp.float32)
     feats = []
     for level in range(nlevels):
         scale = scale_factor ** level
@@ -205,6 +220,16 @@ def orb_detect_and_compute(
             level_img = resize.resize(
                 level_img, (lh, lw), constants.INTER_LINEAR
             )
+            if level_mask is not None:
+                level_mask = resize.resize(
+                    level_mask, (lh, lw), constants.INTER_LINEAR
+                )
+                # orb.cpp re-binarises each level at 254 (THRESH_TOZERO):
+                # only pixels whose full INTER_LINEAR support was valid
+                # survive — uint8 rounding reproduced on the float mask
+                level_mask = (
+                    jnp.rint(level_mask * 255.0) >= 255.0
+                ).astype(jnp.float32)
         lh, lw = level_img.shape
         quota = quotas[level]
         if quota == 0 or lh <= 2 * edge_threshold or lw <= 2 * edge_threshold:
@@ -215,9 +240,9 @@ def orb_detect_and_compute(
             score = fast_pallas.fast_scores(
                 level_img, fast_threshold, edge_threshold
             )
-            mask = score > 0.0
+            det = score > 0.0
         else:
-            mask, score = fast.fast_detect(level_img, fast_threshold)
+            det, score = fast.fast_detect(level_img, fast_threshold)
             ys_g = jnp.arange(lh)[:, None]
             xs_g = jnp.arange(lw)[None, :]
             border_ok = (
@@ -226,8 +251,11 @@ def orb_detect_and_compute(
                 & (ys_g >= edge_threshold)
                 & (ys_g < lh - edge_threshold)
             )
-            mask = mask & border_ok
-        cand = fast.top_k_keypoints(mask, score, min(2 * quota, lh * lw))
+            det = det & border_ok
+        if level_mask is not None:
+            # after NMS, like KeyPointsFilter::runByPixelsMask
+            det = det & (level_mask > 0.5)
+        cand = fast.top_k_keypoints(det, score, min(2 * quota, lh * lw))
         # ONE window-DMA per candidate (ops/orb_pallas) at the blur
         # radius: the raw 43x43 patch carries Harris, the IC angle AND
         # the Gaussian support of every rBRIEF tap, so the per-level
