@@ -266,7 +266,7 @@ def test_per_lane_ladder_escalation(monkeypatch):
     orig = ecc_ops._ecc_slab_jit
 
     def spy(templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-            eps, slab_iters, use_pallas=False, warp_k=7, mode="forward"):
+            eps, slab_iters, use_pallas=False, warp_k=7, **kw):
         calls.append(
             (use_pallas, warp_k,
              np.asarray(carry[0]), np.asarray(carry[1]),
@@ -275,7 +275,7 @@ def test_per_lane_ladder_escalation(monkeypatch):
         )
         return orig(templates_f, image_f, gx, gy, carry, motion_type,
                     num_iters, eps, slab_iters, use_pallas=use_pallas,
-                    warp_k=warp_k, mode=mode)
+                    warp_k=warp_k, **kw)
 
     monkeypatch.setattr(ecc_ops, "_ecc_slab_jit", spy)
     res = ecc_ops.find_transform_ecc_batched(
