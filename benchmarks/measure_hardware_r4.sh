@@ -75,3 +75,30 @@ for h, w in ((1080, 1920), (2160, 3840)):
     print(f"super_res 8x{h}p x2:", round(time.perf_counter()-t0, 2), "s,",
           "shape", out.shape)
 PYEOF
+
+# 10. masked-ECC fused kernel smoke: the 4-plane (image,gx,gy,mask)
+#     variant must Mosaic-compile and match the XLA masked path on
+#     hardware (interpret-mode parity already gated in
+#     tests/test_ecc_mask.py).
+timeout 900 env python - <<'PYEOF'
+import numpy as np, time, jax.numpy as jnp
+from bench import make_burst
+from libstacker_tpu import EccMatchParameters, MotionType
+from libstacker_tpu.models.ecc import ecc_match_arrays
+frames = make_burst(8, 2160, 3840)
+mask = np.full((2160, 3840), 255, np.uint8)
+mask[800:1400, 1200:2600] = 0
+p = EccMatchParameters(motion_type=MotionType.Homography, max_count=50,
+                       epsilon=1e-4)
+t0 = time.perf_counter()
+out, stats = ecc_match_arrays(frames, p, return_stats=True, mask=mask)
+t_kernel = time.perf_counter() - t0
+import os
+os.environ["LIBSTACKER_DISABLE_PALLAS"] = "1"
+t0 = time.perf_counter()
+out_x, stats_x = ecc_match_arrays(frames, p, return_stats=True, mask=mask)
+t_xla = time.perf_counter() - t0
+d = float(np.abs(np.asarray(out) - np.asarray(out_x)).max())
+print(f"masked 8x4K: fused {t_kernel:.2f}s vs XLA {t_xla:.2f}s, "
+      f"stack maxdiff {d:.2e}, rho {stats.ecc_rho}")
+PYEOF

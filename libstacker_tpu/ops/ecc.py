@@ -478,6 +478,13 @@ def _ecc_loop_batched(
     srcs = jnp.stack([image_f, gx, gy])  # [3,H,W] shared across lanes
     ic = use_pallas and mode == "ic"
     lazy = use_pallas and mode == "lazy"
+    if use_pallas and pre_mask is not None:
+        # masked fused path: the preprocessed binary inputMask rides as
+        # a 4th source plane and the kernel nearest-taps it in place of
+        # the all-ones validity mask (the gradients in srcs[1:3] are
+        # already pre-multiplied by it)
+        assert not ic, "masked solves use the forward/lazy kernels"
+        srcs = jnp.concatenate([srcs, pre_mask[None]], axis=0)
     tmpl_p = None
     if use_pallas:
         # the kernel uses one extent for both the output grid and the
@@ -957,14 +964,20 @@ def find_transform_ecc_batched(
     match ecc.cpp exactly — the mask is binarised, blurred with
     ``gauss_filt_size`` and re-thresholded at 0.95, the input
     gradients are pre-multiplied by it, and every iteration
-    nearest-warps it in place of the all-ones validity mask.  Masked
-    solves run on the exact XLA formulation (the fused Pallas kernel
-    has no mask operand yet).
+    nearest-warps it in place of the all-ones validity mask.  On TPU
+    the mask rides the fused iteration kernel as a 4th source plane
+    (forward/lazy modes; 'ic' falls back to forward), so masked solves
+    keep kernel speed; the XLA fallback/rescue path applies the same
+    semantics with an explicit nearest mask warp.
     """
     if mode is None:
         mode = _ecc_mode_default()
     if mode not in _ECC_MODES:
         raise ValueError(f"mode must be one of {_ECC_MODES}, got {mode!r}")
+    if input_mask is not None and mode == "ic":
+        # the IC kernel linearises the template side and has no mask
+        # operand; masked solves run the exact forward formulation
+        mode = "forward"
     if coarse_levels > 0:
         from . import resize as _resize
 
@@ -1105,11 +1118,7 @@ def find_transform_ecc_batched(
     # fused kernel reconstructs its statistics from f32 moment sums
     # whose cancellation can differ from the exact path's, so the final
     # verdict belongs to the reference formulation.
-    use_pallas = (
-        _pallas_ok(h, w)
-        and tuple(input_image.shape) == (h, w)
-        and pre_mask is None
-    )
+    use_pallas = _pallas_ok(h, w) and tuple(input_image.shape) == (h, w)
     all_idx = list(range(len(groups)))
     if not use_pallas:
         drive(all_idx, False)

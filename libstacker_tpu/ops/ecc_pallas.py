@@ -91,12 +91,13 @@ def _jac_tile_fields(motion_type, gxw, gyw, xs, ys, sx, sy, inv_den, m):
 
 def _moments_kernel(
     m_ref,  # SMEM [B, 12]
-    srcs_ref,  # ANY [3, Hp, Wp] (image, gx, gy)
+    srcs_ref,  # ANY [3|4, Hp, Wp] (image, gx, gy[, pre-mask])
     tmpl_ref,  # VMEM [1, TH, TW] (this lane's template tile)
     out_ref,  # SMEM [B, n_out] moment accumulators (full tiny array)
-    scratch,  # VMEM [3, WH, WW]
-    sem,  # DMA semaphores [3]
+    scratch,  # VMEM [3|4, WH, WW]
+    sem,  # DMA semaphores [3|4]
     *,
+    n_src: int,
     th: int,
     tw: int,
     k: int,
@@ -143,14 +144,14 @@ def _moments_kernel(
             b=b, ti=ti, tj=tj, y0=y0, x0=x0, wh=wh, ww=ww,
             th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
             motion_type=motion_type, quant_affine=quant_affine,
-            n_out=n_out, with_hessian=with_hessian,
+            n_out=n_out, with_hessian=with_hessian, n_src=n_src,
         )
 
 
 def _moments_tile_body(
     m_ref, srcs_ref, tmpl_ref, out_ref, scratch, sem,
     *, b, ti, tj, y0, x0, wh, ww, th, tw, k, h, w, hp, wp,
-    motion_type, quant_affine, n_out, with_hessian,
+    motion_type, quant_affine, n_out, with_hessian, n_src,
 ):
     m = [m_ref[b, i] for i in range(9)]
     r0, c0, r0_ideal, c0_ideal = compute_window_origin(
@@ -162,7 +163,7 @@ def _moments_tile_body(
             scratch.at[c],
             sem.at[c],
         )
-        for c in range(3)
+        for c in range(n_src)
     ]
     for cp in copies:
         cp.start()
@@ -198,18 +199,32 @@ def _moments_tile_body(
         for t in range(0, n_taps + 1)
     ]
 
+    if n_src == 4:
+        # user inputMask (4th source plane): its INTER_NEAREST tap
+        # replaces the all-ones mask.  The nearest index round(s) lands
+        # in {floor(s_quantised), floor+1} (quantisation error <= 1/64,
+        # round <= floor+1), so the one-hot selectors stay inside the
+        # existing tap range and window extent.
+        ny_rel = yi.astype(jnp.int32) - r0_ideal - iy
+        nx_rel = xi.astype(jnp.int32) - c0_ideal - ix
+        wxn_list = [
+            (nx_rel == t).astype(jnp.float32) for t in range(0, n_taps + 1)
+        ]
+
     for cp in copies:
         cp.wait()
     roll_r = jnp.mod(r0 - r0_ideal, wh)
     roll_c = jnp.mod(c0 - c0_ideal, ww)
-    wins = [scratch[c] for c in range(3)]
+    wins = [scratch[c] for c in range(n_src)]
     wins = [pltpu.roll(wv, roll_r, 0) for wv in wins]
     wins = [pltpu.roll(wv, roll_c, 1) for wv in wins]
 
-    # fused 3-source bilinear warp: one weight set, three accumulators
+    # fused 3-source bilinear warp (one weight set, three accumulators)
+    # plus, when masked, the nearest-tap sweep of the mask plane
     imw = jnp.zeros((th, tw), jnp.float32)
     gxw = jnp.zeros((th, tw), jnp.float32)
     gyw = jnp.zeros((th, tw), jnp.float32)
+    mtap = jnp.zeros((th, tw), jnp.float32)
     for ss in range(0, n_taps + 1):
         w_s = (1.0 - fy) * vy0 * (sy_rel == ss) + fy * vy1 * (sy_rel == ss - 1)
         t_i = jnp.zeros((th, tw), jnp.float32)
@@ -222,6 +237,14 @@ def _moments_tile_body(
         imw = imw + w_s * t_i
         gxw = gxw + w_s * t_gx
         gyw = gyw + w_s * t_gy
+        if n_src == 4:
+            w_sn = (ny_rel == ss).astype(jnp.float32)
+            t_m = jnp.zeros((th, tw), jnp.float32)
+            for tt, wxn in enumerate(wxn_list):
+                t_m = t_m + wxn * wins[3][ss : ss + th, tt : tt + tw]
+            mtap = mtap + w_sn * t_m
+    if n_src == 4:
+        mask = mask * mtap
 
     # zero every field at invalid output pixels (every sum below has a
     # gxw/gyw/mask factor, so this suffices; imw's unmasked boundary
@@ -274,7 +297,7 @@ def _moments_tile_body(
     ),
 )
 def ecc_iteration_moments(
-    srcs: jnp.ndarray,  # [3, Hp, Wp] f32 (image, gx, gy), pre-padded
+    srcs: jnp.ndarray,  # [3|4, Hp, Wp] f32 (image, gx, gy[, pre-mask])
     templates: jnp.ndarray,  # [B, H, W] f32
     m3: jnp.ndarray,  # [B, 3, 3] warp matrices (inverse-map convention)
     motion_type: MotionType,
@@ -293,9 +316,15 @@ def ecc_iteration_moments(
     ``active`` ([B] bool): lanes whose grid steps are skipped entirely
     (their moment rows stay zero) — converged/failed lanes in the GN
     loop's convergence tail.
+
+    A 4th ``srcs`` plane is cv2 findTransformECC's preprocessed binary
+    inputMask (ops/ecc.py ``_ecc_prepare_input_masked_jit``; gx/gy must
+    already be pre-multiplied by it): the kernel nearest-taps it with
+    each lane's warp and uses it in place of the all-ones validity
+    mask, so masked solves keep kernel speed.
     """
-    three, h_in, w_in = srcs.shape
-    assert three == 3
+    n_src, h_in, w_in = srcs.shape
+    assert n_src in (3, 4), srcs.shape
     b, ht, wt = templates.shape
     if true_hw is not None:
         h, w = true_hw
@@ -337,7 +366,7 @@ def ecc_iteration_moments(
         _moments_kernel,
         th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
         motion_type=motion_type, quant_affine=quant_affine, n_out=n_out,
-        with_hessian=with_hessian,
+        with_hessian=with_hessian, n_src=n_src,
     )
     return pl.pallas_call(
         kernel,
@@ -355,8 +384,8 @@ def ecc_iteration_moments(
             (b, n_out), lambda bb, i, j: (0, 0), memory_space=pltpu.SMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, wh, ww), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((n_src, wh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_src,)),
         ],
         # the unrolled tap loop + Jacobian Gram sums keep ~45 MB of tile
         # temporaries live; the Mosaic default scoped-vmem limit is a

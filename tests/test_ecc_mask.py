@@ -230,6 +230,155 @@ def test_ecc_match_arrays_mask_pipeline():
     assert err_s < 0.04, err_s
 
 
+def _masked_reference_moments(tmpl, image_f, gx, gy, pre, m3, motion_type):
+    """Masked moments from the XLA fields — mirrors what the masked
+    _ecc_loop_batched XLA branch builds (gx/gy already pre-multiplied
+    by ``pre``; the stats mask is the INTER_NEAREST warp of ``pre``)."""
+    import jax.numpy as jnp
+    from libstacker_tpu import constants
+    from libstacker_tpu.ops import ecc as ecc_ops
+    from libstacker_tpu.ops import warp
+
+    h, w = image_f.shape
+    perspective = motion_type == MotionType.Homography
+
+    def wt(img, interp=constants.INTER_LINEAR):
+        if perspective:
+            return warp.warp_perspective(
+                img, m3, (h, w), border_mode="constant", border_value=0.0,
+                inverse_map=True, interpolation=interp,
+            )
+        return warp.warp_affine(
+            img, m3[:2], (h, w), border_mode="constant", border_value=0.0,
+            inverse_map=True, interpolation=interp,
+        )
+
+    imw = np.asarray(wt(image_f))
+    gxw = np.asarray(wt(gx))
+    gyw = np.asarray(wt(gy))
+    mask = np.asarray(wt(pre, interp=constants.INTER_NEAREST))
+    xg = np.arange(w, dtype=np.float32)[None, :] * np.ones((h, 1), np.float32)
+    yg = np.arange(h, dtype=np.float32)[:, None] * np.ones((1, w), np.float32)
+    jac = np.asarray(
+        ecc_ops._jacobian_fields_batched(
+            motion_type, jnp.asarray(gxw)[None], jnp.asarray(gyw)[None],
+            jnp.asarray(xg), jnp.asarray(yg), jnp.asarray(m3)[None],
+        )
+    )[0]
+    p = jac.shape[0]
+    out = [
+        mask.sum(),
+        (mask * imw).sum(),
+        (mask * imw * imw).sum(),
+        (mask * tmpl).sum(),
+        (mask * tmpl * tmpl).sum(),
+        (mask * tmpl * imw).sum(),
+    ]
+    for a in range(p):
+        out.append((jac[a] * imw).sum())
+    for a in range(p):
+        out.append((jac[a] * mask).sum())
+    for a in range(p):
+        out.append((jac[a] * mask * tmpl).sum())
+    for a in range(p):
+        for b in range(a, p):
+            out.append((jac[a] * jac[b]).sum())
+    return np.asarray(out, np.float64)
+
+
+@pytest.mark.parametrize(
+    "motion", [MotionType.Translation, MotionType.Homography]
+)
+def test_masked_kernel_moments_match_xla_fields(motion):
+    """The fused kernel's 4th-plane nearest mask tap reproduces the XLA
+    masked branch's moments (interpret mode)."""
+    import jax.numpy as jnp
+    from libstacker_tpu.ops import ecc as ecc_ops
+    from libstacker_tpu.ops import ecc_pallas, filters
+
+    rng = np.random.default_rng(17)
+    h, w = 192, 512
+    img = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    tmpl = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    user_mask = np.full((h, w), 255, np.uint8)
+    user_mask[60:130, 180:330] = 0
+    user_mask[10:40, 30:90] = 0
+
+    image_f, gx, gy, pre = ecc_ops._ecc_prepare_input_masked_jit(
+        jnp.asarray(img), jnp.asarray(user_mask), 5
+    )
+    m3 = np.array(
+        [[1.002, 0.004, 2.25], [-0.003, 0.999, -1.5], [0, 0, 1]],
+        np.float32,
+    )
+    if motion == MotionType.Homography:
+        m3[2, :2] = (1e-5, -6e-6)
+    perspective = motion == MotionType.Homography
+
+    srcs = jnp.stack([image_f, gx, gy, pre])
+    got = np.asarray(
+        ecc_pallas.ecc_iteration_moments(
+            srcs, jnp.asarray(tmpl)[None], jnp.asarray(m3)[None],
+            motion_type=motion, quant_affine=not perspective,
+            interpret=True,
+        )
+    )[0]
+    want = _masked_reference_moments(
+        tmpl, image_f, gx, gy, pre, jnp.asarray(m3), motion
+    )
+    assert got.shape == want.shape
+    # stats moments (incl. the mask pixel count) agree to f32 reduction
+    # order, like test_ecc_pallas.test_moments_match_xla_fields
+    np.testing.assert_allclose(got[:6], want[:6], rtol=1e-5, atol=1e-2)
+    # Jacobian moments: the kernel and XLA compute source coords with
+    # different f32 op orders, so a handful of pixels on exact rounding
+    # boundaries flip their nearest tap — unmasked that is one
+    # interpolation step, but at a mask edge it flips a whole 0/1 mask
+    # value, perturbing the heavily-cancelled jac*mask sums by a few
+    # percent (measured 4.7% worst on homography).  The end-to-end
+    # masked fused solve below pins the warp itself to 2e-3.
+    np.testing.assert_allclose(got, want, rtol=8e-2, atol=5e-2)
+
+
+def test_masked_fused_solve_matches_xla(monkeypatch):
+    """End-to-end masked solve through the fused kernel (interpret
+    mode) converges to the XLA masked path's warp."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(19)
+    h, w = 192, 512
+    base = cv2.GaussianBlur(
+        (rng.random((h + 16, w + 16)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    ref = base[8 : 8 + h, 8 : 8 + w].astype(np.uint8)
+    cur = base[5 : 5 + h, 10 : 10 + w].astype(np.uint8)  # shift (3, -2)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[70:130, 200:320] = 0
+
+    kw = dict(
+        motion_type=MotionType.Translation, num_iters=50, eps=1e-5,
+        gauss_filt_size=5, input_mask=jnp.asarray(mask),
+    )
+    res_xla = ecc_ops.find_transform_ecc(
+        jnp.asarray(cur), jnp.asarray(ref), **kw
+    )
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+    res_k = ecc_ops.find_transform_ecc(
+        jnp.asarray(cur), jnp.asarray(ref), **kw
+    )
+    assert bool(res_xla.ok) and bool(res_k.ok)
+    np.testing.assert_allclose(
+        np.asarray(res_k.warp_matrix), np.asarray(res_xla.warp_matrix),
+        atol=2e-3,
+    )
+    assert float(res_k.rho) == pytest.approx(float(res_xla.rho), abs=1e-3)
+
+
 def test_mask_shape_validation():
     frames = np.zeros((2, 32, 48, 3), np.uint8)
     params = EccMatchParameters(
