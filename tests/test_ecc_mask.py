@@ -379,6 +379,48 @@ def test_masked_fused_solve_matches_xla(monkeypatch):
     assert float(res_k.rho) == pytest.approx(float(res_xla.rho), abs=1e-3)
 
 
+def test_masked_kernel_moments_nonaligned_size():
+    """Masked moments on a NON-(8,128)-aligned image: the zero-padded
+    mask plane and the ragged-tile valid factor must keep padding out
+    of every sum (regression class: the r2 warp kernel corrupted
+    non-aligned sizes)."""
+    import jax.numpy as jnp
+    from libstacker_tpu.ops import ecc as ecc_ops
+    from libstacker_tpu.ops import ecc_pallas
+
+    rng = np.random.default_rng(29)
+    h, w = 161, 400
+    img = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    tmpl = cv2.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0
+    )
+    user_mask = np.full((h, w), 255, np.uint8)
+    user_mask[50:110, 150:280] = 0
+
+    image_f, gx, gy, pre = ecc_ops._ecc_prepare_input_masked_jit(
+        jnp.asarray(img), jnp.asarray(user_mask), 5
+    )
+    m3 = np.array(
+        [[1.0, 0.0, 2.25], [0.0, 1.0, -1.5], [0, 0, 1]], np.float32
+    )
+    srcs = jnp.stack([image_f, gx, gy, pre])
+    got = np.asarray(
+        ecc_pallas.ecc_iteration_moments(
+            srcs, jnp.asarray(tmpl)[None], jnp.asarray(m3)[None],
+            motion_type=MotionType.Translation, quant_affine=True,
+            interpret=True,
+        )
+    )[0]
+    want = _masked_reference_moments(
+        tmpl, image_f, gx, gy, pre, jnp.asarray(m3),
+        MotionType.Translation,
+    )
+    np.testing.assert_allclose(got[:6], want[:6], rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(got, want, rtol=8e-2, atol=5e-2)
+
+
 def test_mask_shape_validation():
     frames = np.zeros((2, 32, 48, 3), np.uint8)
     params = EccMatchParameters(
