@@ -18,7 +18,7 @@ Usage:  python examples/stack_burst.py <image_dir> [--out outdir]
         [--keep-all] [--stream N] [--ecc-solver forward|lazy|ic]
         [--no-phase-init] [--phase-init-rotation]
         [--stacking mean|sigma_clip] [--sigma-kappa K] [--sigma-iters I]
-        [--output-scale 1|2|3|4] [--align-mask PATH]
+        [--output-scale 1|2|3|4] [--align-mask PATH] [--out-depth 8|16]
 
 (The reference's README lists CLI options as an unfinished todo,
 README.md:85 — these flags cover every field of both parameter structs.)
@@ -33,11 +33,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def save_png(path, img_f32_rgb):
-    from PIL import Image
+def save_png(path, img_f32_rgb, bit_depth=8):
+    from libstacker_tpu.utils import io
 
-    arr = np.clip(np.asarray(img_f32_rgb) * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    io.save_image(path, np.asarray(img_f32_rgb), bit_depth=bit_depth)
 
 
 def main():
@@ -108,6 +107,10 @@ def main():
                     "grid this many times finer than the input "
                     "(shift-and-add nearest-sample deposit; whole-burst "
                     "paths only)")
+    ap.add_argument("--out-depth", type=int, choices=(8, 16), default=8,
+                    help="output PNG bit depth: 16 preserves the extra "
+                    "depth a stacked mean carries (~log2(N) bits past "
+                    "the 8-bit inputs)")
     ap.add_argument("--align-mask", "--ecc-mask", dest="align_mask",
                     metavar="PATH", default=None,
                     help="grayscale mask image (nonzero = valid): "
@@ -232,14 +235,16 @@ def main():
                         mask=align_mask,
                     )
                 print(f"keypoint stream({tag}) dropped: {dropped}")
-                save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img)
+                save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img,
+                         args.out_depth)
             if args.method in ("ecc", "all"):
                 with timer.phase(f"ecc_match_stream ({tag})"):
                     img = ecc_match_stream(
                         kept_files, ecc_params, sw, chunk_size=args.stream,
                         mask=align_mask,
                     )
-                save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
+                save_png(os.path.join(args.out, f"ecc_{tag}.png"), img,
+                         args.out_depth)
     else:
         sigma = args.stacking == "sigma_clip"
 
@@ -258,7 +263,8 @@ def main():
                     )
                 print(f"keypoint_match({tag}) dropped frames: {dropped}"
                       + clip_note(kstats))
-                save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img)
+                save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img,
+                         args.out_depth)
             if args.method in ("ecc", "all"):
                 with timer.phase(f"ecc_match ({tag})"):
                     img, estats = ecc_match_arrays(
@@ -267,7 +273,8 @@ def main():
                     )
                 if sigma:
                     print(f"ecc_match({tag}){clip_note(estats)}")
-                save_png(os.path.join(args.out, f"ecc_{tag}.png"), img)
+                save_png(os.path.join(args.out, f"ecc_{tag}.png"), img,
+                         args.out_depth)
 
     print(timer.report())
     print(f"stacked images written to {args.out}/")

@@ -253,7 +253,10 @@ def kappa_sigma_stack(
         s0, s1, s2, kappa, iters,
         lambda mu, tol: sweep(_clipped_chunk, mu, tol),
     )
-    kept_frac = float(jnp.sum(kept)) / max(float(jnp.sum(s0)) * 3.0, 1.0)
+    # one device fetch for both scalars (each host sync over the TPU
+    # tunnel costs a full RTT)
+    tk, ts = jax.device_get((jnp.sum(kept), jnp.sum(s0)))
+    kept_frac = float(tk) / max(float(ts) * 3.0, 1.0)
     return out, max(0.0, 1.0 - kept_frac)
 
 

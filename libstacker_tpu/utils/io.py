@@ -125,6 +125,90 @@ def rgb_to_gray_u8_host(rgb: np.ndarray) -> np.ndarray:
     return ((9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15).astype(np.uint8)
 
 
+def save_image(path: PathLike, img: np.ndarray, bit_depth: int = 8) -> None:
+    """Write a stacked image to disk.
+
+    ``img`` is ``[H,W,3]`` float in [0, 1] (the pipelines' output) or an
+    already-quantised uint8/uint16 array.  ``bit_depth=8`` writes through
+    PIL in whatever format the extension names; ``bit_depth=16`` writes a
+    48-bit RGB PNG — a stacked burst carries more than 8 bits of real
+    depth (a 100-frame mean adds ~log2(100) bits), which the reference's
+    example flow cannot preserve (its imwrite of an 8-bit Mat,
+    examples/main.rs:150-158).  Encoding prefers the native libpng
+    writer (native/stacker_io.cpp) and falls back to a pure-Python
+    encoder (PIL has no 48-bit RGB mode).
+    """
+    if bit_depth == 8:
+        from PIL import Image
+
+        if img.dtype == np.uint8:
+            arr = np.asarray(img)
+        else:
+            arr = np.clip(
+                np.asarray(img, np.float32) * 255.0 + 0.5, 0, 255
+            ).astype(np.uint8)
+        Image.fromarray(arr).save(str(path))
+        return
+    if bit_depth != 16:
+        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
+    if str(path).lower().endswith((".tif", ".tiff")):
+        raise StackerIoError("16-bit output is PNG only (use a .png path)")
+    if img.dtype == np.uint16:
+        arr16 = np.asarray(img)
+    elif img.dtype == np.uint8:
+        # 257 = 0x0101: replicates the byte (0xAB -> 0xABAB), the exact
+        # 8->16 range expansion (255 -> 65535)
+        arr16 = np.asarray(img, np.uint16) * np.uint16(257)
+    else:
+        arr16 = np.clip(
+            np.asarray(img, np.float32) * 65535.0 + 0.5, 0, 65535
+        ).astype(np.uint16)
+    if arr16.ndim == 2:
+        arr16 = np.repeat(arr16[:, :, None], 3, axis=2)
+    from . import native_loader
+
+    try:
+        native_loader.write_png16_native(path, arr16)
+        return
+    except StackerIoError:
+        pass  # library not built — pure-Python encoder below
+    _write_png16_py(path, arr16)
+
+
+def _write_png16_py(path: PathLike, rgb16: np.ndarray) -> None:
+    """Minimal 48-bit RGB PNG encoder (filter 0 scanlines, one zlib
+    IDAT).  Fallback for :func:`save_image` when the native library is
+    not built; byte semantics identical to the libpng path."""
+    import struct
+    import zlib
+
+    h, w = rgb16.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    # big-endian samples, filter byte 0 per scanline
+    be = np.ascontiguousarray(rgb16, dtype=">u2").reshape(h, w * 3)
+    raw = b"".join(b"\x00" + be[y].tobytes() for y in range(h))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    try:
+        with open(path, "wb") as f:
+            f.write(data)
+    except OSError as e:
+        raise StackerIoError(f"{path}: {e}") from e
+
+
 def pad_chunk(
     frames: np.ndarray, chunk_size: int, fill: np.ndarray | None = None
 ) -> np.ndarray:

@@ -55,6 +55,14 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.stacker_rgb_to_gray.restype = None
+    if hasattr(lib, "stacker_write_png16"):  # absent in pre-r3 builds
+        lib.stacker_write_png16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.stacker_write_png16.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -107,6 +115,28 @@ def load_frames_native(
         ]
         raise StackerIoError("decode failures: " + "; ".join(bad))
     return out
+
+
+def write_png16_native(path, rgb16: np.ndarray) -> None:
+    """Encode a [H,W,3] uint16 array as a 16-bit RGB PNG (libpng)."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "stacker_write_png16"):
+        raise StackerIoError(
+            "native writer not built (make -C native)"
+        )
+    rgb16 = np.ascontiguousarray(rgb16, dtype=np.uint16)
+    if rgb16.ndim != 3 or rgb16.shape[2] != 3:
+        raise StackerIoError(
+            f"write_png16 needs [H,W,3] uint16, got {rgb16.shape}"
+        )
+    rc = lib.stacker_write_png16(
+        str(path).encode(),
+        rgb16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rgb16.shape[0],
+        rgb16.shape[1],
+    )
+    if rc != 0:
+        raise StackerIoError(f"write failed for {path} (code {rc})")
 
 
 def rgb_to_gray_native(rgb: np.ndarray, num_threads: int = 0) -> np.ndarray:

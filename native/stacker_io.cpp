@@ -243,6 +243,51 @@ int stacker_decode_batch(const char** paths, int64_t n, uint8_t* out,
   return failures.load();
 }
 
+// Write a 16-bit RGB PNG from a C-contiguous native-endian uint16
+// [h, w, 3] buffer.  Stacked outputs carry more than 8 bits of depth
+// (a 100-frame mean has ~log2(100) extra bits); the reference's example
+// can only save 8-bit PNGs (imgcodecs imwrite of an 8-bit Mat).
+// Returns 0 on success.
+int stacker_write_png16(const char* path, const uint16_t* rgb, int64_t h,
+                        int64_t w) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return kErrOpen;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                              nullptr);
+  if (!png) {
+    fclose(f);
+    return kErrDecode;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(f);
+    return kErrDecode;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return kErrDecode;
+  }
+  png_init_io(png, f);
+  png_set_IHDR(png, info, (png_uint_32)w, (png_uint_32)h, 16,
+               PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  const uint16_t probe = 1;
+  if (*reinterpret_cast<const uint8_t*>(&probe) == 1)
+    png_set_swap(png);  // PNG samples are big-endian; buffer is native
+  std::vector<png_bytep> rows((size_t)h);
+  for (int64_t y = 0; y < h; ++y)
+    rows[(size_t)y] = (png_bytep)(rgb + y * w * 3);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(f);
+  return kOk;
+}
+
 // Fixed-point Rec.601 grayscale of a batch (same arithmetic as the
 // device path: (9798 R + 19235 G + 3735 B + 2^14) >> 15).
 void stacker_rgb_to_gray(const uint8_t* rgb, uint8_t* gray, int64_t npx,
