@@ -19,6 +19,7 @@ Usage:  python examples/stack_burst.py <image_dir> [--out outdir]
         [--no-phase-init] [--phase-init-rotation]
         [--stacking mean|sigma_clip] [--sigma-kappa K] [--sigma-iters I]
         [--output-scale 1|2|3|4] [--align-mask PATH] [--out-depth 8|16]
+        [--preserve-depth]
 
 (The reference's README lists CLI options as an unfinished todo,
 README.md:85 — these flags cover every field of both parameter structs.)
@@ -111,6 +112,10 @@ def main():
                     help="output PNG bit depth: 16 preserves the extra "
                     "depth a stacked mean carries (~log2(N) bits past "
                     "the 8-bit inputs)")
+    ap.add_argument("--preserve-depth", action="store_true",
+                    help="decode 16-bit PNG/TIFF frames at full depth "
+                    "and stack at 16-bit precision (alignment is "
+                    "unchanged; pair with --out-depth 16)")
     ap.add_argument("--align-mask", "--ecc-mask", dest="align_mask",
                     metavar="PATH", default=None,
                     help="grayscale mask image (nonzero = valid): "
@@ -156,7 +161,7 @@ def main():
         return 1
 
     with timer.phase("load+decode"):
-        frames = io.load_frames(files)
+        frames = io.load_frames(files, preserve_depth=args.preserve_depth)
 
     align_mask = None
     if args.align_mask:
@@ -233,6 +238,7 @@ def main():
                     dropped, img = keypoint_match_stream(
                         kept_files, kp_params, sw, chunk_size=args.stream,
                         mask=align_mask,
+                        preserve_depth=args.preserve_depth,
                     )
                 print(f"keypoint stream({tag}) dropped: {dropped}")
                 save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img,
@@ -242,6 +248,7 @@ def main():
                     img = ecc_match_stream(
                         kept_files, ecc_params, sw, chunk_size=args.stream,
                         mask=align_mask,
+                        preserve_depth=args.preserve_depth,
                     )
                 save_png(os.path.join(args.out, f"ecc_{tag}.png"), img,
                          args.out_depth)

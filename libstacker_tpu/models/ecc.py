@@ -78,8 +78,12 @@ def _ecc_grey_jit(frames_u8: jnp.ndarray, scale_hw: Optional[tuple] = None):
     The resize runs on the uint8 grey and is rounded back to uint8
     BEFORE the float cast, matching the reference's scale_image of the
     uint8 grey Mat (src/lib.rs:918-920, src/utils.rs:204-211) —
-    resizing in float would drift from the oracle by up to 1 LSB."""
-    grey = color.rgb_to_gray_u8(frames_u8)
+    resizing in float would drift from the oracle by up to 1 LSB.
+
+    uint16 bursts solve on their high-byte reduction (bit-identical
+    warps to the equivalent 8-bit burst; see color.depth_reduce_u8) —
+    only the stacking stage sees the full depth."""
+    grey = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_u8))
     if scale_hw is not None:
         grey = resize.resize(grey, scale_hw, interpolation=3)
     return grey.astype(jnp.float32)
@@ -120,7 +124,7 @@ def _ecc_warp_accumulate_jit(
     masked sum over frames.  ``allow_pallas`` is the host-computed
     kernel-domain dispatch decision (ops.warp_batch)."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    frames_f32 = color.u8_to_f32(frames_u8)
+    frames_f32 = color.to_unit_f32(frames_u8)
     if scale_hw is not None:
         warps = _adjust_warp_for_scale(warps, motion_type, scale_hw, (h, w))
     # failed lanes contribute nothing; keep their (frozen, finite) warps
@@ -172,7 +176,9 @@ def ecc_stack_step_graph(
     compile checks and small workloads; production pipelines go through
     the host-slabbed path in :func:`ecc_match_arrays`."""
     n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
-    grey = color.rgb_to_gray_u8(frames_u8).astype(jnp.float32)
+    grey = color.rgb_to_gray_u8(
+        color.depth_reduce_u8(frames_u8)
+    ).astype(jnp.float32)
     result = ecc_ops.find_transform_ecc_batched_graph(
         grey[1:], grey[0],
         motion_type=motion_type, num_iters=num_iters, eps=eps,
@@ -212,7 +218,11 @@ def ecc_match_arrays(
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise InvalidParamsError(
-            f"frames must be [N,H,W,3] uint8, got {frames.shape}"
+            f"frames must be [N,H,W,3] uint8/uint16, got {frames.shape}"
+        )
+    if frames.dtype not in (np.uint8, np.uint16):
+        raise InvalidParamsError(
+            f"frames must be uint8 or uint16, got {frames.dtype}"
         )
     n, h, w = frames.shape[:3]
     if n == 0:
@@ -387,15 +397,18 @@ def ecc_match(
     on_failure: str = "raise",
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
+    preserve_depth: bool = False,
 ):
     """Align and stack image files with ECC (ref src/lib.rs:702-717).
 
     Returns the stacked ``[H,W,3] float32`` RGB image in [0,1]
     (plus a PipelineStats record when ``return_stats``).  ``mask``
     excludes reference-frame pixels from the alignment (see
-    :func:`ecc_match_arrays`).
+    :func:`ecc_match_arrays`).  ``preserve_depth`` decodes 16-bit
+    files to uint16 and stacks at full depth (alignment is unchanged;
+    pair with ``utils.io.save_image(..., bit_depth=16)``).
     """
-    frames = io.load_frames(files)
+    frames = io.load_frames(files, preserve_depth=preserve_depth)
     return ecc_match_arrays(
         frames, params, scale_down_width, on_failure, return_stats,
         mask=mask,
@@ -409,6 +422,7 @@ def ecc_match_stream(
     chunk_size: int = 16,
     on_failure: str = "raise",
     mask: Optional[np.ndarray] = None,
+    preserve_depth: bool = False,
 ):
     """Streaming ``ecc_match`` for bursts larger than HBM: frames are
     decoded, aligned and accumulated in chunks of ``chunk_size`` against
@@ -430,7 +444,7 @@ def ecc_match_stream(
         raise NotEnoughFilesError()
     num_iters, eps = params.resolve_criteria()
 
-    ref = io.load_frames(files[:1])
+    ref = io.load_frames(files[:1], preserve_depth=preserve_depth)
     n_total = len(files)
     h, w = ref.shape[1:3]
     scale_hw = None
@@ -459,7 +473,7 @@ def ecc_match_stream(
                 f" for frames {(h, w)}"
             )
         input_mask = _ecc_mask_jit(jnp.asarray(mask), scale_hw=scale_hw)
-    acc = color.u8_to_f32(ref_j[0])
+    acc = color.to_unit_f32(ref_j[0])
     all_ok = []
     # True async H2D double-buffering (SURVEY §7 phase 6): the NEXT
     # chunk's device_put is issued before this chunk's solve dispatches,
@@ -467,7 +481,9 @@ def ecc_match_stream(
     # (decode-ahead already overlaps on a host thread in
     # io.prefetched_chunks).  Tail pads are the REFERENCE frame, whose
     # lanes converge in ~2 iterations (see io.pad_chunk).
-    gen = io.prefetched_chunks(files, chunk_size, h, w)
+    gen = io.prefetched_chunks(
+        files, chunk_size, h, w, preserve_depth=preserve_depth
+    )
 
     def put_next():
         frames = next(gen, None)
@@ -514,7 +530,7 @@ def ecc_match_stream(
                 warps, params.motion_type, scale_hw, (h, w)
             )
         acc = acc + warp_accumulate_rgb(
-            color.u8_to_f32(frames_j), warps, ok_lane,
+            color.to_unit_f32(frames_j), warps, ok_lane,
             perspective=params.motion_type == MotionType.Homography,
             allow_pallas=cfg is not None,
             pallas_k=cfg[0] if cfg else 7,

@@ -57,8 +57,10 @@ def _grey_and_detect(
     """Stage 1: grayscale (+ optional INTER_AREA scale-down) and batched
     ORB detection/description over all frames.  ``det_mask`` is a
     prepared binary [h,w] mask at the detection grid, shared by every
-    frame (cv2 detectAndCompute's mask; see ops/orb.py)."""
-    grey = color.rgb_to_gray_u8(frames_u8)
+    frame (cv2 detectAndCompute's mask; see ops/orb.py).  uint16
+    bursts detect on their high-byte reduction (FAST thresholds are
+    8-bit-domain); stacking keeps the full depth."""
+    grey = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_u8))
     if scale_hw is not None:
         grey = resize.resize(grey, scale_hw, constants.INTER_AREA)
     return jax.vmap(
@@ -195,7 +197,7 @@ def _warp_and_accumulate_chunk(
     apron-extended source (ops.warp_batch; ``apron`` from
     pallas_required_apron, host-computed like ``pallas_k``)."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    frames_f32 = color.u8_to_f32(frames_u8)
+    frames_f32 = color.to_unit_f32(frames_u8)
     if scale_hw is not None:
         hs = _adjust_h_for_scale(hs, scale_hw, (h, w))
     # dropped frames contribute nothing, but their (possibly wild or
@@ -245,7 +247,7 @@ def _warp_and_accumulate(
 ):
     """Stage 3 for the whole-burst path: frame 0 plus the masked sum of
     the aligned frames 1..N-1."""
-    return color.u8_to_f32(frames_u8[0]) + _warp_and_accumulate_chunk(
+    return color.to_unit_f32(frames_u8[0]) + _warp_and_accumulate_chunk(
         frames_u8[1:], hs, oks, border_mode, border_value,
         scale_hw=scale_hw, allow_pallas=allow_pallas, pallas_k=pallas_k,
         apron=apron, pallas_tile_rows=pallas_tile_rows,
@@ -300,7 +302,8 @@ def _single_frame_out(frame_u8: np.ndarray, params) -> np.ndarray:
     """n==1 stack: frame 0 itself — bilinearly upsampled when a
     super-resolution output grid was requested (there are no other
     frames to recover detail from)."""
-    out = frame_u8.astype(np.float32) / 255.0
+    scale = 65535.0 if frame_u8.dtype == np.uint16 else 255.0
+    out = frame_u8.astype(np.float32) / scale
     f = getattr(params, "output_scale", 1)
     if f > 1:
         h, w = out.shape[:2]
@@ -334,7 +337,13 @@ def keypoint_match_arrays(
     params.validate()
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
-        raise InvalidParamsError(f"frames must be [N,H,W,3] uint8, got {frames.shape}")
+        raise InvalidParamsError(
+            f"frames must be [N,H,W,3] uint8/uint16, got {frames.shape}"
+        )
+    if frames.dtype not in (np.uint8, np.uint16):
+        raise InvalidParamsError(
+            f"frames must be uint8 or uint16, got {frames.dtype}"
+        )
     n, h, w = frames.shape[:3]
     if n == 0:
         raise NotEnoughFilesError()
@@ -495,11 +504,14 @@ def keypoint_match(
     seed: int = 0,
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
+    preserve_depth: bool = False,
 ):
     """Align and stack image files by ORB keypoint matching
     (ref src/lib.rs:129-144).  ``mask`` excludes regions from keypoint
-    detection in every frame (see :func:`keypoint_match_arrays`)."""
-    frames = io.load_frames(files)
+    detection in every frame (see :func:`keypoint_match_arrays`).
+    ``preserve_depth`` decodes 16-bit files to uint16 and stacks at
+    full depth (detection is unchanged)."""
+    frames = io.load_frames(files, preserve_depth=preserve_depth)
     return keypoint_match_arrays(
         frames, params, scale_down_width, seed, return_stats, mask=mask
     )
@@ -512,6 +524,7 @@ def keypoint_match_stream(
     seed: int = 0,
     chunk_size: int = 16,
     mask: Optional[np.ndarray] = None,
+    preserve_depth: bool = False,
 ):
     """Streaming ``keypoint_match`` for bursts larger than HBM: frames
     are decoded (one chunk ahead on a background thread), ORB-matched
@@ -531,7 +544,7 @@ def keypoint_match_stream(
     if not files:
         raise NotEnoughFilesError()
 
-    ref = io.load_frames(files[:1])
+    ref = io.load_frames(files[:1], preserve_depth=preserve_depth)
     h, w = ref.shape[1:3]
     scale_hw = None
     if scale_down_width is not None:
@@ -542,20 +555,23 @@ def keypoint_match_stream(
             )
         scale_hw = resize.scale_image_size(h, w, scale_down_width)
     if len(files) == 1:
-        return 0, ref[0].astype(np.float32) / 255.0
+        scale = 65535.0 if ref.dtype == np.uint16 else 255.0
+        return 0, ref[0].astype(np.float32) / scale
 
     ref_j = jnp.asarray(ref)
     det_mask = _prepare_det_mask(mask, (h, w), scale_hw)
     feats0 = detect_features_chunked(
         ref_j, scale_hw=scale_hw, det_mask=det_mask
     )
-    acc = color.u8_to_f32(ref_j[0])
+    acc = color.to_unit_f32(ref_j[0])
     key = jax.random.PRNGKey(seed)
     all_ok = []
     # async H2D double-buffering: upload chunk i+1 while chunk i's
     # detection/matching runs (decode-ahead already overlaps on a host
     # thread in io.prefetched_chunks)
-    gen = io.prefetched_chunks(files, chunk_size, h, w)
+    gen = io.prefetched_chunks(
+        files, chunk_size, h, w, preserve_depth=preserve_depth
+    )
 
     def put_next():
         frames = next(gen, None)

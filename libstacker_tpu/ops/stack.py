@@ -149,7 +149,7 @@ def _moments_chunk(
     single-sweep Pallas moments kernel: no [C,H,W,3] warped
     intermediate, coverage + moment accumulation in-tile."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    f = color.u8_to_f32(frames_u8)
+    f = color.to_unit_f32(frames_u8)
     if fused:
         from . import warp_accum_pallas
 
@@ -185,7 +185,7 @@ def _clipped_chunk(
     """Re-warp sweep accumulating only samples within ``tol`` of ``mu``
     (per pixel AND per channel) -> (C0/C1/C2 [H,W,3])."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    f = color.u8_to_f32(frames_u8)
+    f = color.to_unit_f32(frames_u8)
     if fused:
         from . import warp_accum_pallas
 
@@ -332,7 +332,7 @@ def _sr_chunk(
     kernel sigmas, see :func:`super_res_stack`."""
     c, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
     hf, wf = h * factor, w * factor
-    f32 = color.u8_to_f32(frames_u8)
+    f32 = color.to_unit_f32(frames_u8)
     minv = jnp.linalg.inv(mats.astype(jnp.float32))
     # HR pixel centre -> frame-0 LR coordinate (resize centre alignment)
     gy = (jnp.arange(hf, dtype=jnp.float32)[:, None] + 0.5) / factor - 0.5
@@ -497,7 +497,7 @@ def _sr_kernel_chunk(
     from . import sr_pallas
     from .warp_batch import _warp_interpret
 
-    f32 = color.u8_to_f32(frames_u8)
+    f32 = color.to_unit_f32(frames_u8)
     minv = jnp.linalg.inv(mats.astype(jnp.float32))
     interpret = _warp_interpret()
     avs, aws = [], []

@@ -160,8 +160,10 @@ def ecc_stack_step(
     h, w = reference_grey.shape
 
     def local_step(frames_local, ref_grey):
-        grey = color.rgb_to_gray_u8(frames_local).astype(jnp.float32)
-        f32 = color.u8_to_f32(frames_local)
+        grey = color.rgb_to_gray_u8(
+            color.depth_reduce_u8(frames_local)
+        ).astype(jnp.float32)
+        f32 = color.to_unit_f32(frames_local)
         n_loc = grey.shape[0]
         warp_init = None
         if phase_init:
@@ -314,8 +316,8 @@ def keypoint_stack_step(
     key = jax.random.PRNGKey(seed)
 
     def local_step(frames_local, rfeats):
-        grey = color.rgb_to_gray_u8(frames_local)
-        f32 = color.u8_to_f32(frames_local)
+        grey = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_local))
+        f32 = color.to_unit_f32(frames_local)
         feats = jax.vmap(orb.orb_detect_and_compute)(grey)
         didx = jax.lax.axis_index("data")
 
@@ -502,8 +504,8 @@ def ecc_stack_step_spatial(
     def local_step(frames_local, ref_local):
         # frames_local: [n_loc, h_loc, W, 3]; ref_local: [h_loc, W, 3]
         idx = jax.lax.axis_index("spatial")
-        grey_cur = color.rgb_to_gray_u8(frames_local)
-        grey_ref = color.rgb_to_gray_u8(ref_local)
+        grey_cur = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_local))
+        grey_ref = color.rgb_to_gray_u8(color.depth_reduce_u8(ref_local))
         small_cur = small_grey(grey_cur)
         small_ref = small_grey(grey_ref)
         n_loc = small_cur.shape[0]
@@ -552,7 +554,7 @@ def ecc_stack_step_spatial(
         # full-res rows-sharded warp: one batched halo exchange, then
         # per-frame resampling of the local row band from the extended
         # strip
-        f32 = color.u8_to_f32(frames_local)  # [n_loc, h_loc, W, 3]
+        f32 = color.to_unit_f32(frames_local)  # [n_loc, h_loc, W, 3]
         up = [(i, (i + 1) % nsp) for i in range(nsp)]
         down = [(i, (i - 1) % nsp) for i in range(nsp)]
         top_halo = jax.lax.ppermute(f32[:, -halo:], "spatial", up)
@@ -583,7 +585,7 @@ def ecc_stack_step_spatial(
         warped = jax.vmap(warp_one)(ext, minv)
         valid = res_ok.astype(jnp.float32)[:, None, None, None]
         partial = jnp.sum(warped * valid, axis=0)
-        total = jax.lax.psum(partial, "data") + color.u8_to_f32(ref_local)
+        total = jax.lax.psum(partial, "data") + color.to_unit_f32(ref_local)
         ok = jax.lax.all_gather(res_ok, "data", tiled=True)
         return total, ok
 

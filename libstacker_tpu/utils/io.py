@@ -17,6 +17,7 @@ color stack differs and is documented in the public API.
 from __future__ import annotations
 
 import concurrent.futures
+import functools
 import os
 from pathlib import Path
 from typing import List, Sequence, Union
@@ -229,7 +230,68 @@ def pad_chunk(
     return np.concatenate([frames, reps], axis=0)
 
 
-def prefetched_chunks(files, chunk_size: int, h: int, w: int, start: int = 1):
+def _png_bit_depth(path: PathLike) -> int | None:
+    """IHDR bit depth of a PNG file (header sniff), or None if the file
+    is not a PNG.  Used to refuse a silent 16->8 reduction when the
+    native decoder is unavailable."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(25)
+    except OSError as e:
+        raise StackerIoError(f"{path}: {e}") from e
+    if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+        return None
+    return head[24]
+
+
+def _load_frames_u16(files, num_threads, use_native: bool) -> np.ndarray:
+    """Full-depth decode -> [N,H,W,3] uint16 (see load_frames)."""
+    from . import native_loader
+
+    if use_native and native_loader.available16() and all(
+        str(f).lower().endswith((".jpg", ".jpeg", ".png", ".tif", ".tiff"))
+        for f in files
+    ):
+        try:
+            return native_loader.load_frames_native16(
+                files, num_threads or 0
+            )
+        except StackerIoError:
+            pass  # unusual subformats: per-file PIL fallback below
+
+    def one(path):
+        arr = imread_unchanged(path)
+        if arr.dtype == np.uint8:
+            # PIL reduces 48-bit RGB PNGs to 8 silently — refuse the
+            # depth loss instead of shipping it
+            if _png_bit_depth(path) == 16:
+                raise StackerIoError(
+                    f"{path} is a 16-bit RGB PNG; full-depth decode "
+                    "needs the native loader (make -C native)"
+                )
+            arr = arr.astype(np.uint16) * np.uint16(257)
+        elif arr.dtype != np.uint16:
+            raise StackerIoError(
+                f"{path}: unsupported depth {arr.dtype} for "
+                "preserve_depth load"
+            )
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return arr
+
+    frames = [one(f) for f in files]
+    shape0 = frames[0].shape
+    for f, arr in zip(files, frames):
+        if arr.shape != shape0:
+            raise StackerIoError(
+                f"frame size mismatch: {f} has {arr.shape}, "
+                f"expected {shape0}"
+            )
+    return np.stack(frames, axis=0)
+
+
+def prefetched_chunks(files, chunk_size: int, h: int, w: int,
+                      start: int = 1, preserve_depth: bool = False):
     """Yield decoded ``[<=chunk_size, H, W, 3]`` frame tensors, decoding
     the NEXT chunk on a background thread while the caller's device work
     runs — host->HBM double buffering for the streaming pipelines
@@ -242,12 +304,13 @@ def prefetched_chunks(files, chunk_size: int, h: int, w: int, start: int = 1):
     ]
     if not spans:
         return
+    load = functools.partial(load_frames, preserve_depth=preserve_depth)
     with concurrent.futures.ThreadPoolExecutor(1) as pool:
-        fut = pool.submit(load_frames, spans[0])
+        fut = pool.submit(load, spans[0])
         for i, span in enumerate(spans):
             frames = fut.result()
             if i + 1 < len(spans):
-                fut = pool.submit(load_frames, spans[i + 1])
+                fut = pool.submit(load, spans[i + 1])
             if frames.shape[1:3] != (h, w):
                 raise StackerIoError(
                     f"frame size mismatch in chunk starting at {span[0]}"
@@ -257,7 +320,7 @@ def prefetched_chunks(files, chunk_size: int, h: int, w: int, start: int = 1):
 
 def load_frames(
     files: Sequence[PathLike], *, num_threads: int | None = None,
-    use_native: bool = True,
+    use_native: bool = True, preserve_depth: bool = False,
 ) -> np.ndarray:
     """Decode ``files`` into one batched ``[N,H,W,3] uint8`` tensor.
 
@@ -267,10 +330,18 @@ def load_frames(
     loader (native/stacker_io.cpp — the counterpart of the reference's
     OpenCV imgcodecs + Rayon fan-out) and falls back to a PIL thread
     pool when the shared library isn't built.
+
+    ``preserve_depth=True`` returns ``uint16`` instead: 16-bit PNG/TIFF
+    decode at full depth and 8-bit sources expand x257, so the
+    pipelines stack at 16-bit precision (they align on the high byte
+    either way — see ops.color.depth_reduce_u8).  16-bit RGB needs the
+    native loader (PIL silently reduces 48-bit content to 8).
     """
     files = normalize_files(files)
     if not files:
         raise NotEnoughFilesError()
+    if preserve_depth:
+        return _load_frames_u16(files, num_threads, use_native)
     if use_native:
         from . import native_loader
 

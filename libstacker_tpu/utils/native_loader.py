@@ -55,6 +55,17 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.stacker_rgb_to_gray.restype = None
+    if hasattr(lib, "stacker_decode_batch16"):  # absent in pre-r3 builds
+        lib.stacker_decode_batch16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.stacker_decode_batch16.restype = ctypes.c_int
     if hasattr(lib, "stacker_write_png16"):  # absent in pre-r3 builds
         lib.stacker_write_png16.argtypes = [
             ctypes.c_char_p,
@@ -102,6 +113,48 @@ def load_frames_native(
         c_paths,
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        num_threads,
+        statuses,
+    )
+    if failures:
+        bad = [
+            f"{files[i]} (code {statuses[i]})"
+            for i in range(n)
+            if statuses[i] != 0
+        ]
+        raise StackerIoError("decode failures: " + "; ".join(bad))
+    return out
+
+
+def available16() -> bool:
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "stacker_decode_batch16")
+
+
+def load_frames_native16(
+    files: Sequence, num_threads: int = 0
+) -> np.ndarray:
+    """Full-depth decode into one [N,H,W,3] uint16 RGB tensor: 16-bit
+    PNG/TIFF at native depth, 8-bit sources expanded x257."""
+    files = [str(f) for f in files]
+    if not files:
+        raise NotEnoughFilesError()
+    if not available16():
+        raise StackerIoError(
+            "native 16-bit decoder not built (make -C native)"
+        )
+    h, w = probe(files[0])
+    n = len(files)
+    out = np.empty((n, h, w, 3), dtype=np.uint16)
+    statuses = (ctypes.c_int * n)()
+    c_paths = (ctypes.c_char_p * n)(*[f.encode() for f in files])
+    lib = _get_lib()
+    failures = lib.stacker_decode_batch16(
+        c_paths,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         h,
         w,
         num_threads,

@@ -182,6 +182,153 @@ int decode_tiff(const char* path, uint8_t* out, int64_t want_h,
   return kOk;
 }
 
+// --- 16-bit decode (full-depth path) -------------------------------------
+//
+// Counterpart of imread(..., IMREAD_UNCHANGED | IMREAD_COLOR) for 16-bit
+// sources: PNG decodes natively (libpng expand_16 promotes 8-bit content
+// by x257, the exact range expansion), 16-bit contiguous TIFF decodes by
+// scanline, everything else decodes at 8 bits and expands.  Output is
+// native-endian uint16 RGB [h, w, 3].
+
+int decode_png16(FILE* f, uint16_t* out, int64_t want_h, int64_t want_w,
+                 int64_t* got_h, int64_t* got_w) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return kErrDecode;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return kErrDecode;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrDecode;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  *got_h = png_get_image_height(png, info);
+  *got_w = png_get_image_width(png, info);
+  if (*got_h != want_h || *got_w != want_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrSize;
+  }
+  png_byte color_type = png_get_color_type(png, info);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_expand_16(png);  // 8-bit (and lower) samples -> x257
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA ||
+      png_get_valid(png, info, PNG_INFO_tRNS))
+    png_set_strip_alpha(png);
+  const uint16_t probe = 1;
+  if (*reinterpret_cast<const uint8_t*>(&probe) == 1)
+    png_set_swap(png);  // big-endian file samples -> native
+  png_read_update_info(png, info);
+
+  std::vector<png_bytep> rows(want_h);
+  for (int64_t y = 0; y < want_h; ++y)
+    rows[y] = (png_bytep)(out + y * want_w * 3);
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return kOk;
+}
+
+int decode_tiff16(const char* path, uint16_t* out, int64_t want_h,
+                  int64_t want_w, int64_t* got_h, int64_t* got_w) {
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return kErrDecode;
+  uint32_t w32 = 0, h32 = 0;
+  uint16_t bits = 0, samples = 0, planar = PLANARCONFIG_CONTIG;
+  uint16_t photometric = PHOTOMETRIC_MINISBLACK, format = SAMPLEFORMAT_UINT;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w32);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h32);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bits);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &samples);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &format);
+  TIFFGetField(tif, TIFFTAG_PHOTOMETRIC, &photometric);
+  *got_h = (int64_t)h32;
+  *got_w = (int64_t)w32;
+  if ((int64_t)h32 != want_h || (int64_t)w32 != want_w) {
+    TIFFClose(tif);
+    return kErrSize;
+  }
+  const bool native16 =
+      bits == 16 && (samples == 1 || samples == 3 || samples == 4) &&
+      planar == PLANARCONFIG_CONTIG && format == SAMPLEFORMAT_UINT &&
+      (photometric == PHOTOMETRIC_MINISBLACK ||
+       photometric == PHOTOMETRIC_RGB) &&
+      !TIFFIsTiled(tif);
+  if (native16) {
+    std::vector<uint16_t> row((size_t)w32 * samples);
+    for (int64_t y = 0; y < want_h; ++y) {
+      if (TIFFReadScanline(tif, row.data(), (uint32_t)y) < 0) {
+        TIFFClose(tif);
+        return kErrDecode;
+      }
+      uint16_t* dst = out + y * want_w * 3;
+      if (samples == 1) {
+        for (int64_t x = 0; x < want_w; ++x)
+          dst[x * 3 + 0] = dst[x * 3 + 1] = dst[x * 3 + 2] = row[x];
+      } else {
+        for (int64_t x = 0; x < want_w; ++x) {
+          dst[x * 3 + 0] = row[x * samples + 0];
+          dst[x * 3 + 1] = row[x * samples + 1];
+          dst[x * 3 + 2] = row[x * samples + 2];
+        }
+      }
+    }
+    TIFFClose(tif);
+    return kOk;
+  }
+  // everything else: RGBA8 convenience path, expand x257
+  std::vector<uint32_t> rgba((size_t)w32 * (size_t)h32);
+  if (!TIFFReadRGBAImageOriented(tif, w32, h32, rgba.data(),
+                                 ORIENTATION_TOPLEFT, 0)) {
+    TIFFClose(tif);
+    return kErrDecode;
+  }
+  TIFFClose(tif);
+  const int64_t npx = (int64_t)w32 * (int64_t)h32;
+  for (int64_t i = 0; i < npx; ++i) {
+    const uint32_t px = rgba[(size_t)i];
+    out[i * 3 + 0] = (uint16_t)(TIFFGetR(px) * 257);
+    out[i * 3 + 1] = (uint16_t)(TIFFGetG(px) * 257);
+    out[i * 3 + 2] = (uint16_t)(TIFFGetB(px) * 257);
+  }
+  return kOk;
+}
+
+int decode_one16(const char* path, uint16_t* out, int64_t want_h,
+                 int64_t want_w, int64_t* got_h, int64_t* got_w) {
+  std::string p(path);
+  if (has_suffix(p, ".tif") || has_suffix(p, ".tiff"))
+    return decode_tiff16(path, out, want_h, want_w, got_h, got_w);
+  if (has_suffix(p, ".png")) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return kErrOpen;
+    int rc = decode_png16(f, out, want_h, want_w, got_h, got_w);
+    fclose(f);
+    return rc;
+  }
+  if (has_suffix(p, ".jpg") || has_suffix(p, ".jpeg")) {
+    // JPEG is 8-bit; decode and expand x257
+    FILE* f = fopen(path, "rb");
+    if (!f) return kErrOpen;
+    std::vector<uint8_t> tmp((size_t)(want_h * want_w * 3));
+    int rc = decode_jpeg(f, tmp.data(), want_h, want_w, got_h, got_w, false);
+    fclose(f);
+    if (rc != kOk) return rc;
+    const int64_t n = want_h * want_w * 3;
+    for (int64_t i = 0; i < n; ++i) out[i] = (uint16_t)(tmp[i] * 257);
+    return kOk;
+  }
+  return kErrFormat;
+}
+
 int decode_one(const char* path, uint8_t* out, int64_t want_h, int64_t want_w,
                int64_t* got_h, int64_t* got_w, bool probe_only) {
   std::string p(path);
@@ -232,6 +379,37 @@ int stacker_decode_batch(const char** paths, int64_t n, uint8_t* out,
       int64_t gh = 0, gw = 0;
       int rc = decode_one(paths[i], out + i * frame_bytes, h, w, &gh, &gw,
                           false);
+      statuses[i] = rc;
+      if (rc != kOk) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Full-depth batch decode: n files into out[n, h, w, 3] native-endian
+// uint16 RGB.  16-bit PNG/TIFF decode at depth; 8-bit sources expand
+// x257 (the exact range expansion).  Same pool/status contract as
+// stacker_decode_batch.
+int stacker_decode_batch16(const char** paths, int64_t n, uint16_t* out,
+                           int64_t h, int64_t w, int threads,
+                           int* statuses) {
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  if (threads <= 0) threads = 1;
+  if (threads > n) threads = (int)n;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failures(0);
+  const int64_t frame_px = h * w * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int64_t gh = 0, gw = 0;
+      int rc = decode_one16(paths[i], out + i * frame_px, h, w, &gh, &gw);
       statuses[i] = rc;
       if (rc != kOk) failures.fetch_add(1);
     }
