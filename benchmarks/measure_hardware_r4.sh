@@ -102,3 +102,29 @@ d = float(np.abs(np.asarray(out) - np.asarray(out_x)).max())
 print(f"masked 8x4K: fused {t_kernel:.2f}s vs XLA {t_xla:.2f}s, "
       f"stack maxdiff {d:.2e}, rho {stats.ecc_rho}")
 PYEOF
+
+# 11. 16-bit burst smoke: same kernels (alignment high-byte, stacking
+#     f32), but the u16 H2D upload is 2x the bytes — time it and check
+#     parity of the solve with the 8-bit run.
+timeout 900 env python - <<'PYEOF'
+import numpy as np, time
+from bench import make_burst
+from libstacker_tpu import EccMatchParameters, MotionType
+from libstacker_tpu.models.ecc import ecc_match_arrays
+frames8 = make_burst(8, 2160, 3840)
+rng = np.random.default_rng(0)
+frames16 = (frames8.astype(np.uint16) << 8) + rng.integers(
+    0, 256, frames8.shape).astype(np.uint16)
+p = EccMatchParameters(motion_type=MotionType.Homography, max_count=50,
+                       epsilon=1e-4)
+t0 = time.perf_counter()
+out16, st16 = ecc_match_arrays(frames16, p, return_stats=True)
+t16 = time.perf_counter() - t0
+t0 = time.perf_counter()
+out8, st8 = ecc_match_arrays(frames8, p, return_stats=True)
+t8 = time.perf_counter() - t0
+print(f"u16 8x4K: {t16:.2f}s vs u8 {t8:.2f}s; iters equal:",
+      st16.ecc_iterations == st8.ecc_iterations,
+      "stack maxdiff", float(np.abs(np.asarray(out16) -
+                                    np.asarray(out8)).max()))
+PYEOF

@@ -244,6 +244,24 @@ def _png_bit_depth(path: PathLike) -> int | None:
     return head[24]
 
 
+def _tiff_is_16bit(path: PathLike) -> bool:
+    """True if a TIFF file's BitsPerSample is 16 (PIL tag read; False
+    for non-TIFF files)."""
+    if not str(path).lower().endswith((".tif", ".tiff")):
+        return False
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            bits = im.tag_v2.get(258)  # BitsPerSample
+    except (OSError, AttributeError):
+        return False
+    if bits is None:
+        return False
+    vals = bits if isinstance(bits, (tuple, list)) else (bits,)
+    return any(int(b) == 16 for b in vals)
+
+
 def _load_frames_u16(files, num_threads, use_native: bool) -> np.ndarray:
     """Full-depth decode -> [N,H,W,3] uint16 (see load_frames)."""
     from . import native_loader
@@ -262,11 +280,11 @@ def _load_frames_u16(files, num_threads, use_native: bool) -> np.ndarray:
     def one(path):
         arr = imread_unchanged(path)
         if arr.dtype == np.uint8:
-            # PIL reduces 48-bit RGB PNGs to 8 silently — refuse the
-            # depth loss instead of shipping it
-            if _png_bit_depth(path) == 16:
+            # PIL reduces 48-bit RGB PNG/TIFF content to 8 silently —
+            # refuse the depth loss instead of shipping it
+            if _png_bit_depth(path) == 16 or _tiff_is_16bit(path):
                 raise StackerIoError(
-                    f"{path} is a 16-bit RGB PNG; full-depth decode "
+                    f"{path} holds 16-bit samples; full-depth decode "
                     "needs the native loader (make -C native)"
                 )
             arr = arr.astype(np.uint16) * np.uint16(257)

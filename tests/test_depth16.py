@@ -173,3 +173,14 @@ def test_load_frames_preserve_depth_pil_fallback(tmp_path):
         io.load_frames(
             [tmp_path / "rgb.png"], preserve_depth=True, use_native=False
         )
+
+
+def test_preserve_depth_refuses_16bit_rgb_tiff_without_native(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(8)
+    a16 = rng.integers(0, 65536, (24, 30, 3), np.uint16).astype(np.uint16)
+    assert cv2.imwrite(str(tmp_path / "a.tif"), a16[..., ::-1])
+    with pytest.raises(StackerIoError):
+        io.load_frames(
+            [tmp_path / "a.tif"], preserve_depth=True, use_native=False
+        )
