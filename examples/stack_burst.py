@@ -19,7 +19,7 @@ Usage:  python examples/stack_burst.py <image_dir> [--out outdir]
         [--no-phase-init] [--phase-init-rotation]
         [--stacking mean|sigma_clip] [--sigma-kappa K] [--sigma-iters I]
         [--output-scale 1|2|3|4] [--align-mask PATH] [--out-depth 8|16]
-        [--preserve-depth]
+        [--preserve-depth] [--checkpoint PATH]
 
 (The reference's README lists CLI options as an unfinished todo,
 README.md:85 — these flags cover every field of both parameter structs.)
@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--stream", type=int, default=0, metavar="CHUNK",
                     help="stream in chunks of CHUNK frames (bounded HBM) "
                     "instead of whole-burst processing")
+    ap.add_argument("--checkpoint", metavar="PATH", default=None,
+                    help="(with --stream) write a resumable checkpoint "
+                    "here every few chunks; rerunning the same command "
+                    "after a crash resumes from the last saved chunk")
     # KeyPointMatchParameters (ref src/lib.rs:49-73)
     ap.add_argument("--homography-method", choices=("ransac", "lmeds"),
                     default="ransac")
@@ -231,6 +235,12 @@ def main():
     if args.stream > 0:
         from libstacker_tpu import ecc_match_stream, keypoint_match_stream
 
+        def ckpt_path(kind, tag):
+            # one resumable file per pipeline variant
+            if args.checkpoint is None:
+                return None
+            return f"{args.checkpoint}.{kind}_{tag}.npz"
+
         for sw in scales:
             tag = "full" if sw is None else f"w{sw:.0f}"
             if args.method in ("keypoint", "all"):
@@ -239,6 +249,7 @@ def main():
                         kept_files, kp_params, sw, chunk_size=args.stream,
                         mask=align_mask,
                         preserve_depth=args.preserve_depth,
+                        checkpoint_path=ckpt_path("keypoint", tag),
                     )
                 print(f"keypoint stream({tag}) dropped: {dropped}")
                 save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img,
@@ -249,6 +260,7 @@ def main():
                         kept_files, ecc_params, sw, chunk_size=args.stream,
                         mask=align_mask,
                         preserve_depth=args.preserve_depth,
+                        checkpoint_path=ckpt_path("ecc", tag),
                     )
                 save_png(os.path.join(args.out, f"ecc_{tag}.png"), img,
                          args.out_depth)

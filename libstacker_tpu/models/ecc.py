@@ -423,6 +423,8 @@ def ecc_match_stream(
     on_failure: str = "raise",
     mask: Optional[np.ndarray] = None,
     preserve_depth: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 4,
 ):
     """Streaming ``ecc_match`` for bursts larger than HBM: frames are
     decoded, aligned and accumulated in chunks of ``chunk_size`` against
@@ -431,7 +433,16 @@ def ecc_match_stream(
     realised as chunked device accumulation — SURVEY.md §5
     checkpoint/streaming note).  Chunks are host-decoded one step ahead
     on a background thread, and the final partial chunk is padded to
-    ``chunk_size`` so no per-burst-length recompile ever happens."""
+    ``chunk_size`` so no per-burst-length recompile ever happens.
+
+    ``checkpoint_path`` makes the run RESUMABLE: every
+    ``checkpoint_every`` chunks the accumulator + ok flags are written
+    atomically (utils.checkpoint), and a rerun of the same burst picks
+    up at the last saved chunk instead of frame 0.  The file is keyed
+    to the file list/params/mask (a mismatched checkpoint is ignored)
+    and removed on success.  Each save syncs the device accumulator —
+    pick ``checkpoint_every`` high enough that the sync cost amortises.
+    """
     params.validate()
     if (getattr(params, "stacking", "mean") != "mean"
             or getattr(params, "output_scale", 1) != 1):
@@ -475,6 +486,21 @@ def ecc_match_stream(
         input_mask = _ecc_mask_jit(jnp.asarray(mask), scale_hw=scale_hw)
     acc = color.to_unit_f32(ref_j[0])
     all_ok = []
+    ckpt = None
+    chunks_done = 0
+    if checkpoint_path is not None:
+        from ..utils import checkpoint as ckpt_mod
+
+        ckpt = ckpt_mod.StreamCheckpoint(
+            checkpoint_path,
+            ckpt_mod.burst_key(files, params, scale_down_width,
+                               chunk_size, extra="ecc", mask=mask),
+        )
+        chunks_done, state = ckpt.load()
+        if state is not None and chunks_done > 0:
+            acc = jnp.asarray(state["acc"])
+            if state["ok"].size:
+                all_ok.append(state["ok"].astype(bool))
     # True async H2D double-buffering (SURVEY §7 phase 6): the NEXT
     # chunk's device_put is issued before this chunk's solve dispatches,
     # so the upload rides the transfer engine while the solve runs
@@ -482,7 +508,8 @@ def ecc_match_stream(
     # io.prefetched_chunks).  Tail pads are the REFERENCE frame, whose
     # lanes converge in ~2 iterations (see io.pad_chunk).
     gen = io.prefetched_chunks(
-        files, chunk_size, h, w, preserve_depth=preserve_depth
+        files, chunk_size, h, w, start=1 + chunks_done * chunk_size,
+        preserve_depth=preserve_depth,
     )
 
     def put_next():
@@ -537,8 +564,19 @@ def ecc_match_stream(
             pallas_tile_rows=cfg[1] if cfg else 128,
         )
         all_ok.append(np.asarray(result.ok)[:n_real])
+        chunks_done += 1
+        if ckpt is not None and (
+            chunks_done % max(checkpoint_every, 1) == 0 or cur is None
+        ):
+            ckpt.save(
+                chunks_done,
+                acc=np.asarray(acc),
+                ok=np.concatenate(all_ok),
+            )
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
+    if ckpt is not None:
+        ckpt.remove()  # completed — the checkpoint has served its job
     if not ok.all():
         bad = np.nonzero(~ok)[0] + 1
         if on_failure == "raise":

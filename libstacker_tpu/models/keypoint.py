@@ -525,6 +525,8 @@ def keypoint_match_stream(
     chunk_size: int = 16,
     mask: Optional[np.ndarray] = None,
     preserve_depth: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 4,
 ):
     """Streaming ``keypoint_match`` for bursts larger than HBM: frames
     are decoded (one chunk ahead on a background thread), ORB-matched
@@ -532,7 +534,12 @@ def keypoint_match_stream(
     frame 0's features and the running sum stay resident.  The final
     partial chunk is padded so no per-burst-length recompile happens.
     Returns ``(dropped_count, stacked [H,W,3] float32 RGB)`` like
-    :func:`keypoint_match`."""
+    :func:`keypoint_match`.
+
+    ``checkpoint_path`` makes the run RESUMABLE (see
+    :func:`libstacker_tpu.models.ecc.ecc_match_stream`); the RANSAC
+    RNG stream is replayed to the resume point, so a resumed run is
+    bit-identical to an uninterrupted one."""
     params.validate()
     if (getattr(params, "stacking", "mean") != "mean"
             or getattr(params, "output_scale", 1) != 1):
@@ -566,11 +573,32 @@ def keypoint_match_stream(
     acc = color.to_unit_f32(ref_j[0])
     key = jax.random.PRNGKey(seed)
     all_ok = []
+    ckpt = None
+    chunks_done = 0
+    if checkpoint_path is not None:
+        from ..utils import checkpoint as ckpt_mod
+
+        ckpt = ckpt_mod.StreamCheckpoint(
+            checkpoint_path,
+            ckpt_mod.burst_key(files, params, scale_down_width,
+                               chunk_size, extra=f"kp|{seed}", mask=mask),
+        )
+        chunks_done, state = ckpt.load()
+        if state is not None and chunks_done > 0:
+            acc = jnp.asarray(state["acc"])
+            if state["ok"].size:
+                all_ok.append(state["ok"].astype(bool))
+            # replay the per-chunk RNG stream to the resume point so
+            # the remaining chunks draw the same RANSAC hypotheses an
+            # uninterrupted run would
+            for _ in range(chunks_done):
+                key, _ = jax.random.split(key)
     # async H2D double-buffering: upload chunk i+1 while chunk i's
     # detection/matching runs (decode-ahead already overlaps on a host
     # thread in io.prefetched_chunks)
     gen = io.prefetched_chunks(
-        files, chunk_size, h, w, preserve_depth=preserve_depth
+        files, chunk_size, h, w, start=1 + chunks_done * chunk_size,
+        preserve_depth=preserve_depth,
     )
 
     def put_next():
@@ -647,8 +675,19 @@ def keypoint_match_stream(
                 apron=apron,
             )
         all_ok.append(oks_np[:n_real])
+        chunks_done += 1
+        if ckpt is not None and (
+            chunks_done % max(checkpoint_every, 1) == 0 or cur is None
+        ):
+            ckpt.save(
+                chunks_done,
+                acc=np.asarray(acc),
+                ok=np.concatenate(all_ok),
+            )
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
+    if ckpt is not None:
+        ckpt.remove()  # completed — the checkpoint has served its job
     kept = 1 + int(ok.sum())
     dropped = int((~ok).sum())
     return dropped, np.asarray(acc) / kept
