@@ -425,6 +425,7 @@ def ecc_match_stream(
     preserve_depth: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 4,
+    return_stats: bool = False,
 ):
     """Streaming ``ecc_match`` for bursts larger than HBM: frames are
     decoded, aligned and accumulated in chunks of ``chunk_size`` against
@@ -486,6 +487,8 @@ def ecc_match_stream(
         input_mask = _ecc_mask_jit(jnp.asarray(mask), scale_hw=scale_hw)
     acc = color.to_unit_f32(ref_j[0])
     all_ok = []
+    all_iters = []
+    all_rho = []
     ckpt = None
     chunks_done = 0
     if checkpoint_path is not None:
@@ -501,6 +504,9 @@ def ecc_match_stream(
             acc = jnp.asarray(state["acc"])
             if state["ok"].size:
                 all_ok.append(state["ok"].astype(bool))
+            if state.get("iters") is not None and state["iters"].size:
+                all_iters.append(state["iters"])
+                all_rho.append(state["rho"])
     # True async H2D double-buffering (SURVEY §7 phase 6): the NEXT
     # chunk's device_put is issued before this chunk's solve dispatches,
     # so the upload rides the transfer engine while the solve runs
@@ -564,6 +570,8 @@ def ecc_match_stream(
             pallas_tile_rows=cfg[1] if cfg else 128,
         )
         all_ok.append(np.asarray(result.ok)[:n_real])
+        all_iters.append(np.asarray(result.num_iters)[:n_real])
+        all_rho.append(np.asarray(result.rho)[:n_real])
         chunks_done += 1
         if ckpt is not None and (
             chunks_done % max(checkpoint_every, 1) == 0 or cur is None
@@ -572,11 +580,25 @@ def ecc_match_stream(
                 chunks_done,
                 acc=np.asarray(acc),
                 ok=np.concatenate(all_ok),
+                iters=np.concatenate(all_iters),
+                rho=np.concatenate(all_rho),
             )
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
     if ckpt is not None:
         ckpt.remove()  # completed — the checkpoint has served its job
+    stats = None
+    if return_stats:
+        from ..utils.tracing import PipelineStats
+
+        stats = PipelineStats(
+            frames_total=n_total,
+            frames_kept=1 + int(ok.sum()),
+            frames_dropped=int((~ok).sum()),
+            ecc_iterations=np.concatenate(all_iters).tolist()
+            if all_iters else [],
+            ecc_rho=np.concatenate(all_rho).tolist() if all_rho else [],
+        )
     if not ok.all():
         bad = np.nonzero(~ok)[0] + 1
         if on_failure == "raise":
@@ -584,4 +606,5 @@ def ecc_match_stream(
                 f"findTransformECC failed to converge for frames {bad.tolist()}"
             )
     count = 1 + int(ok.sum()) if not ok.all() else n_total
-    return np.asarray(acc) / count
+    out = np.asarray(acc) / count
+    return (out, stats) if return_stats else out

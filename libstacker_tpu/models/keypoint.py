@@ -527,6 +527,7 @@ def keypoint_match_stream(
     preserve_depth: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 4,
+    return_stats: bool = False,
 ):
     """Streaming ``keypoint_match`` for bursts larger than HBM: frames
     are decoded (one chunk ahead on a background thread), ORB-matched
@@ -563,7 +564,14 @@ def keypoint_match_stream(
         scale_hw = resize.scale_image_size(h, w, scale_down_width)
     if len(files) == 1:
         scale = 65535.0 if ref.dtype == np.uint16 else 255.0
-        return 0, ref[0].astype(np.float32) / scale
+        out = ref[0].astype(np.float32) / scale
+        if return_stats:
+            from ..utils.tracing import PipelineStats
+
+            return 0, out, PipelineStats(
+                frames_total=1, frames_kept=1, frames_dropped=0
+            )
+        return 0, out
 
     ref_j = jnp.asarray(ref)
     det_mask = _prepare_det_mask(mask, (h, w), scale_hw)
@@ -573,6 +581,8 @@ def keypoint_match_stream(
     acc = color.to_unit_f32(ref_j[0])
     key = jax.random.PRNGKey(seed)
     all_ok = []
+    all_mc = []
+    all_ic = []
     ckpt = None
     chunks_done = 0
     if checkpoint_path is not None:
@@ -588,6 +598,9 @@ def keypoint_match_stream(
             acc = jnp.asarray(state["acc"])
             if state["ok"].size:
                 all_ok.append(state["ok"].astype(bool))
+            if state.get("mc") is not None and state["mc"].size:
+                all_mc.append(state["mc"])
+                all_ic.append(state["ic"])
             # replay the per-chunk RNG stream to the resume point so
             # the remaining chunks draw the same RANSAC hypotheses an
             # uninterrupted run would
@@ -621,7 +634,7 @@ def keypoint_match_stream(
             lambda a, b: jnp.concatenate([a, b], axis=0), feats0, feats
         )
         key, sub = jax.random.split(key)
-        hs, oks, _, _ = _match_and_estimate(
+        hs, oks, mcounts, icounts = _match_and_estimate(
             feats_all,
             sub,
             method=params.method,
@@ -675,6 +688,8 @@ def keypoint_match_stream(
                 apron=apron,
             )
         all_ok.append(oks_np[:n_real])
+        all_mc.append(np.asarray(mcounts)[:n_real])
+        all_ic.append(np.asarray(icounts)[:n_real])
         chunks_done += 1
         if ckpt is not None and (
             chunks_done % max(checkpoint_every, 1) == 0 or cur is None
@@ -683,6 +698,8 @@ def keypoint_match_stream(
                 chunks_done,
                 acc=np.asarray(acc),
                 ok=np.concatenate(all_ok),
+                mc=np.concatenate(all_mc),
+                ic=np.concatenate(all_ic),
             )
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
@@ -690,4 +707,18 @@ def keypoint_match_stream(
         ckpt.remove()  # completed — the checkpoint has served its job
     kept = 1 + int(ok.sum())
     dropped = int((~ok).sum())
-    return dropped, np.asarray(acc) / kept
+    out = np.asarray(acc) / kept
+    if return_stats:
+        from ..utils.tracing import PipelineStats
+
+        stats = PipelineStats(
+            frames_total=len(files),
+            frames_kept=kept,
+            frames_dropped=dropped,
+            match_counts=np.concatenate(all_mc).tolist()
+            if all_mc else [],
+            inlier_counts=np.concatenate(all_ic).tolist()
+            if all_ic else [],
+        )
+        return dropped, out, stats
+    return dropped, out

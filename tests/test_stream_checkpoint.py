@@ -78,13 +78,20 @@ def test_ecc_stream_checkpoint_resume(burst_dir, tmp_path, monkeypatch):
 
     resume = _Interrupter(limit=None)
     monkeypatch.setattr(io_mod, "prefetched_chunks", resume)
-    out = ecc_match_stream(
-        files, p, chunk_size=2, checkpoint_path=ck, checkpoint_every=1
+    out, stats = ecc_match_stream(
+        files, p, chunk_size=2, checkpoint_path=ck, checkpoint_every=1,
+        return_stats=True,
     )
     # the resumed run skipped the checkpointed chunk (start = 1 + 1*2)
     assert resume.starts == [3]
     np.testing.assert_array_equal(out, ref)
     assert not ck.exists()  # removed on success
+    # stats cover EVERY frame, including the pre-crash checkpointed
+    # chunk (iters/rho ride the checkpoint)
+    assert stats.frames_total == 6
+    assert len(stats.ecc_iterations) == 5
+    assert len(stats.ecc_rho) == 5
+    assert stats.frames_kept == 6 and stats.frames_dropped == 0
 
 
 def test_ecc_stream_checkpoint_key_mismatch_restarts(
@@ -149,9 +156,9 @@ def test_keypoint_stream_checkpoint_resume(burst_dir, tmp_path, monkeypatch):
 
     resume = _Interrupter(limit=None)
     monkeypatch.setattr(io_mod, "prefetched_chunks", resume)
-    d_out, out = keypoint_match_stream(
+    d_out, out, stats = keypoint_match_stream(
         files, p, chunk_size=2, seed=7,
-        checkpoint_path=ck, checkpoint_every=1,
+        checkpoint_path=ck, checkpoint_every=1, return_stats=True,
     )
     assert resume.starts == [3]
     # RNG replay makes the resumed run draw the same RANSAC hypotheses:
@@ -159,3 +166,8 @@ def test_keypoint_stream_checkpoint_resume(burst_dir, tmp_path, monkeypatch):
     assert d_out == d_ref
     np.testing.assert_array_equal(out, ref)
     assert not ck.exists()
+    # match/inlier stats cover every frame via the checkpoint
+    assert stats.frames_total == 6
+    assert len(stats.match_counts) == 5
+    assert len(stats.inlier_counts) == 5
+    assert all(c > 0 for c in stats.inlier_counts)
