@@ -55,6 +55,26 @@ class _Interrupter:
         return gen()
 
 
+def test_burst_key_sensitivity(tmp_path):
+    from libstacker_tpu.utils.checkpoint import burst_key
+
+    p = _ecc_params()
+    base = burst_key(["a.png", "b.png"], p, None, 2, extra="ecc")
+    assert base == burst_key(["a.png", "b.png"], p, None, 2, extra="ecc")
+    assert base != burst_key(["a.png", "c.png"], p, None, 2, extra="ecc")
+    assert base != burst_key(["a.png", "b.png"], p, 400.0, 2, extra="ecc")
+    assert base != burst_key(["a.png", "b.png"], p, None, 4, extra="ecc")
+    assert base != burst_key(["a.png", "b.png"], p, None, 2, extra="kp|0")
+    m = np.zeros((4, 4), np.uint8)
+    with_mask = burst_key(["a.png", "b.png"], p, None, 2, extra="ecc",
+                          mask=m)
+    assert base != with_mask
+    m2 = m.copy()
+    m2[0, 0] = 1
+    assert with_mask != burst_key(["a.png", "b.png"], p, None, 2,
+                                  extra="ecc", mask=m2)
+
+
 def _ecc_params():
     return EccMatchParameters(
         motion_type=MotionType.Translation, max_count=40, epsilon=1e-4
