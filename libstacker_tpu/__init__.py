@@ -26,6 +26,13 @@ from .models.keypoint import (  # noqa: F401
     keypoint_match_arrays,
     keypoint_match_stream,
 )
+from .utils.io import (  # noqa: F401
+    imread,
+    imread_gray,
+    imread_unchanged,
+    load_frames,
+    save_image,
+)
 from .ops.sharpness import (  # noqa: F401
     sharpness_all,
     sharpness_modified_laplacian,
