@@ -19,9 +19,9 @@ timeout 600 env BENCH_FRAMES=8 LIBSTACKER_ECC_MODE=lazy python bench.py
 timeout 600 env BENCH_FRAMES=8 LIBSTACKER_ECC_MODE=ic python bench.py
 
 # 4. Fused-kernel tile sweep (forward + IC variants).
-timeout 900 env PYTHONPATH=. python benchmarks/bench_ecc_tile.py --frames 8
-timeout 900 env PYTHONPATH=. python benchmarks/bench_ecc_tile.py --frames 8 --mode ic
-timeout 900 env PYTHONPATH=. python benchmarks/bench_ecc_tile.py --frames 8 --mode ic_hessian
+timeout 900 env PYTHONPATH=.:${PYTHONPATH} python benchmarks/bench_ecc_tile.py --frames 8
+timeout 900 env PYTHONPATH=.:${PYTHONPATH} python benchmarks/bench_ecc_tile.py --frames 8 --mode ic
+timeout 900 env PYTHONPATH=.:${PYTHONPATH} python benchmarks/bench_ecc_tile.py --frames 8 --mode ic_hessian
 
 # 5. Full headline, forward vs lazy (pick the default from these).
 timeout 1800 python bench.py
@@ -29,17 +29,17 @@ timeout 1800 env LIBSTACKER_ECC_MODE=lazy python bench.py
 
 # 6. Keypoint headline (tile-shrink dispatch engages only on large
 #    rotations; standard burst should be unchanged).
-timeout 1200 env PYTHONPATH=. python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=.:${PYTHONPATH} python benchmarks/bench_keypoint.py
 
 # 7. Keypoint A/B knobs: 2stage FAST arc tree (expect fast_detect
 #    7.2 -> ~5 ms/frame at 4K if the tree intermediates are the
 #    traffic) and pooled top-k (lossless 4x reduction of the
 #    approx_max_k scans, ~2 ms/frame estimated).
-timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage python benchmarks/bench_keypoint.py
-timeout 1200 env PYTHONPATH=. LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
-timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=2stage LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
-timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=noshare python benchmarks/bench_keypoint.py
-timeout 1200 env PYTHONPATH=. LIBSTACKER_FAST_TREE=noshare LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=.:${PYTHONPATH} LIBSTACKER_FAST_TREE=2stage python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=.:${PYTHONPATH} LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=.:${PYTHONPATH} LIBSTACKER_FAST_TREE=2stage LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=.:${PYTHONPATH} LIBSTACKER_FAST_TREE=noshare python benchmarks/bench_keypoint.py
+timeout 1200 env PYTHONPATH=.:${PYTHONPATH} LIBSTACKER_FAST_TREE=noshare LIBSTACKER_TOPK=pooled python benchmarks/bench_keypoint.py
 
 # 8. sigma_clip robust stacking TPU smoke (kernels are the same tiled
 #    warp; this just exercises the moment sweeps + clip on Mosaic).
