@@ -37,9 +37,12 @@ def main():
     ap.add_argument("--w", type=int, default=3840)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--k", type=int, default=1)
-    ap.add_argument("--mode", choices=("forward", "ic", "ic_hessian"),
+    ap.add_argument("--mode",
+                    choices=("forward", "forward_lite", "ic", "ic_hessian"),
                     default="forward",
-                    help="which fused-iteration kernel to time")
+                    help="which fused-iteration kernel to time "
+                    "(forward_lite = with_hessian=False, the lazy "
+                    "solver's steady-state sweep)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU interpret-mode smoke run (forces the cpu "
                     "backend; timings are meaningless)")
@@ -66,7 +69,8 @@ def main():
     # forward streams exact [B,h,w] template tiles; IC DMAs haloed
     # windows from the (8,128)-pre-padded [B,hp,wp] array
     tmpl_d = (
-        jnp.asarray(templates[:, :h, :w]) if args.mode == "forward"
+        jnp.asarray(templates[:, :h, :w])
+        if args.mode in ("forward", "forward_lite")
         else jnp.asarray(templates)
     )
     m3_d = jnp.asarray(m3)
@@ -77,11 +81,12 @@ def main():
     results = {}
     for tile in shapes:
         def run():
-            if args.mode == "forward":
+            if args.mode in ("forward", "forward_lite"):
                 return ecc_pallas.ecc_iteration_moments(
                     srcs_d, tmpl_d, m3_d,
                     motion_type=MotionType.Homography,
                     k=args.k, tile=tile, true_hw=(h, w),
+                    with_hessian=(args.mode == "forward"),
                     interpret=args.interpret,
                 )
             return ecc_pallas.ecc_ic_iteration_moments(
