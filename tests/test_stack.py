@@ -441,3 +441,20 @@ def test_pipeline_output_scale():
         keypoint_match_stream(
             ["x.png"], KeyPointMatchParameters(output_scale=2)
         )
+
+
+def test_sr_interleave_phases_matches_transpose():
+    """The lax.pad phase deposit must equal the rank-5
+    transpose-interleave it replaced (which lane-padded 64x on TPU and
+    OOMed the 4K x2 case): out[f*i+py, f*j+px] = phases[py*f+px, i, j]."""
+    rng = np.random.default_rng(42)
+    for f in (2, 3, 4):
+        h, w = 12, 20
+        phases = rng.random((f * f, h, w, 3)).astype(np.float32)
+        got = np.asarray(stack._sr_interleave_phases(jnp.asarray(phases), f))
+        want = (
+            phases.reshape(f, f, h, w, 3)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(f * h, f * w, 3)
+        )
+        np.testing.assert_array_equal(got, want)
