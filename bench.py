@@ -217,7 +217,8 @@ def main():
         # (ops/phasecorr.py) — same converged warps, fewer iterations.
         t0 = time.perf_counter()
         init = phasecorr.phase_init_warps(
-            grey_all[1:], grey_all[0], motion_type=MotionType.Homography
+            grey_all[1:], grey_all[0], motion_type=MotionType.Homography,
+            rotation=bool(os.environ.get("BENCH_PHASE_ROT")),
         )
         if stage is not None:
             init.block_until_ready()

@@ -442,12 +442,8 @@ def super_res_stack(
             perspective=perspective, pallas_k=cfg[0],
             pallas_tile_rows=cfg[1],
         )
-        f = factor
-        av = av.reshape(f, f, h, w, 3).transpose(2, 0, 3, 1, 4)
-        aw = aw.reshape(f, f, h, w).transpose(2, 0, 3, 1)
-        av = av.reshape(f * h, f * w, 3)
-        aw = aw.reshape(f * h, f * w)
-        return av / jnp.maximum(aw, 1e-6)[..., None]
+        out_p = av / jnp.maximum(aw, 1e-6)[..., None]
+        return _sr_interleave_phases(out_p, factor)
     acc = _sweep_chunks(
         _sr_chunk, frames_p, mats_all, oks_all, total, chunk,
         factor=factor, kernel_sigma=kernel_sigma,
@@ -463,6 +459,31 @@ def super_res_stack(
         )
     av, aw = acc
     return av / jnp.maximum(aw, 1e-6)[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def _sr_interleave_phases(phases: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Interleave per-phase images [f^2,H,W,3] into the fine grid
+    [f*H, f*W, 3]: out[f*i+py, f*j+px] = phases[py*f+px, i, j].
+
+    Deposits each phase with an interior-dilated ``lax.pad`` (stride f,
+    offset (py, px)) and sums.  Every intermediate is a plain
+    image-shaped rank-3 array: the previous reshape->transpose(2,0,3,1,4)
+    formulation materialised a rank-5 copy whose minor-most dim was the
+    factor (2..4), which XLA lane-pads to 128 — a 64x HBM blowup that
+    OOMed the 4K x2 case on v5e.
+    """
+    f = factor
+    zero = jnp.zeros((), phases.dtype)
+    out = None
+    for py in range(f):
+        for px in range(f):
+            part = jax.lax.pad(
+                phases[py * f + px], zero,
+                [(py, f - 1 - py, f - 1), (px, f - 1 - px, f - 1), (0, 0, 0)],
+            )
+            out = part if out is None else out + part
+    return out
 
 
 def _sr_pick_config(mats_all, h: int, w: int, factor: int):
