@@ -227,6 +227,7 @@ def main():
             grey_all[1:], grey_all[0],
             motion_type=MotionType.Homography,
             num_iters=NUM_ITERS, eps=EPS, gauss_filt_size=GAUSS,
+            coarse_levels=int(os.environ.get("BENCH_COARSE", "0")),
             warp_init=init,
         )
 
@@ -272,6 +273,14 @@ def main():
         if stage is not None:
             jax.block_until_ready(res.warp_matrix)
             stage["solve_s"] = round(time.perf_counter() - t0, 3)
+            # solve-quality record for A/B legitimacy (knobs like
+            # BENCH_COARSE/BENCH_PHASE_ROT must not trade rho for
+            # speed); this pass is untimed, so the fetches are free
+            stage["rho_mean"] = round(float(np.asarray(res.rho).mean()), 6)
+            stage["iters_mean"] = round(
+                float(np.asarray(res.num_iters).mean()), 2
+            )
+            stage["n_ok"] = int(np.asarray(res.ok).sum())
             t0 = time.perf_counter()
         out = warp_stack(frames_j, res)
         if stage is not None:
@@ -363,6 +372,10 @@ def main():
         "stages": stage,
         "ecc_mode": _ecc_mode_default(),
     }
+    if os.environ.get("BENCH_COARSE"):
+        out["coarse_levels"] = int(os.environ["BENCH_COARSE"])
+    if os.environ.get("BENCH_PHASE_ROT"):
+        out["phase_init_rotation"] = True
     if parity is not None:
         out["kernel_parity_ok"] = parity["ok"]
     if sharded_ok is not None:

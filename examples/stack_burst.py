@@ -16,7 +16,7 @@ Usage:  python examples/stack_burst.py <image_dir> [--out outdir]
         [--ransac-reproj-threshold T] [--match-ratio R]
         [--match-keep-ratio R] [--scale-width W] [--no-scaled/--no-full]
         [--keep-all] [--stream N] [--ecc-solver forward|lazy|ic]
-        [--no-phase-init] [--phase-init-rotation]
+        [--no-phase-init] [--phase-init-rotation] [--coarse-levels N]
         [--stacking mean|sigma_clip] [--sigma-kappa K] [--sigma-iters I]
         [--output-scale 1|2|3|4] [--align-mask PATH] [--out-depth 8|16]
         [--preserve-depth] [--checkpoint PATH]
@@ -89,6 +89,11 @@ def main():
     ap.add_argument("--phase-init-rotation", action="store_true",
                     help="also recover rotation/scale in the ECC warm "
                     "start (log-polar magnitude correlation)")
+    ap.add_argument("--coarse-levels", type=int, default=0,
+                    help="ECC coarse-to-fine octaves (0 = solve at full "
+                    "resolution only, OpenCV semantics; N > 0 warm-starts "
+                    "the solve from 2^N..2x downscaled octaves — same "
+                    "converged warp, fewer full-resolution iterations)")
     ap.add_argument("--ecc-solver", choices=("forward", "lazy", "ic"),
                     default="forward",
                     help="ECC formulation: 'forward' = OpenCV's "
@@ -219,6 +224,7 @@ def main():
         gauss_filt_size=args.gauss_filt_size,
         phase_init=not args.no_phase_init,
         phase_init_rotation=args.phase_init_rotation,
+        coarse_levels=args.coarse_levels,
         solver=args.ecc_solver,
         stacking=args.stacking,
         sigma_kappa=args.sigma_kappa,

@@ -282,6 +282,7 @@ def ecc_match_arrays(
         num_iters=num_iters,
         eps=eps,
         gauss_filt_size=params.gauss_filt_size,
+        coarse_levels=getattr(params, "coarse_levels", 0),
         warp_init=warp_init,
         mode=_solver_mode(params),
         input_mask=input_mask,
@@ -547,6 +548,7 @@ def ecc_match_stream(
             num_iters=num_iters,
             eps=eps,
             gauss_filt_size=params.gauss_filt_size,
+            coarse_levels=getattr(params, "coarse_levels", 0),
             warp_init=warp_init,
             mode=_solver_mode(params),
             input_mask=input_mask,

@@ -550,7 +550,7 @@ def _ecc_loop_batched(
             hess_c, h_ok = extras
             need_h = active & ~h_ok
             kw = dict(
-                motion_type=motion_type, k=warp_k, tile=_ecc_tile(),
+                motion_type=motion_type, k=warp_k, tile=_ecc_tile(ws),
                 quant_affine=not perspective, true_hw=(hs, ws),
                 interpret=_ecc_interpret(), active=active,
             )
@@ -645,7 +645,7 @@ def _ecc_loop_batched(
             from . import ecc_pallas
 
             kw = dict(
-                motion_type=motion_type, k=warp_k, tile=_ecc_tile(),
+                motion_type=motion_type, k=warp_k, tile=_ecc_tile(ws),
                 quant_affine=not perspective, true_hw=(hs, ws),
                 interpret=_ecc_interpret(), active=active,
             )
@@ -983,10 +983,18 @@ def find_transform_ecc_batched(
 
         n, h, w = templates.shape
         init = warp_init
+        init_at_full_scale = warp_init is not None
         for lvl in range(coarse_levels, 0, -1):
             s = 2 ** lvl
             if min(h, w) // s < 64:
                 continue
+            if init_at_full_scale:
+                # the caller's warp_init (e.g. the phase-correlation
+                # warm start) is in full-resolution pixels; bring it to
+                # the first actually-solved octave's grid (levels after
+                # this one are handled by the 2.0 rescale below)
+                init = _rescale_warp_batch(init, motion_type, 1.0 / s)
+                init_at_full_scale = False
             tl = _resize.resize(templates, (h // s, w // s), 3)
             il = _resize.resize(input_image, (h // s, w // s), 3)
             ml = None
@@ -1199,14 +1207,26 @@ def _ecc_interpret() -> bool:
     return bool(os.environ.get("LIBSTACKER_ECC_INTERPRET"))
 
 
-def _ecc_tile():
+def _ecc_tile(ws: Optional[int] = None):
     """Fused-kernel tile shape, overridable as LIBSTACKER_ECC_TILE=RxC
-    (rows % 8 == 0, cols % 128 == 0) for hardware sweeps."""
+    (rows % 8 == 0, cols % 128 == 0) for hardware sweeps.
+
+    Default (128, 256): the 2026-08-19 end-to-end headline A/B
+    (ROADMAP.md) — 256-wide columns amortise the window DMA ~20%
+    per lane-iteration without shrinking the per-axis residual band
+    enough to escalate +-0.6 deg rotation lanes (384+ cols do;
+    (64,512) collapses the headline 37 -> 26 fps).  ``ws`` is the
+    source image width: the 256-column tile's window needs a padded
+    width >= 512 (tile + 2x128 lane halo), so narrower images clamp
+    back to 128 columns (the _pallas_ok floor).  Explicit env
+    overrides are never clamped."""
     import os
 
     v = os.environ.get("LIBSTACKER_ECC_TILE")
     if not v:
-        return (128, 128)
+        if ws is not None and ((ws + 127) // 128) * 128 < 512:
+            return (128, 128)
+        return (128, 256)
     try:
         r, c = (int(x) for x in v.lower().split("x"))
     except ValueError:

@@ -172,6 +172,16 @@ class EccMatchParameters:
     #: translation-only init.  Beyond-reference capability; off by
     #: default (adds one FFT + log-polar pass per burst).
     phase_init_rotation: bool = False
+    #: Coarse-to-fine octaves: > 0 first solves each warp on
+    #: 2^levels..2x INTER_AREA-downscaled greys and refines at full
+    #: resolution from that warm start — the same converged warp (the
+    #: full-resolution Gauss-Newton iterations run to the same
+    #: TermCriteria), a fraction of the full-resolution iterations.
+    #: Composes with ``phase_init`` (the phase estimate seeds the
+    #: coarsest octave).  Beyond the reference, whose findTransformECC
+    #: calls always iterate at the solve resolution
+    #: (src/lib.rs:769-777); set 0 for strict OpenCV iteration parity.
+    coarse_levels: int = 0
     #: Solver formulation: 'forward' = OpenCV's forward-additive ECC
     #: (bit-faithful quantities); 'lazy' = forward linearisation with
     #: the Jacobian Gram computed once per frame and carried (30 vs 66
@@ -217,6 +227,13 @@ class EccMatchParameters:
             )
         if self.max_count is not None and self.max_count < 1:
             raise InvalidParamsError(f"max_count must be >= 1, got {self.max_count}")
+        if not isinstance(self.coarse_levels, int) or not (
+            0 <= self.coarse_levels <= 5
+        ):
+            raise InvalidParamsError(
+                f"coarse_levels must be an int in 0..5, got "
+                f"{self.coarse_levels!r}"
+            )
         if self.solver not in ("forward", "lazy", "ic"):
             raise InvalidParamsError(
                 f"solver must be 'forward', 'lazy' or 'ic', "

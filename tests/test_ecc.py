@@ -179,3 +179,39 @@ def test_ecc_multiscale_matches_single_scale():
     np.testing.assert_allclose(m2[:2, 2], m1[:2, 2], atol=0.15)
     np.testing.assert_allclose(m2[2, :2], m1[2, :2], atol=2e-4)
     assert int(r2.num_iters[0]) <= int(r1.num_iters[0])
+
+
+def test_ecc_coarse_levels_scales_warp_init():
+    """Regression: a full-resolution ``warp_init`` (the phase-correlation
+    warm start's frame) must be rescaled into the coarsest solved
+    octave's grid.  With the unscaled bug a truth-exact init lands
+    2^levels too far out at the coarse level; under a tight iteration
+    budget the solve cannot recover and the final translation is off."""
+    rng = np.random.default_rng(11)
+    h, w = 256, 320
+    base = cv2.GaussianBlur(
+        rng.random((h * 2, w * 2)).astype(np.float32), (0, 0), 3.0
+    ) * 255.0
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w].copy()
+    dx, dy = 8.4, -5.0
+    m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+    cur = cv2.warpAffine(
+        base, m, (w * 2, h * 2), flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP
+    )[h // 2 : h // 2 + h, w // 2 : w // 2 + w].copy()
+    init = jnp.asarray(
+        np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+    )[None]
+    res = ecc_ops.find_transform_ecc_batched(
+        jnp.asarray(cur.astype(np.uint8))[None],
+        jnp.asarray(ref.astype(np.uint8)),
+        motion_type=MotionType.Translation,
+        num_iters=2, eps=-1.0, gauss_filt_size=5,
+        coarse_levels=2, warp_init=init,
+    )
+    got = np.asarray(res.warp_matrix[0])
+    # truth-exact init + correctly-scaled octaves: 2 iterations per
+    # level only polish; the buggy unscaled init starts the coarse
+    # octave 3/4 * 2.35px off (in quarter-res pixels) and a 2-iteration
+    # budget leaves >0.5px of error at full resolution
+    np.testing.assert_allclose(got[0, 2], dx, atol=0.2)
+    np.testing.assert_allclose(got[1, 2], dy, atol=0.2)

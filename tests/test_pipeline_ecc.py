@@ -149,6 +149,35 @@ def test_ecc_params_solver_validated():
         params.validate()
 
 
+def test_ecc_params_coarse_levels_validated():
+    for bad in (-1, 6, 1.5, "2"):
+        params = EccMatchParameters(
+            motion_type=MotionType.Translation, coarse_levels=bad
+        )
+        with pytest.raises(InvalidParamsError, match="coarse_levels"):
+            params.validate()
+
+
+def test_ecc_match_coarse_levels_plumbing():
+    """coarse_levels routes through the pipeline and yields the same
+    stack as the direct full-resolution solve (the octaves only move
+    the solve's starting point; the full-res iterations converge to
+    the same warp)."""
+    rng = np.random.default_rng(43)  # local rng (session stream note)
+    h, w = 160, 200
+    frames = _make_burst(rng, n=3, h=h, w=w)
+    kw = dict(motion_type=MotionType.Translation, max_count=80,
+              epsilon=1e-5)
+    out_coarse, stats = ecc_match_arrays(
+        frames, EccMatchParameters(coarse_levels=1, **kw),
+        return_stats=True,
+    )
+    out_def = ecc_match_arrays(frames, EccMatchParameters(**kw))
+    assert stats.frames_kept == 3
+    d = np.abs(out_coarse[8:-8, 8:-8] - out_def[8:-8, 8:-8]).max()
+    assert d < 0.02, d
+
+
 def test_ecc_match_scale_guards(rng):
     frames = _make_burst(rng)
     params = EccMatchParameters(motion_type=MotionType.Translation)
