@@ -924,6 +924,30 @@ def _rescale_warp_batch(
     return w
 
 
+@functools.partial(jax.jit, static_argnames=("dh", "dw"))
+def _resize_area_jit(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
+    """Jitted INTER_AREA resize for the coarse-to-fine octaves: under
+    jit XLA fuses the banded matmul's shifted-slice operands instead of
+    materialising the [nblk, L, ...] stack an eager call pays."""
+    from . import resize as _resize
+
+    return _resize.resize(x, (dh, dw), constants.INTER_AREA)
+
+
+def _resize_batch_chunked(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
+    """Lane-chunked jitted resize of a [N,H,W] burst: bounds the jitted
+    program's transients (~4 HW-sized f32 buffers per lane) so a 100x4K
+    octave build cannot exhaust HBM."""
+    n, h, w = x.shape
+    chunk = max(1, int(1.5e9) // (h * w * 16))
+    if chunk >= n:
+        return _resize_area_jit(x, dh, dw)
+    return jnp.concatenate([
+        _resize_area_jit(x[i : i + chunk], dh, dw)
+        for i in range(0, n, chunk)
+    ])
+
+
 def find_transform_ecc_batched(
     templates: jnp.ndarray,
     input_image: jnp.ndarray,
@@ -979,15 +1003,41 @@ def find_transform_ecc_batched(
         # operand; masked solves run the exact forward formulation
         mode = "forward"
     if coarse_levels > 0:
-        from . import resize as _resize
-
         n, h, w = templates.shape
+        # Octave pyramid by CASCADED 2x INTER_AREA reductions, shallow
+        # (s=2) -> deep: each level resizes the previous one (4x
+        # cheaper per level than re-resizing the full-res burst, exact
+        # for even extents and sub-LSB different otherwise — the
+        # octaves only seed the next level's warm start).  The burst
+        # resize is jitted and lane-chunked: an EAGER banded resize of
+        # a 100x4K burst materialises its [nblk, L, N, W] slice stack
+        # (~3.5 GB) and OOMs a v5e (measured, ROADMAP.md).
+        levels = [
+            lvl for lvl in range(1, coarse_levels + 1)
+            if min(h, w) // 2 ** lvl >= 64
+        ]
+        octaves = {}
+        tl, il = templates, input_image
+        ml = (
+            None if input_mask is None
+            else (jnp.asarray(input_mask) > 0).astype(jnp.float32)
+        )
+        for lvl in range(1, (max(levels) + 1) if levels else 1):
+            s = 2 ** lvl
+            dh, dw = h // s, w // s
+            tl = _resize_batch_chunked(tl, dh, dw)
+            il = _resize_area_jit(il, dh, dw)
+            if ml is not None:
+                ml = _resize_area_jit(ml, dh, dw)
+            if lvl in levels:
+                # conservative mask downscale: a coarse pixel is valid
+                # only if >= half its INTER_AREA footprint was
+                octaves[lvl] = (tl, il, None if ml is None else ml >= 0.5)
         init = warp_init
         init_at_full_scale = warp_init is not None
-        for lvl in range(coarse_levels, 0, -1):
+        for lvl in sorted(octaves, reverse=True):
             s = 2 ** lvl
-            if min(h, w) // s < 64:
-                continue
+            tl, il, mlv = octaves[lvl]
             if init_at_full_scale:
                 # the caller's warp_init (e.g. the phase-correlation
                 # warm start) is in full-resolution pixels; bring it to
@@ -995,23 +1045,10 @@ def find_transform_ecc_batched(
                 # this one are handled by the 2.0 rescale below)
                 init = _rescale_warp_batch(init, motion_type, 1.0 / s)
                 init_at_full_scale = False
-            tl = _resize.resize(templates, (h // s, w // s), 3)
-            il = _resize.resize(input_image, (h // s, w // s), 3)
-            ml = None
-            if input_mask is not None:
-                # conservative mask downscale: a coarse pixel is valid
-                # only if >= half its INTER_AREA footprint was
-                ml = (
-                    _resize.resize(
-                        (jnp.asarray(input_mask) > 0).astype(jnp.float32),
-                        (h // s, w // s), 3,
-                    )
-                    >= 0.5
-                )
             res = find_transform_ecc_batched(
                 tl, il, motion_type, num_iters, eps, gauss_filt_size,
                 slab_iters=None, coarse_levels=0, warp_init=init,
-                mode=mode, input_mask=ml,
+                mode=mode, input_mask=mlv,
             )
             init = _rescale_warp_batch(res.warp_matrix, motion_type, 2.0)
         return find_transform_ecc_batched(
