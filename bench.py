@@ -227,7 +227,11 @@ def main():
             grey_all[1:], grey_all[0],
             motion_type=MotionType.Homography,
             num_iters=NUM_ITERS, eps=EPS, gauss_filt_size=GAUSS,
-            coarse_levels=int(os.environ.get("BENCH_COARSE", "0")),
+            # production config: one coarse octave warm-starts the
+            # full-res solve (r4e A/B: 47.0 -> 51.0 fps, rho_mean
+            # 0.99792 -> 0.99958, full-res iters 4.5 -> 2.0); the
+            # library default stays 0 for OpenCV iteration parity
+            coarse_levels=int(os.environ.get("BENCH_COARSE", "1")),
             warp_init=init,
         )
 
@@ -372,8 +376,7 @@ def main():
         "stages": stage,
         "ecc_mode": _ecc_mode_default(),
     }
-    if os.environ.get("BENCH_COARSE"):
-        out["coarse_levels"] = int(os.environ["BENCH_COARSE"])
+    out["coarse_levels"] = int(os.environ.get("BENCH_COARSE", "1"))
     if os.environ.get("BENCH_PHASE_ROT"):
         out["phase_init_rotation"] = True
     if parity is not None:
