@@ -926,9 +926,20 @@ def _rescale_warp_batch(
 
 @functools.partial(jax.jit, static_argnames=("dh", "dw"))
 def _resize_area_jit(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
-    """Jitted INTER_AREA resize for the coarse-to-fine octaves: under
-    jit XLA fuses the banded matmul's shifted-slice operands instead of
+    """Jitted INTER_AREA resize for the coarse-to-fine octaves.
+
+    Exact 2x reductions of even extents (every octave step at even
+    dims) are a 2x2 box mean — INTER_AREA's weights for an integer 2x
+    ratio are exactly uniform 1/4 — computed as one reshape-mean at HBM
+    bandwidth instead of two banded matmuls (~2.8 ms/frame at 4K).
+    Everything else (odd extents) takes the exact banded-resize path;
+    under jit XLA fuses its shifted-slice operands instead of
     materialising the [nblk, L, ...] stack an eager call pays."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h == 2 * dh and w == 2 * dw:
+        x4 = x.reshape(*x.shape[:-2], dh, 2, dw, 2)
+        return (x4[..., 0, :, 0] + x4[..., 0, :, 1]
+                + x4[..., 1, :, 0] + x4[..., 1, :, 1]) * jnp.float32(0.25)
     from . import resize as _resize
 
     return _resize.resize(x, (dh, dw), constants.INTER_AREA)
@@ -939,6 +950,10 @@ def _resize_batch_chunked(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
     program's transients (~4 HW-sized f32 buffers per lane) so a 100x4K
     octave build cannot exhaust HBM."""
     n, h, w = x.shape
+    if h == 2 * dh and w == 2 * dw:
+        # box-mean path: one fused bandwidth-bound reduce, no HW-sized
+        # transients to bound
+        return _resize_area_jit(x, dh, dw)
     chunk = max(1, int(1.5e9) // (h * w * 16))
     if chunk >= n:
         return _resize_area_jit(x, dh, dw)

@@ -50,7 +50,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import color
-from .warp_batch import _pallas_usable, _warp_interpret, warp_frames_batch
+from .warp_batch import (
+    _pallas_usable, _warp_interpret, _warp_tile_cols, warp_frames_batch,
+)
 
 # half an 8-bit LSB in the [0,1] value domain: keeps bit-identical
 # samples (sigma == 0) included instead of collapsing to frame 0
@@ -127,8 +129,9 @@ def _fused_moments_ok(
     """Host-side dispatch for the FUSED moments kernel (same geometry
     gate as ops/warp_batch.warp_accumulate_rgb; the warp-domain gate is
     the caller's ``allow_pallas``, from pallas_pick_config)."""
+    wp = ((w + 127) // 128) * 128
     wh = ((pallas_tile_rows + 2 * pallas_k + 10 + 7) // 8) * 8
-    fits = ((h + 7) // 8) * 8 >= wh and ((w + 127) // 128) * 128 >= 384
+    fits = ((h + 7) // 8) * 8 >= wh and wp >= _warp_tile_cols(wp, pallas_tile_rows) + 256
     return bool(allow_pallas and _pallas_usable(h, w) and fits)
 
 
@@ -155,7 +158,9 @@ def _moments_chunk(
 
         minv = jnp.linalg.inv(mats.astype(jnp.float32))
         s0c, s1, s2 = warp_accum_pallas.warp_moments_rgb_pallas(
-            f, minv, oks, k=pallas_k, tile=(pallas_tile_rows, 128),
+            f, minv, oks, k=pallas_k,
+            tile=(pallas_tile_rows,
+                  _warp_tile_cols(-(-w // 128) * 128, pallas_tile_rows)),
             quant_affine=not perspective, interpret=_warp_interpret(),
         )
         return s0c[..., 0], s1, s2
@@ -192,7 +197,8 @@ def _clipped_chunk(
         minv = jnp.linalg.inv(mats.astype(jnp.float32))
         return warp_accum_pallas.warp_moments_rgb_pallas(
             f, minv, oks, mu=mu, tol=tol, k=pallas_k,
-            tile=(pallas_tile_rows, 128),
+            tile=(pallas_tile_rows,
+                  _warp_tile_cols(-(-w // 128) * 128, pallas_tile_rows)),
             quant_affine=not perspective, interpret=_warp_interpret(),
         )
     wf = warp_frames_batch(
@@ -516,8 +522,8 @@ def _sr_kernel_chunk(
     """One fused-kernel SR sweep over a frame chunk -> stacked
     per-phase accumulators (av [f^2,H,W,3], aw [f^2,H,W])."""
     from . import sr_pallas
-    from .warp_batch import _warp_interpret
 
+    w = frames_u8.shape[2]
     f32 = color.to_unit_f32(frames_u8)
     minv = jnp.linalg.inv(mats.astype(jnp.float32))
     interpret = _warp_interpret()
@@ -529,7 +535,9 @@ def _sr_kernel_chunk(
             )
             av, aw = sr_pallas.sr_deposit_pallas(
                 f32, minv @ t, oks, kernel_sigma=kernel_sigma,
-                k=pallas_k, tile=(pallas_tile_rows, 128),
+                k=pallas_k,
+                tile=(pallas_tile_rows,
+                  _warp_tile_cols(-(-w // 128) * 128, pallas_tile_rows)),
                 perspective=perspective, interpret=interpret,
             )
             avs.append(av)

@@ -42,6 +42,33 @@ _PAD_MODES = {
 _MAX_APRON = 512
 
 
+def _warp_tile_cols(wp: int, rows: int = 128) -> int:
+    """Tile columns for the warp/accum kernels (LIBSTACKER_WARP_TILE_COLS,
+    default 128).  The kernels' DMA window is ``tile_cols + 256`` wide
+    (the 256 slack covers the +-128 px window-origin quantisation), so
+    wider tiles amortise the column DMA the way the fused ECC kernel's
+    (128,256) default does — but the domain band is per-axis in-tile
+    variation, so wider tiles also shrink rotation coverage; only a
+    hardware A/B can arbitrate the default.  The wide setting applies
+    ONLY to the standard 128-row rungs: the shrunk-row rungs exist to
+    EXTEND rotation coverage, which wide columns would undo (the rule
+    is applied identically at dispatch-check and warp time, keeping the
+    domain gate and the kernel geometry consistent).  Falls back to 128
+    when the padded image is too narrow for the wider window."""
+    import os
+
+    v = os.environ.get("LIBSTACKER_WARP_TILE_COLS")
+    if not v or rows < 128:
+        return 128
+    c = int(v)
+    if c % 128 != 0 or not (128 <= c <= 1024):
+        raise ValueError(
+            "LIBSTACKER_WARP_TILE_COLS must be a multiple of 128 in "
+            f"128..1024, got {v!r}"
+        )
+    return c if wp >= c + 256 else 128
+
+
 def _pallas_usable(h: int, w: int) -> bool:
     import os
 
@@ -83,24 +110,28 @@ _CONFIG_LADDER = (
 
 def pallas_pick_config(mats, h: int, w: int, configs=_CONFIG_LADDER):
     """Cheapest (k, tile_rows) rung whose kernel domain covers EVERY
-    forward matrix, or ``None`` when none does (XLA-gather fallback)."""
+    forward matrix, or ``None`` when none does (XLA-gather fallback).
+    The column extent is the env-resolved :func:`_warp_tile_cols` so the
+    domain check matches the tile the warp will actually run."""
     hp = ((h + 7) // 8) * 8
     wp = ((w + 127) // 128) * 128
     for k, rows in configs:
+        cols = _warp_tile_cols(wp, rows)
         wh = ((rows + 2 * k + 10 + 7) // 8) * 8
-        if hp < wh or wp < 384:
+        if hp < wh or wp < cols + 256:
             continue
-        if pallas_domain_ok_host(mats, h, w, k=k, tile=(rows, 128)):
+        if pallas_domain_ok_host(mats, h, w, k=k, tile=(rows, cols)):
             return k, rows
     return None
 
 
 def pallas_pick_k(mats, h: int, w: int, ks=(1, 3, 7)):
-    """Smallest residual band k (from ``ks``) at the standard 128x128
+    """Smallest residual band k (from ``ks``) at the standard 128-row
     tile, or ``None``.  Prefer :func:`pallas_pick_config`, which also
     climbs the tile-shrinking rungs for large motions."""
+    cols = _warp_tile_cols(((w + 127) // 128) * 128)
     for k in ks:
-        if pallas_domain_ok_host(mats, h, w, k=k):
+        if pallas_domain_ok_host(mats, h, w, k=k, tile=(128, cols)):
             return k
     return None
 
@@ -254,7 +285,8 @@ def warp_frames_batch(
             (frames.shape[-1],) if has_c else (1,),
         )
         interpret = _warp_interpret()
-        tile = (pallas_tile_rows, 128)
+        sw_p = ((sw + 127) // 128) * 128
+        tile = (pallas_tile_rows, _warp_tile_cols(sw_p, pallas_tile_rows))
         if has_c:
             c = frames.shape[-1]
             src = jnp.moveaxis(src_frames, -1, 1).reshape(n * c, sh, sw)
@@ -311,8 +343,10 @@ def warp_accumulate_rgb(
     # NaN/garbage matrices of dropped lanes must not reach the kernel
     m3 = jnp.where(oks[:, None, None], m3, jnp.eye(3, dtype=m3.dtype))
     # the fused kernel's window must fit the (padded) source
+    wp = ((w + 127) // 128) * 128
+    tile_cols = _warp_tile_cols(wp, pallas_tile_rows)
     wh = ((pallas_tile_rows + 2 * pallas_k + 10 + 7) // 8) * 8
-    fits = ((h + 7) // 8) * 8 >= wh and ((w + 127) // 128) * 128 >= 384
+    fits = ((h + 7) // 8) * 8 >= wh and wp >= tile_cols + 256
     if (
         allow_pallas
         and _pallas_usable(h, w)
@@ -325,7 +359,7 @@ def warp_accumulate_rgb(
         minv = jnp.linalg.inv(m3.astype(jnp.float32))
         return warp_accum_pallas.warp_accum_rgb_pallas(
             frames, minv, oks, border_value=border_value,
-            k=pallas_k, tile=(pallas_tile_rows, 128),
+            k=pallas_k, tile=(pallas_tile_rows, tile_cols),
             quant_affine=not perspective,
             interpret=_warp_interpret(),
         )

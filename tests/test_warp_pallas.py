@@ -345,3 +345,51 @@ def test_large_rotation_shrunk_tiles(img, ang, k, rows):
         del os.environ["LIBSTACKER_FORCE_PALLAS"]
     assert picked == (k, rows), picked
     _compare(img, np.linalg.inv(m3), frac=2e-3, k=k, tile=(rows, 128))
+
+
+def test_wide_tile_cols_env(img, rng, monkeypatch):
+    """LIBSTACKER_WARP_TILE_COLS=256 (column-DMA amortisation knob):
+    kernel parity at the wide tile, consistent dispatch (the domain
+    check and the warp geometry resolve the same columns), and the
+    shrunk-row rungs keep 128 cols (wide columns would undo their
+    extended rotation coverage)."""
+    from libstacker_tpu.ops import warp_batch
+
+    monkeypatch.setenv("LIBSTACKER_WARP_TILE_COLS", "256")
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    # in-band at (128,256)/k=1: the per-axis in-tile spread scales with
+    # tile extent, so the wide tile needs a gentler motion
+    m = cv2.getRotationMatrix2D((256.0, 96.0), 0.15, 1.001)
+    m3 = np.vstack([m, [0, 0, 1]]).astype(np.float32)
+    h, w = img.shape
+    assert warp_batch.pallas_domain_ok_host(
+        m3[None], h, w, k=1, tile=(128, 256)
+    )
+    _compare(img, np.linalg.inv(m3), frac=2e-3, k=1, tile=(128, 256))
+
+    wp = 512
+    assert warp_batch._warp_tile_cols(wp, 128) == 256
+    assert warp_batch._warp_tile_cols(wp, 64) == 128  # shrunk rung
+    assert warp_batch._warp_tile_cols(384, 128) == 128  # too narrow
+    with pytest.raises(ValueError):
+        monkeypatch.setenv("LIBSTACKER_WARP_TILE_COLS", "200")
+        warp_batch._warp_tile_cols(wp, 128)
+
+    # end-to-end through warp_accumulate_rgb (fused accum kernel) at
+    # the wide tile, vs the unfused 128-col reference
+    monkeypatch.setenv("LIBSTACKER_WARP_TILE_COLS", "256")
+    monkeypatch.setenv("LIBSTACKER_WARP_INTERPRET", "1")
+    burst = jnp.asarray(
+        np.stack([np.stack([img] * 3, -1)] * 3).astype(np.float32)
+    )
+    fw = np.linalg.inv(m3).astype(np.float32)
+    mats = jnp.asarray(np.stack([np.eye(3, dtype=np.float32), fw, fw]))
+    oks = jnp.asarray([True, True, False])
+    got = np.asarray(warp_batch.warp_accumulate_rgb(
+        burst, mats, oks, perspective=True, allow_pallas=True, pallas_k=1,
+    ))
+    monkeypatch.delenv("LIBSTACKER_WARP_TILE_COLS")
+    ref = np.asarray(warp_batch.warp_accumulate_rgb(
+        burst, mats, oks, perspective=True, allow_pallas=True, pallas_k=1,
+    ))
+    assert np.array_equal(got, ref)
