@@ -285,8 +285,12 @@ def warp_frames_batch(
             (frames.shape[-1],) if has_c else (1,),
         )
         interpret = _warp_interpret()
-        sw_p = ((sw + 127) // 128) * 128
-        tile = (pallas_tile_rows, _warp_tile_cols(sw_p, pallas_tile_rows))
+        # columns from the ORIGINAL padded width, exactly like the
+        # host-side domain checks (pallas_pick_config) — the
+        # apron-extended source is wider, but widening the tile beyond
+        # what the check validated could leave the band uncovered
+        wp0 = ((w + 127) // 128) * 128
+        tile = (pallas_tile_rows, _warp_tile_cols(wp0, pallas_tile_rows))
         if has_c:
             c = frames.shape[-1]
             src = jnp.moveaxis(src_frames, -1, 1).reshape(n * c, sh, sw)

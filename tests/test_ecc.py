@@ -215,3 +215,22 @@ def test_ecc_coarse_levels_scales_warp_init():
     # budget leaves >0.5px of error at full resolution
     np.testing.assert_allclose(got[0, 2], dx, atol=0.2)
     np.testing.assert_allclose(got[1, 2], dy, atol=0.2)
+
+
+def test_octave_box_mean_matches_inter_area():
+    """The coarse-to-fine octave builder's exact-2x fast path (one
+    reshape-mean) must match INTER_AREA: for an integer 2x reduction
+    INTER_AREA's fractional-span weights are exactly uniform 1/4, so
+    the two formulations agree to f32 rounding; odd extents take the
+    banded path and stay bit-faithful to cv2."""
+    rng = np.random.default_rng(5)
+    for h, w in [(64, 128), (62, 130), (63, 129)]:
+        x = (rng.random((2, h, w)) * 255).astype(np.float32)
+        got = np.asarray(ecc_ops._resize_area_jit(
+            jnp.asarray(x), h // 2, w // 2
+        ))
+        ref = np.stack([
+            cv2.resize(f, (w // 2, h // 2), interpolation=cv2.INTER_AREA)
+            for f in x
+        ])
+        np.testing.assert_allclose(got, ref, atol=2e-4)
