@@ -45,6 +45,12 @@ from . import filters, warp
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Env-gated stderr timing for the coarse-to-fine driver (octave build /
+# per-level solve / sync-round counts); costs nothing when unset.
+import os as _os_mod
+
+_ECC_PROFILE = bool(_os_mod.environ.get("LIBSTACKER_ECC_PROFILE"))
+
 # Iterations per while_loop chunk: early exit happens at chunk
 # granularity (<= _CHUNK_ITERS - 1 wasted masked iterations; typical
 # eps-converged solves take 4-8 iterations, so keep chunks small).
@@ -897,16 +903,25 @@ def _ecc_slab_jit(
     return res, new_c, done
 
 
-def default_slab_iters(n_lanes: int, h: int, w: int) -> int:
+def default_slab_iters(
+    n_lanes: int, h: int, w: int, use_pallas: bool = False
+) -> int:
     """Iterations per device slab, sized so one slab stays well under the
-    TPU runtime's long-program watchdog (~1e8 pixel-iterations per slab
-    measured safe on v5e)."""
+    TPU runtime's long-program watchdog.
+
+    The budget is PER PATH: the XLA-gather fallback runs ~4e7
+    pixel-iterations/s on v5e (4e8 budget ~= 10s/slab), while the fused
+    Pallas kernel measures ~2.3e9/s — sizing its slabs with the same
+    budget made a 48-lane 4K slab a SINGLE iteration, paying one ~100ms
+    tunnel sync per Gauss-Newton step.  6.4e9 ~= 3s/slab on the fused
+    path; converged lanes skip in-kernel, so overshoot past convergence
+    drains at negligible device cost."""
     import os
 
     override = os.environ.get("LIBSTACKER_ECC_SLAB_ITERS")
     if override:
         return max(1, int(override))
-    budget = int(4e8)  # ~15-20s worst-case per slab at v5e speeds
+    budget = int(6.4e9) if use_pallas else int(4e8)
     per_iter = max(1, n_lanes * h * w)
     return max(1, min(512, budget // per_iter))
 
@@ -1018,6 +1033,22 @@ def find_transform_ecc_batched(
         # operand; masked solves run the exact forward formulation
         mode = "forward"
     if coarse_levels > 0:
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _prof = bool(_os.environ.get("LIBSTACKER_ECC_PROFILE"))
+
+        def _mark(label, *arrays):
+            if not _prof:
+                return
+            for a in arrays:
+                jax.block_until_ready(a)
+            _sys.stderr.write(
+                f"[ecc-profile] {label}: {_time.perf_counter() - _t0:.3f}s\n"
+            )
+
+        _t0 = _time.perf_counter() if _prof else 0.0
         n, h, w = templates.shape
         # Octave pyramid by CASCADED 2x INTER_AREA reductions, shallow
         # (s=2) -> deep: each level resizes the previous one (4x
@@ -1048,6 +1079,7 @@ def find_transform_ecc_batched(
                 # conservative mask downscale: a coarse pixel is valid
                 # only if >= half its INTER_AREA footprint was
                 octaves[lvl] = (tl, il, None if ml is None else ml >= 0.5)
+        _mark("octave build", *(tl for (tl, _, _) in octaves.values()))
         init = warp_init
         init_at_full_scale = warp_init is not None
         for lvl in sorted(octaves, reverse=True):
@@ -1066,11 +1098,14 @@ def find_transform_ecc_batched(
                 mode=mode, input_mask=mlv,
             )
             init = _rescale_warp_batch(res.warp_matrix, motion_type, 2.0)
-        return find_transform_ecc_batched(
+            _mark(f"octave 1/{s} solve", res.warp_matrix, res.ok)
+        out = find_transform_ecc_batched(
             templates, input_image, motion_type, num_iters, eps,
             gauss_filt_size, slab_iters=slab_iters, coarse_levels=0,
             warp_init=init, mode=mode, input_mask=input_mask,
         )
+        _mark("full-res solve", out.warp_matrix, out.ok)
+        return out
 
     n, h, w = templates.shape
     if n == 0:
@@ -1111,8 +1146,8 @@ def find_transform_ecc_batched(
         )
 
     class _Group:
-        __slots__ = ("templates_f", "carry", "slab_iters", "res", "done",
-                     "all_ok", "m_init")
+        __slots__ = ("templates_f", "carry", "slab_iters",
+                     "slab_iters_pallas", "res", "done", "all_ok", "m_init")
 
     groups = []
     for s0 in range(0, n, group_n):
@@ -1131,6 +1166,10 @@ def find_transform_ecc_batched(
             slab_iters if slab_iters is not None
             else default_slab_iters(e0 - s0, h, w)
         )
+        g.slab_iters_pallas = (
+            slab_iters if slab_iters is not None
+            else default_slab_iters(e0 - s0, h, w, use_pallas=True)
+        )
         g.res = g.done = None
         g.all_ok = False
         groups.append(g)
@@ -1144,14 +1183,17 @@ def find_transform_ecc_batched(
         extra syncs."""
         pend = list(indices)
         disp = 1
+        rounds = 0
         while pend:
+            rounds += 1
             flag_rows = []
             for gi in pend:
                 g = groups[gi]
+                si = g.slab_iters_pallas if use_pallas else g.slab_iters
                 for _ in range(disp):
                     g.res, g.carry, g.done = _ecc_slab_jit(
                         g.templates_f, image_f, gx, gy, g.carry,
-                        motion_type, num_iters, eps, g.slab_iters,
+                        motion_type, num_iters, eps, si,
                         use_pallas=use_pallas, warp_k=warp_k, mode=mode,
                         pre_mask=pre_mask,
                     )
@@ -1166,6 +1208,13 @@ def find_transform_ecc_batched(
                     nxt.append(gi)
             pend = nxt
             disp = min(disp * 2, 8)
+        if _ECC_PROFILE:
+            import sys as _sys
+
+            _sys.stderr.write(
+                f"[ecc-profile] drive({h}x{w}, pallas={use_pallas}, "
+                f"k={warp_k}): {rounds} sync rounds\n"
+            )
 
     # Adaptive kernel band: the fused kernel's tap loop is O((2k+4)^2),
     # so try the small band first and escalate — a lane flagged by the

@@ -255,6 +255,9 @@ def sr_deposit_pallas(
             pltpu.VMEM((2, wh, 3 * ww), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(params, src)
     return av[0].reshape(h, w, 3), aw[0].reshape(h, w, 3)

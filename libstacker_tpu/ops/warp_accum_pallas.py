@@ -380,5 +380,10 @@ def _launch(
             pltpu.VMEM((2, wh, 3 * ww), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # Wide-column tiles (LIBSTACKER_WARP_TILE_COLS) overflow the
+        # 16MB default scoped-VMEM limit; v5e has 128MB physical.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*operands)

@@ -463,6 +463,11 @@ def warp_bilinear_pallas(
             pltpu.VMEM((2, wh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # Wide-column tiles (LIBSTACKER_WARP_TILE_COLS) overflow the
+        # 16MB default scoped-VMEM limit; v5e has 128MB physical.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(params, src.astype(jnp.float32))
 
@@ -648,5 +653,8 @@ def warp3_bilinear_pallas(
             pltpu.VMEM((3, wh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(params, srcs.astype(jnp.float32))
