@@ -21,6 +21,7 @@ number of kept frames.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -81,6 +82,10 @@ def detect_features_chunked(
         h, w = scale_hw
     else:
         h, w = frames_u8.shape[1], frames_u8.shape[2]
+    if chunk is None:
+        env = os.environ.get("LIBSTACKER_DETECT_CHUNK")
+        if env:
+            chunk = max(1, min(n, int(env)))
     if chunk is None:
         budget = int(2.7e9)  # bytes of transient detection state
         # the fused FAST formulation (ops/fast.py) keeps ~8 image-sized

@@ -1082,6 +1082,15 @@ def find_transform_ecc_batched(
         _mark("octave build", *(tl for (tl, _, _) in octaves.values()))
         init = warp_init
         init_at_full_scale = warp_init is not None
+        # Octave solves only seed the finer level's warm start, so they
+        # may run to a looser tolerance than the user's eps (the
+        # full-resolution solve below always uses the exact criteria).
+        # LIBSTACKER_COARSE_EPS_MULT tunes the factor (hardware A/B).
+        eps_oct = eps
+        if eps > 0:
+            eps_oct = eps * float(
+                _os.environ.get("LIBSTACKER_COARSE_EPS_MULT", "1")
+            )
         for lvl in sorted(octaves, reverse=True):
             s = 2 ** lvl
             tl, il, mlv = octaves[lvl]
@@ -1093,12 +1102,20 @@ def find_transform_ecc_batched(
                 init = _rescale_warp_batch(init, motion_type, 1.0 / s)
                 init_at_full_scale = False
             res = find_transform_ecc_batched(
-                tl, il, motion_type, num_iters, eps, gauss_filt_size,
+                tl, il, motion_type, num_iters, eps_oct, gauss_filt_size,
                 slab_iters=None, coarse_levels=0, warp_init=init,
                 mode=mode, input_mask=mlv,
             )
             init = _rescale_warp_batch(res.warp_matrix, motion_type, 2.0)
-            _mark(f"octave 1/{s} solve", res.warp_matrix, res.ok)
+            if _prof:
+                import numpy as _np
+
+                it = _np.asarray(res.num_iters)
+                _mark(
+                    f"octave 1/{s} solve (iters mean {it.mean():.1f} "
+                    f"max {it.max()})",
+                    res.warp_matrix, res.ok,
+                )
         out = find_transform_ecc_batched(
             templates, input_image, motion_type, num_iters, eps,
             gauss_filt_size, slab_iters=slab_iters, coarse_levels=0,
