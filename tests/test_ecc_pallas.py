@@ -553,8 +553,15 @@ def test_lazy_hessian_solve_matches_forward_no_rescue(monkeypatch):
         np.asarray(res_lazy.warp_matrix),
         np.asarray(res_fwd.warp_matrix), atol=0.5,
     )
+    # Tolerance note: the endpoint wanders with f32 reduction order —
+    # the (128,128)->(128,256) fused-tile default change moved lazy's
+    # rho here by ~0.02 with both lanes still in the truth basin (warp
+    # atol above holds at 0.5; actual gap ~1e-2 in the matrix entries).
+    # 5e-3 was calibrated at the old tile; 3e-2 still rejects a wrong
+    # basin (rho collapses toward ~0.5 there) without pinning tile
+    # numerics.
     assert (
-        np.asarray(res_lazy.rho) >= np.asarray(res_fwd.rho) - 5e-3
+        np.asarray(res_lazy.rho) >= np.asarray(res_fwd.rho) - 3e-2
     ).all(), (res_lazy.rho, res_fwd.rho)
 
 
