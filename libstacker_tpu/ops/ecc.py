@@ -978,6 +978,77 @@ def _resize_batch_chunked(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
     ])
 
 
+def _solve_octave_nosync(
+    templates: jnp.ndarray,
+    input_image: jnp.ndarray,
+    motion_type: MotionType,
+    num_iters: int,
+    eps: float,
+    gauss_filt_size: int,
+    warp_init: Optional[jnp.ndarray],
+    mode: str,
+    input_mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Fused-kernel octave solve with NO host synchronisation: dispatch
+    one slab per lane group (async) and return the resulting warp
+    matrices as device arrays for the next level's warm start.
+
+    Octave solves only SEED the finer level, so the exact driver's
+    convergence machinery is deliberately skipped: no done-flag fetch
+    (the one host sync per drive round), no k-escalation ladder, no XLA
+    rescue.  The single slab's iteration budget
+    (:func:`default_slab_iters`, >=60 at octave geometries) covers
+    typical eps convergence (2-8 iterations) many times over; converged
+    lanes skip in-kernel so the overshoot is nearly free on device.  A
+    lane that leaves the base residual band or genuinely fails freezes
+    at its last good iterate — a partial but still useful warm start —
+    and the full-resolution solve owns the exact verdict.
+    LIBSTACKER_COARSE_SYNC=1 restores the exact per-octave driver (A/B
+    knob).  Disabled for mode='ic' (its divergence guard needs the
+    rescue restart to produce meaningful iterates on aliased content).
+    """
+    n, h, w = templates.shape
+    pre_mask = None
+    if input_mask is not None:
+        image_f, gx, gy, pre_mask = _ecc_prepare_input_masked_jit(
+            input_image, input_mask, gauss_filt_size
+        )
+    else:
+        image_f, gx, gy = _ecc_prepare_input_jit(
+            input_image, gauss_filt_size
+        )
+    env_k = _ecc_warp_k()
+    warp_k = env_k if env_k is not None else _K_LADDER[0]
+    group_n = min(
+        _MAX_SOLVE_LANES, max(1, int(4e8) // max(1, 4 * h * w))
+    )
+    outs = []
+    for s0 in range(0, n, group_n):
+        e0 = min(s0 + group_n, n)
+        templates_f, carry = _ecc_prepare_templates_jit(
+            templates[s0:e0], gauss_filt_size, motion_type, mode
+        )
+        if warp_init is not None:
+            carry = (
+                jnp.asarray(warp_init[s0:e0], jnp.float32),
+            ) + carry[1:]
+        carry = (carry[0], carry[1], carry[2] - eps) + carry[3:]
+        si = default_slab_iters(e0 - s0, h, w, use_pallas=True)
+        res, _, _ = _ecc_slab_jit(
+            templates_f, image_f, gx, gy, carry, motion_type, num_iters,
+            eps, si, use_pallas=True, warp_k=warp_k, mode=mode,
+            pre_mask=pre_mask,
+        )
+        outs.append(res)
+    if len(outs) == 1:
+        return outs[0].warp_matrix, outs[0].rho, outs[0].ok
+    return (
+        jnp.concatenate([r.warp_matrix for r in outs]),
+        jnp.concatenate([r.rho for r in outs]),
+        jnp.concatenate([r.ok for r in outs]),
+    )
+
+
 def find_transform_ecc_batched(
     templates: jnp.ndarray,
     input_image: jnp.ndarray,
@@ -990,10 +1061,20 @@ def find_transform_ecc_batched(
     warp_init: Optional[jnp.ndarray] = None,
     mode: Optional[str] = None,
     input_mask: Optional[jnp.ndarray] = None,
+    rho_init: Optional[jnp.ndarray] = None,
 ) -> EccResult:
     """Batched ECC: estimate one warp per template frame against a shared
     input image (the reference's per-thread ``find_transform_ecc`` calls
     at src/lib.rs:769-777 collapsed into one vmapped program).
+
+    ``rho_init`` ([N] f32, internal — the coarse-to-fine driver) seeds
+    each lane's ``last_rho`` with the previous octave's converged
+    correlation, so OpenCV's |d rho| < eps stopping rule is applied
+    ACROSS the scale change: a lane whose first iteration here measures
+    the same rho its octave converged at stops after that one polishing
+    iteration.  Lanes marked -1 (no trustworthy octave rho) keep the
+    cold start.  Ignored when eps <= 0 or mode='ic' (its divergence
+    guard compares against the running rho).
 
     Host-level driver: the Gauss-Newton solve runs as a sequence of
     bounded device slabs so no single program can trip the TPU runtime
@@ -1091,6 +1172,7 @@ def find_transform_ecc_batched(
             eps_oct = eps * float(
                 _os.environ.get("LIBSTACKER_COARSE_EPS_MULT", "1")
             )
+        rho_seed = None
         for lvl in sorted(octaves, reverse=True):
             s = 2 ** lvl
             tl, il, mlv = octaves[lvl]
@@ -1101,25 +1183,67 @@ def find_transform_ecc_batched(
                 # this one are handled by the 2.0 rescale below)
                 init = _rescale_warp_batch(init, motion_type, 1.0 / s)
                 init_at_full_scale = False
-            res = find_transform_ecc_batched(
-                tl, il, motion_type, num_iters, eps_oct, gauss_filt_size,
-                slab_iters=None, coarse_levels=0, warp_init=init,
-                mode=mode, input_mask=mlv,
+            hl, wl = int(tl.shape[1]), int(tl.shape[2])
+            nosync = (
+                _pallas_ok(hl, wl)
+                and tuple(il.shape) == (hl, wl)
+                and mode in ("forward", "lazy")
+                and not _os.environ.get("LIBSTACKER_COARSE_SYNC")
             )
-            init = _rescale_warp_batch(res.warp_matrix, motion_type, 2.0)
-            if _prof:
-                import numpy as _np
-
-                it = _np.asarray(res.num_iters)
-                _mark(
-                    f"octave 1/{s} solve (iters mean {it.mean():.1f} "
-                    f"max {it.max()})",
-                    res.warp_matrix, res.ok,
+            if nosync:
+                # Speculative chained dispatch: the octave result is
+                # consumed only ON DEVICE (as the next level's warm
+                # start), so the exact driver's done-flag fetch, k
+                # ladder and rescue pass are pure overhead here — a
+                # ~100ms tunnel sync round of device idle per level
+                # (measured: the 1080p octave of the 100x4K headline
+                # cost 0.70s against a ~0.34s device floor).  One slab
+                # per lane group at the ladder's base band covers
+                # typical eps convergence many times over; a lane that
+                # leaves the band or runs past the slab freezes at its
+                # last in-band iterate, which still warm-starts the
+                # finer level, and the full-resolution solve below owns
+                # the exact verdict (its own ladder + XLA rescue).
+                wm, rho_o, ok_o = _solve_octave_nosync(
+                    tl, il, motion_type, num_iters, eps_oct,
+                    gauss_filt_size, init, mode, mlv,
                 )
+                _mark(f"octave 1/{s} solve dispatched (nosync)")
+            else:
+                res = find_transform_ecc_batched(
+                    tl, il, motion_type, num_iters, eps_oct,
+                    gauss_filt_size, slab_iters=None, coarse_levels=0,
+                    warp_init=init, mode=mode, input_mask=mlv,
+                )
+                wm, rho_o, ok_o = res.warp_matrix, res.rho, res.ok
+                if _prof:
+                    import numpy as _np
+
+                    it = _np.asarray(res.num_iters)
+                    _mark(
+                        f"octave 1/{s} solve (iters mean {it.mean():.1f} "
+                        f"max {it.max()})",
+                        res.warp_matrix, res.ok,
+                    )
+            init = _rescale_warp_batch(wm, motion_type, 2.0)
+            # cross-scale rho seed for the next level's convergence
+            # test: a lane whose octave solve converged hands its final
+            # correlation down — if the finer level's first iteration
+            # measures the same rho (|d rho| < eps, OpenCV's own
+            # criterion applied across the scale change), the lane
+            # stops after ONE polishing iteration instead of paying a
+            # second confirm sweep.  Lanes without a trustworthy octave
+            # rho (failed/frozen) keep the default cold start.
+            rho_seed = jnp.where(
+                ok_o & (rho_o > -1.0), rho_o, jnp.float32(-1.0)
+            )
+        if _os.environ.get("LIBSTACKER_COARSE_RHO_SEED", "1") == "0":
+            rho_seed = None
         out = find_transform_ecc_batched(
             templates, input_image, motion_type, num_iters, eps,
             gauss_filt_size, slab_iters=slab_iters, coarse_levels=0,
             warp_init=init, mode=mode, input_mask=input_mask,
+            rho_init=rho_seed,
         )
         _mark("full-res solve", out.warp_matrix, out.ok)
         return out
@@ -1178,6 +1302,17 @@ def find_transform_ecc_batched(
                 jnp.asarray(warp_init[s0:e0], jnp.float32),
             ) + carry[1:]
         g.m_init = carry[0]
+        if rho_init is not None and eps > 0 and mode in ("forward", "lazy"):
+            r0 = jnp.asarray(rho_init[s0:e0], jnp.float32)
+            valid = r0 > -1.0
+            # seeded lanes: rho = octave rho, last_rho 2*eps below it so
+            # the first iteration always runs; unseeded lanes keep the
+            # (-1, 0) cold start (the -eps shift below applies to both)
+            carry = (
+                carry[0],
+                jnp.where(valid, r0, carry[1]),
+                jnp.where(valid, r0 - jnp.float32(eps), carry[2]),
+            ) + carry[3:]
         g.carry = (carry[0], carry[1], carry[2] - eps) + carry[3:]
         g.slab_iters = (
             slab_iters if slab_iters is not None

@@ -234,3 +234,52 @@ def test_octave_box_mean_matches_inter_area():
             for f in x
         ])
         np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_rho_init_cross_scale_seed_stops_after_one_iteration():
+    """rho_init (the coarse-to-fine cross-scale seed) applies OpenCV's
+    |d rho| < eps stopping rule across solves: re-solving from an
+    already-converged warp with its rho seeded stops after ONE
+    polishing iteration, while the unseeded cold start pays at least
+    two; the solution itself is unchanged."""
+    import jax.numpy as jnp
+
+    ref, cur = _make_pair(MotionType.Translation, h=160, w=200)
+    t = jnp.asarray(cur)[None]
+    i = jnp.asarray(ref)
+    kw = dict(
+        motion_type=MotionType.Translation, num_iters=100, eps=1e-4,
+        gauss_filt_size=5,
+    )
+    base = ecc_ops.find_transform_ecc_batched(t, i, **kw)
+    assert bool(base.ok[0])
+
+    seeded = ecc_ops.find_transform_ecc_batched(
+        t, i, warp_init=base.warp_matrix, rho_init=base.rho, **kw
+    )
+    cold = ecc_ops.find_transform_ecc_batched(
+        t, i, warp_init=base.warp_matrix, **kw
+    )
+    assert bool(seeded.ok[0]) and bool(cold.ok[0])
+    # the seed's rho is measured at the same warp and scale, so the
+    # first iteration's |d rho| is ~0 and the lane stops there
+    assert int(seeded.num_iters[0]) == 1
+    assert int(cold.num_iters[0]) >= 2
+    # iterates past a converged point wander by ~0.02px on this
+    # double-resampled synthetic content (multi-modal rho landscape,
+    # CLAUDE.md) — both stops are valid eps stopping points, so assert
+    # solution closeness, not bitwise iterate equality
+    np.testing.assert_allclose(
+        np.asarray(seeded.warp_matrix), np.asarray(cold.warp_matrix),
+        atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seeded.warp_matrix), np.asarray(base.warp_matrix),
+        atol=0.05,
+    )
+    # invalid seeds (-1) keep the cold start
+    unseeded = ecc_ops.find_transform_ecc_batched(
+        t, i, warp_init=base.warp_matrix,
+        rho_init=jnp.full((1,), -1.0, jnp.float32), **kw
+    )
+    assert int(unseeded.num_iters[0]) == int(cold.num_iters[0])

@@ -660,3 +660,64 @@ def test_ic_solve_euclidean_rotation(monkeypatch):
     # rigid structure: top-left 2x2 is an exact rotation block
     r = got[:2, :2]
     np.testing.assert_allclose(r @ r.T, np.eye(2), atol=1e-5)
+
+
+def test_coarse_nosync_octave_matches_synced_driver(monkeypatch):
+    """Coarse-to-fine on the fused path dispatches octave solves with
+    NO host sync (the octave result is consumed on-device as the finer
+    level's warm start; ops/ecc.py _solve_octave_nosync).  The chained
+    dispatch must land where the exact per-octave driver lands, and the
+    exact driver must remain reachable via LIBSTACKER_COARSE_SYNC=1."""
+    rng = np.random.default_rng(97)  # local: see note above
+    h, w = 320, 768  # octave 160x384 clears _pallas_ok's minimum
+    base = cv2.GaussianBlur(
+        (rng.random((h * 2, w * 2)) * 255).astype(np.float32), (0, 0), 1.5
+    ).astype(np.float32)
+    shifts = [(2.0, -1.0), (-1.5, 1.25)]
+    tmpls = []
+    for dx, dy in shifts:
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        tmpls.append(cur[h // 2 : h // 2 + h, w // 2 : w // 2 + w])
+    ref = base[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+    templates = jnp.asarray(np.stack(tmpls), jnp.float32)
+    input_image = jnp.asarray(ref, jnp.float32)
+    monkeypatch.setenv("LIBSTACKER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("LIBSTACKER_ECC_INTERPRET", "1")
+
+    calls = []
+    orig = ecc_ops._solve_octave_nosync
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ecc_ops, "_solve_octave_nosync", spy)
+    kw = dict(
+        motion_type=MotionType.Translation, num_iters=50, eps=1e-5,
+        gauss_filt_size=5, coarse_levels=1,
+    )
+    res_nosync = ecc_ops.find_transform_ecc_batched(
+        templates, input_image, **kw
+    )
+    assert calls, "nosync octave path was not taken"
+    monkeypatch.setenv("LIBSTACKER_COARSE_SYNC", "1")
+    calls.clear()
+    res_sync = ecc_ops.find_transform_ecc_batched(
+        templates, input_image, **kw
+    )
+    assert not calls, "COARSE_SYNC=1 must use the exact octave driver"
+
+    assert np.asarray(res_nosync.ok).all()
+    assert np.asarray(res_sync.ok).all()
+    truth = np.asarray(shifts, np.float32)
+    wn = np.asarray(res_nosync.warp_matrix)
+    ws = np.asarray(res_sync.warp_matrix)
+    np.testing.assert_allclose(wn[:, :2, 2], truth, atol=0.05)
+    np.testing.assert_allclose(wn, ws, atol=0.03)
+    np.testing.assert_allclose(
+        np.asarray(res_nosync.rho), np.asarray(res_sync.rho), atol=1e-3
+    )
