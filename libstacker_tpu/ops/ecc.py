@@ -988,10 +988,10 @@ def _solve_octave_nosync(
     warp_init: Optional[jnp.ndarray],
     mode: str,
     input_mask: Optional[jnp.ndarray],
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused-kernel octave solve with NO host synchronisation: dispatch
-    one slab per lane group (async) and return the resulting warp
-    matrices as device arrays for the next level's warm start.
+    one slab per lane group (async) and return ``(warp_matrix, rho,
+    ok)`` device arrays for the next level's warm start.
 
     Octave solves only SEED the finer level, so the exact driver's
     convergence machinery is deliberately skipped: no done-flag fetch
@@ -1008,6 +1008,16 @@ def _solve_octave_nosync(
     rescue restart to produce meaningful iterates on aliased content).
     """
     n, h, w = templates.shape
+    if n == 0:
+        # empty lane set (a 1-frame burst's frames[1:] with
+        # coarse_levels>0): mirror the main entry's n==0 branch instead
+        # of hitting jnp.concatenate([]) below
+        r = 3 if motion_type == MotionType.Homography else 2
+        return (
+            jnp.zeros((0, r, 3), jnp.float32),
+            jnp.zeros((0,), jnp.float32),
+            jnp.zeros((0,), bool),
+        )
     pre_mask = None
     if input_mask is not None:
         image_f, gx, gy, pre_mask = _ecc_prepare_input_masked_jit(
@@ -1033,12 +1043,23 @@ def _solve_octave_nosync(
                 jnp.asarray(warp_init[s0:e0], jnp.float32),
             ) + carry[1:]
         carry = (carry[0], carry[1], carry[2] - eps) + carry[3:]
+        m0 = carry[0]
         si = default_slab_iters(e0 - s0, h, w, use_pallas=True)
         res, _, _ = _ecc_slab_jit(
             templates_f, image_f, gx, gy, carry, motion_type, num_iters,
             eps, si, use_pallas=True, warp_k=warp_k, mode=mode,
             pre_mask=pre_mask,
         )
+        if mode == "lazy":
+            # no rescue pass here: a lane the divergence guard froze
+            # holds a mid-divergence iterate, which is NOT a meaningful
+            # warm start (same rationale as the synced driver's rescue
+            # restart) — hand the finer level the pre-solve init instead
+            res = res._replace(
+                warp_matrix=jnp.where(
+                    res.ok[:, None, None], res.warp_matrix, m0
+                )
+            )
         outs.append(res)
     if len(outs) == 1:
         return outs[0].warp_matrix, outs[0].rho, outs[0].ok
@@ -1188,7 +1209,8 @@ def find_transform_ecc_batched(
                 _pallas_ok(hl, wl)
                 and tuple(il.shape) == (hl, wl)
                 and mode in ("forward", "lazy")
-                and not _os.environ.get("LIBSTACKER_COARSE_SYNC")
+                and _os.environ.get("LIBSTACKER_COARSE_SYNC", "0")
+                in ("", "0")
             )
             if nosync:
                 # Speculative chained dispatch: the octave result is
