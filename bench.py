@@ -1,14 +1,21 @@
 """Benchmark harness: batched ECC-homography align+stack throughput.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line PER METRIC (stdout; progress on stderr), the
+headline LAST so the driver's single-line parse records it — with every
+secondary metric repeated inside its ``extra_metrics`` field, so
+``BENCH_rNN.json`` machine-captures the keypoint / sigma-clip / masked
+/ super-resolution numbers too (r3 VERDICT item 5), not just ECC:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "extra_metrics": {...}}
 
 Config mirrors BASELINE.md's north-star: a 100-frame 4K (2160x3840)
 burst aligned with MotionType::Homography ECC and averaged.  The
 vs_baseline denominator is the measured OpenCV-CPU throughput on this
 machine (benchmarks/cpu_baseline.json, produced by
 benchmarks/measure_cpu_baseline.py — the reference publishes no numbers,
-SURVEY.md §6).
+SURVEY.md §6).  Secondary benches run when the config is the full
+100-frame default (quick A/B runs with BENCH_FRAMES<50 skip them);
+BENCH_SECONDARY=0 disables, =1 forces.
 """
 
 import functools
@@ -356,14 +363,23 @@ def main():
     stage["upload_s"] = round(upload_s, 2)
     log(f"stages: {stage}")
 
-    baseline_fps = None
+    bl = {}
     bl_path = os.path.join(os.path.dirname(__file__), "benchmarks", "cpu_baseline.json")
     if os.path.exists(bl_path):
         with open(bl_path) as f:
             bl = json.load(f)
-        key = f"ecc_homography_{H}x{W}_fps"
-        baseline_fps = bl.get(key)
+    baseline_fps = bl.get(f"ecc_homography_{H}x{W}_fps")
     vs = (fps / baseline_fps) if baseline_fps else None
+
+    # ---- secondary metrics (r3 VERDICT item 5): keypoint, sigma-clip,
+    # masked and super-resolution, each emitted as its own JSON line and
+    # repeated in the headline's extra_metrics so the driver's one-line
+    # parse records them all
+    sec_env = os.environ.get("BENCH_SECONDARY", "")
+    run_secondary = sec_env == "1" or (sec_env != "0" and N_FRAMES >= 50)
+    extra = {}
+    if run_secondary:
+        extra = run_secondaries(frames, bl)
 
     from libstacker_tpu.ops.ecc import _ecc_mode_default
 
@@ -383,7 +399,101 @@ def main():
         out["kernel_parity_ok"] = parity["ok"]
     if sharded_ok is not None:
         out["sharded_smoke_ok"] = sharded_ok
-    print(json.dumps(out))
+    if extra:
+        out["extra_metrics"] = extra
+    print(json.dumps(out), flush=True)
+
+
+def run_secondaries(ecc_frames, bl):
+    """Time the non-ECC headline paths on the real chip; one JSON line
+    each, plus a compact summary dict for the headline's extra_metrics.
+    Each metric times the SECOND run (first run pays compile, reported
+    as warmup_s).  A wall-clock budget bounds the total so a driver
+    bench run cannot stall on secondary compiles."""
+    budget_s = float(os.environ.get("BENCH_SECONDARY_BUDGET", "1200"))
+    t_start = time.perf_counter()
+    summary = {}
+
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+        summary[rec["metric"]] = {
+            k: rec[k] for k in ("value", "unit", "warmup_s")
+            if k in rec
+        }
+
+    def left():
+        return budget_s - (time.perf_counter() - t_start)
+
+    # keypoint 20f 4K (the r3 keypoint headline, machine-captured)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "benchmarks"))
+        import bench_keypoint as bk
+
+        log("secondary: keypoint 20f burst...")
+        kframes = bk.make_textured_burst(20, H, W)
+        t0 = time.perf_counter()
+        kfps, kept, kstage = bk.run_tpu(kframes)
+        kwarm = time.perf_counter() - t0 - 20.0 / max(kfps, 1e-9)
+        kbl = bl.get(f"keypoint_{H}x{W}_fps")
+        emit({
+            "metric": f"keypoint_20f_{H}x{W}_align_stack",
+            "value": round(kfps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(kfps / kbl, 2) if kbl else None,
+            "warmup_s": round(max(kwarm, 0.0), 1),
+            "frames_kept": int(kept),
+            "stages": kstage,
+        })
+        del kframes
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"secondary keypoint FAILED: {e!r}")
+        summary["keypoint_error"] = repr(e)
+
+    from libstacker_tpu.models.ecc import ecc_match_arrays
+    from libstacker_tpu.params import EccMatchParameters, MotionType
+
+    def timed_pipeline(name, n_frames, **kwargs):
+        """Warm + timed ecc_match_arrays run over the first n_frames of
+        the headline burst (already decoded on host)."""
+        if left() < 60:
+            log(f"secondary {name} skipped (budget)")
+            summary[name + "_skipped"] = "budget"
+            return
+        sub = ecc_frames[:n_frames]
+        params = EccMatchParameters(
+            motion_type=MotionType.Homography,
+            max_count=NUM_ITERS, epsilon=EPS, gauss_filt_size=GAUSS,
+            phase_init=True, coarse_levels=1, **kwargs.pop("params", {}),
+        )
+        log(f"secondary: {name} ({n_frames}f)...")
+        try:
+            t0 = time.perf_counter()
+            ecc_match_arrays(sub, params, on_failure="drop", **kwargs)
+            warm_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ecc_match_arrays(sub, params, on_failure="drop", **kwargs)
+            dt = time.perf_counter() - t0
+        except Exception as e:  # pragma: no cover - diagnostics only
+            log(f"secondary {name} FAILED: {e!r}")
+            summary[name + "_error"] = repr(e)
+            return
+        emit({
+            "metric": f"{name}_{n_frames}f_{H}x{W}",
+            "value": round(n_frames / dt, 3),
+            "unit": "frames/sec",
+            "warmup_s": round(warm_s - dt, 1),
+        })
+
+    timed_pipeline(
+        "ecc_sigma_clip", 16,
+        params=dict(stacking="sigma_clip", sigma_kappa=2.5, sigma_iters=1),
+    )
+    mask = np.full((H, W), 255, np.uint8)
+    mask[: H // 4, : W // 4] = 0
+    timed_pipeline("ecc_masked", 16, mask=mask)
+    timed_pipeline("ecc_super_res_x2", 8, params=dict(output_scale=2))
+    return summary
 
 
 if __name__ == "__main__":

@@ -135,11 +135,25 @@ def main():
                     "detectAndCompute's mask).  For moving subjects, "
                     "lens dirt, watermarks, dead sensor regions; "
                     "stacking still averages every pixel")
+    ap.add_argument("--mesh", metavar="AUTO|N", default=None,
+                    help="shard the burst over multiple TPU chips via "
+                    "the public mesh= argument: 'auto' uses every "
+                    "visible device, an integer N builds a data-axis "
+                    "mesh over the first N devices (the reference's "
+                    "Rayon fan-out, src/lib.rs:746, as SPMD over ICI)")
     args = ap.parse_args()
-    if args.stream > 0 and (args.stacking != "mean"
-                            or args.output_scale != 1):
-        ap.error("--stacking sigma_clip / --output-scale are not "
-                 "available with --stream (they need whole-burst passes)")
+    if args.stream > 0 and args.output_scale != 1:
+        ap.error("--output-scale is not available with --stream (the "
+                 "SR deposit needs whole-burst passes)")
+    if (args.stream > 0 and args.stacking == "sigma_clip"
+            and args.checkpoint is not None):
+        ap.error("--stacking sigma_clip with --stream cannot be "
+                 "checkpointed yet; drop --checkpoint")
+    if args.stream > 0 and args.mesh is not None:
+        ap.error("--mesh is not available with --stream yet (stream "
+                 "chunks are already pipeline-parallel on one chip)")
+    if args.mesh is not None and args.output_scale != 1:
+        ap.error("--output-scale is not available with --mesh")
     if args.output_scale != 1 and args.stacking != "mean":
         ap.error("--output-scale cannot be combined with "
                  "--stacking sigma_clip yet")
@@ -162,6 +176,23 @@ def main():
     from libstacker_tpu.ops import color
     from libstacker_tpu.utils import io
     from libstacker_tpu.utils.tracing import PhaseTimer
+
+    mesh = None
+    if args.mesh is not None:
+        import jax
+
+        from libstacker_tpu.parallel import make_mesh
+
+        if args.mesh == "auto":
+            mesh = "auto"  # the pipelines resolve it (no-op on 1 device)
+        else:
+            ndev = int(args.mesh)
+            avail = len(jax.devices())
+            if ndev > avail:
+                print(f"--mesh {ndev} exceeds the {avail} visible "
+                      "devices", file=sys.stderr)
+                return 1
+            mesh = make_mesh(jax.devices()[:ndev], data=ndev, spatial=1)
 
     timer = PhaseTimer()
     files = io.collect_image_files(args.image_dir)
@@ -284,7 +315,7 @@ def main():
                 with timer.phase(f"keypoint_match ({tag})"):
                     dropped, img, kstats = keypoint_match_arrays(
                         frames, kp_params, sw, return_stats=True,
-                        mask=align_mask,
+                        mask=align_mask, mesh=mesh,
                     )
                 print(f"keypoint_match({tag}) dropped frames: {dropped}"
                       + clip_note(kstats))
@@ -294,7 +325,7 @@ def main():
                 with timer.phase(f"ecc_match ({tag})"):
                     img, estats = ecc_match_arrays(
                         frames, ecc_params, sw, return_stats=True,
-                        mask=align_mask,
+                        mask=align_mask, mesh=mesh,
                     )
                 if sigma:
                     print(f"ecc_match({tag}){clip_note(estats)}")

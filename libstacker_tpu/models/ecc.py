@@ -165,6 +165,92 @@ def _warp_pick_k_host(
     return warp_batch.pallas_pick_config(m, full_hw[0], full_hw[1])
 
 
+def _stream_sigma_stack(
+    files,
+    mats_full: np.ndarray,  # [N-1,2|3,3] full-res forward maps, frames 1..
+    oks: np.ndarray,  # [N-1] bool
+    perspective: bool,
+    kappa: float,
+    iters: int,
+    chunk_size: int,
+    hw,
+    preserve_depth: bool = False,
+):
+    """Streaming kappa-sigma stack (r3 VERDICT item 6): the S0/S1/S2
+    moment accumulators of ops/stack.py stream over decoded chunks
+    as-is — only the per-pixel moments stay resident, never a warped
+    burst.  The caller has already solved the warps (one align pass);
+    this function re-decodes the files ``1 + iters`` more times (one
+    re-warp sweep per moment pass, ops/stack.clip_iterate is the single
+    source of truth for the clip semantics).
+
+    Returns ``(image [H,W,3] f32, clipped_sample_frac)``.
+    """
+    from ..ops import stack as stack_ops, warp_batch
+
+    h, w = int(hw[0]), int(hw[1])
+    eye = np.eye(3, dtype=np.float32)
+    mats3 = np.asarray(mats_full, np.float32)
+    if mats3.shape[-2] == 2:
+        mats3 = np.concatenate(
+            [mats3, np.tile(eye[2:][None], (mats3.shape[0], 1, 1))], axis=1
+        )
+    oks_all = np.concatenate([[True], np.asarray(oks, bool)])
+    mats_all = np.concatenate([eye[None], mats3], axis=0)
+    mats_all[~oks_all] = eye  # NaN matrices must not reach linalg.inv
+    cfg = warp_batch.pallas_pick_config(mats_all[oks_all], h, w)
+    kw = dict(
+        perspective=perspective,
+        allow_pallas=cfg is not None,
+        pallas_k=cfg[0] if cfg else 7,
+        pallas_tile_rows=cfg[1] if cfg else 128,
+    )
+    kw["fused"] = stack_ops._fused_moments_ok(
+        h, w, kw["allow_pallas"], kw["pallas_k"], kw["pallas_tile_rows"]
+    )
+    # pad the lane tables once to whole chunks (pad lanes: ok=False)
+    n_all = mats_all.shape[0]
+    pad = (-n_all) % chunk_size
+    if pad:
+        mats_all = np.concatenate(
+            [mats_all, np.tile(eye[None], (pad, 1, 1))]
+        )
+        oks_all = np.concatenate([oks_all, np.zeros(pad, bool)])
+    mats_j = jnp.asarray(mats_all)
+    oks_j = jnp.asarray(oks_all)
+
+    def sweep(fn, *extra):
+        acc = None
+        s0_lane = 0
+        for frames in io.prefetched_chunks(
+            files, chunk_size, h, w, start=0,
+            preserve_depth=preserve_depth,
+        ):
+            n_real = frames.shape[0]
+            frames_j = jax.device_put(io.pad_chunk(frames, chunk_size))
+            part = fn(
+                frames_j,
+                mats_j[s0_lane : s0_lane + chunk_size],
+                oks_j[s0_lane : s0_lane + chunk_size],
+                *extra,
+                **kw,
+            )
+            acc = part if acc is None else tuple(
+                a + p for a, p in zip(acc, part)
+            )
+            s0_lane += n_real
+        return acc
+
+    s0, s1, s2 = sweep(stack_ops._moments_chunk)
+    out, kept = stack_ops.clip_iterate(
+        s0, s1, s2, kappa, iters,
+        lambda mu, tol: sweep(stack_ops._clipped_chunk, mu, tol),
+    )
+    tk, ts = jax.device_get((jnp.sum(kept), jnp.sum(s0)))
+    kept_frac = float(tk) / max(float(ts) * 3.0, 1.0)
+    return np.asarray(out), max(0.0, 1.0 - kept_frac)
+
+
 def ecc_stack_step_graph(
     frames_u8: jnp.ndarray,
     motion_type: MotionType,
@@ -190,6 +276,127 @@ def ecc_stack_step_graph(
     return stacked_sum, result.ok, result.rho, result.num_iters
 
 
+def _resolve_mesh(mesh):
+    """Resolve the public ``mesh=`` argument: ``None`` -> single-device
+    pipeline; ``"auto"`` -> a data-axis mesh over every visible device
+    (single-device pipeline when there is only one); a
+    ``jax.sharding.Mesh`` (with a 'data' axis) passes through.  This is
+    how the reference's parallelism surfaces too — inside the public
+    entry points, invisible to the caller (Rayon fan-out at
+    src/lib.rs:188, 746), not as a separate orchestration layer."""
+    if mesh is None:
+        return None
+    if isinstance(mesh, str):
+        if mesh != "auto":
+            raise InvalidParamsError(
+                f"mesh must be None, 'auto' or a jax.sharding.Mesh, "
+                f"got {mesh!r}"
+            )
+        if jax.device_count() <= 1:
+            return None
+        from ..parallel import mesh as pmesh
+
+        return pmesh.make_mesh(jax.devices())
+    if "data" not in getattr(mesh, "axis_names", ()):
+        raise InvalidParamsError(
+            "mesh must have a 'data' axis (parallel.make_mesh builds one)"
+        )
+    return mesh
+
+
+def _pad_burst(frames: np.ndarray, ndata: int):
+    """Pad the frame axis to a multiple of the data-axis size with
+    copies of frame 0 (their lanes converge instantly and are excluded
+    from the result via lane_valid)."""
+    n = frames.shape[0]
+    pad = (-n) % ndata
+    if pad == 0:
+        return frames, np.ones(n, bool)
+    frames_p = np.concatenate([frames, np.repeat(frames[:1], pad, axis=0)])
+    return frames_p, np.arange(n + pad) < n
+
+
+def _ecc_match_arrays_sharded(
+    frames: np.ndarray,
+    params: EccMatchParameters,
+    scale_hw,
+    on_failure: str,
+    return_stats: bool,
+    mask,
+    mesh,
+):
+    """Multi-chip ``ecc_match_arrays``: the whole align+stack step runs
+    as ONE shard_map program over the mesh's 'data' axis
+    (parallel.ecc_stack_step) with full feature parity — scale-down,
+    coarse-to-fine, alignment masks, uint16, sigma-clip.  Return
+    semantics are identical to the single-device path."""
+    from ..parallel import mesh as pmesh
+
+    n, h, w = frames.shape[:3]
+    if getattr(params, "output_scale", 1) != 1:
+        raise InvalidParamsError(
+            "output_scale > 1 (super-resolution) is not supported with "
+            "mesh=; use the single-device pipeline"
+        )
+    num_iters, eps = params.resolve_criteria()
+    input_mask = None
+    if mask is not None:
+        mask = np.asarray(mask)
+        if mask.ndim == 3 and mask.shape[-1] == 1:
+            mask = mask[..., 0]
+        if mask.shape != (h, w):
+            raise InvalidParamsError(
+                f"mask must be [H,W] matching the frames, got {mask.shape}"
+                f" for frames {(h, w)}"
+            )
+        input_mask = _ecc_mask_jit(jnp.asarray(mask), scale_hw=scale_hw)
+    ndata = mesh.shape["data"]
+    frames_p, lane_valid = _pad_burst(frames, ndata)
+    frames_j = pmesh.shard_frames(jnp.asarray(frames_p), mesh)
+    ref_grey = _ecc_grey_jit(jnp.asarray(frames[:1]), scale_hw=scale_hw)[0]
+    sigma = getattr(params, "stacking", "mean") == "sigma_clip"
+    total, ok_j, rho_j, iters_j = pmesh.ecc_stack_step(
+        frames_j,
+        ref_grey,
+        mesh,
+        motion_type=params.motion_type,
+        num_iters=num_iters,
+        eps=eps,
+        gauss_filt_size=params.gauss_filt_size,
+        phase_init=getattr(params, "phase_init", False),
+        stacking=getattr(params, "stacking", "mean"),
+        sigma_kappa=params.sigma_kappa,
+        sigma_iters=params.sigma_iters,
+        scale_hw=scale_hw,
+        coarse_levels=getattr(params, "coarse_levels", 0),
+        input_mask=input_mask,
+        lane_valid=jnp.asarray(lane_valid),
+        return_extras=True,
+    )
+    ok = np.asarray(ok_j)[:n]
+    stats = None
+    if return_stats:
+        from ..utils.tracing import PipelineStats
+
+        stats = PipelineStats(
+            frames_total=n,
+            frames_kept=int(ok.sum()),
+            frames_dropped=int((~ok).sum()),
+            ecc_iterations=np.asarray(iters_j)[1:n].tolist(),
+            ecc_rho=np.asarray(rho_j)[1:n].tolist(),
+        )
+    if not ok.all():
+        bad = np.nonzero(~ok)[0]
+        if on_failure == "raise":
+            raise ProcessingError(
+                "findTransformECC failed to converge for frames "
+                f"{bad.tolist()}"
+            )
+    kept = int(ok.sum())
+    out = np.asarray(total) if sigma else np.asarray(total) / max(kept, 1)
+    return (out, stats) if return_stats else out
+
+
 def ecc_match_arrays(
     frames: np.ndarray,
     params: EccMatchParameters,
@@ -197,6 +404,7 @@ def ecc_match_arrays(
     on_failure: str = "raise",
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
+    mesh=None,
 ):
     """Array-based ``ecc_match``: ``frames`` is ``[N,H,W,3] uint8`` RGB.
 
@@ -213,6 +421,15 @@ def ecc_match_arrays(
     averages all frames.  Masked solves disable the phase-correlation
     warm start (the whole-frame FFT would see the masked content) and
     run identity-initialised like OpenCV.
+
+    ``mesh``: ``None`` (single device), ``"auto"`` (shard the frame
+    axis over every visible device when there is more than one — the
+    reference's invisible-in-API parallelism, src/lib.rs:746), or a
+    ``jax.sharding.Mesh`` with a 'data' axis
+    (``libstacker_tpu.parallel.make_mesh``).  Multi-chip runs keep
+    full feature parity (scale-down, coarse-to-fine, masks, uint16,
+    sigma-clip) except super-resolution (``output_scale > 1``), which
+    raises.
     """
     params.validate()
     frames = np.asarray(frames)
@@ -253,6 +470,12 @@ def ecc_match_arrays(
             return out, PipelineStats(frames_total=1, frames_kept=1,
                                       frames_dropped=0)
         return out
+
+    mesh = _resolve_mesh(mesh)
+    if mesh is not None:
+        return _ecc_match_arrays_sharded(
+            frames, params, scale_hw, on_failure, return_stats, mask, mesh
+        )
 
     frames_j = jnp.asarray(frames)
     grey = _ecc_grey_jit(frames_j, scale_hw=scale_hw)
@@ -399,6 +622,7 @@ def ecc_match(
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
     preserve_depth: bool = False,
+    mesh=None,
 ):
     """Align and stack image files with ECC (ref src/lib.rs:702-717).
 
@@ -407,12 +631,14 @@ def ecc_match(
     excludes reference-frame pixels from the alignment (see
     :func:`ecc_match_arrays`).  ``preserve_depth`` decodes 16-bit
     files to uint16 and stacks at full depth (alignment is unchanged;
-    pair with ``utils.io.save_image(..., bit_depth=16)``).
+    pair with ``utils.io.save_image(..., bit_depth=16)``).  ``mesh``
+    shards the burst over multiple chips (see
+    :func:`ecc_match_arrays`).
     """
     frames = io.load_frames(files, preserve_depth=preserve_depth)
     return ecc_match_arrays(
         frames, params, scale_down_width, on_failure, return_stats,
-        mask=mask,
+        mask=mask, mesh=mesh,
     )
 
 
@@ -444,13 +670,28 @@ def ecc_match_stream(
     to the file list/params/mask (a mismatched checkpoint is ignored)
     and removed on success.  Each save syncs the device accumulator —
     pick ``checkpoint_every`` high enough that the sync cost amortises.
+
+    ``params.stacking = "sigma_clip"`` streams too (long bursts are
+    exactly where kappa-sigma matters — satellite trails over 100+
+    frames — and where HBM forces streaming): the align pass solves
+    and stores the (tiny) warp matrices, then the moment accumulators
+    of ops/stack.py stream over ``1 + sigma_iters`` extra decode
+    passes (see :func:`_stream_sigma_stack`).  Not combinable with
+    ``checkpoint_path`` yet (the multi-pass schedule has no resumable
+    cursor).
     """
     params.validate()
-    if (getattr(params, "stacking", "mean") != "mean"
-            or getattr(params, "output_scale", 1) != 1):
+    sigma = getattr(params, "stacking", "mean") == "sigma_clip"
+    if getattr(params, "output_scale", 1) != 1:
         raise InvalidParamsError(
-            "sigma_clip / output_scale stacking is not available in the"
+            "output_scale stacking is not available in the"
             " streaming pipelines; use the whole-burst entry points"
+        )
+    if sigma and checkpoint_path is not None:
+        raise InvalidParamsError(
+            "stacking='sigma_clip' streams over multiple decode passes "
+            "and cannot be checkpointed yet; drop checkpoint_path or "
+            "use the whole-burst entry point"
         )
     files = io.normalize_files(files)
     if not files:
@@ -490,6 +731,7 @@ def ecc_match_stream(
     all_ok = []
     all_iters = []
     all_rho = []
+    all_warps = []
     ckpt = None
     chunks_done = 0
     if checkpoint_path is not None:
@@ -555,22 +797,32 @@ def ecc_match_stream(
         )
         real = jnp.arange(chunk_size) < n_real
         ok_lane = result.ok & real
-        cfg = _warp_pick_k_host(
-            result.warp_matrix, ok_lane, params.motion_type, scale_hw,
-            (h, w),
-        )
-        warps = result.warp_matrix
-        if scale_hw is not None:
-            warps = _adjust_warp_for_scale(
-                warps, params.motion_type, scale_hw, (h, w)
+        if sigma:
+            # sigma-clip streams its moment passes AFTER the align
+            # pass: just store this chunk's (tiny) full-res warps
+            warps = result.warp_matrix
+            if scale_hw is not None:
+                warps = _adjust_warp_for_scale(
+                    warps, params.motion_type, scale_hw, (h, w)
+                )
+            all_warps.append(np.asarray(warps)[:n_real])
+        else:
+            cfg = _warp_pick_k_host(
+                result.warp_matrix, ok_lane, params.motion_type, scale_hw,
+                (h, w),
             )
-        acc = acc + warp_accumulate_rgb(
-            color.to_unit_f32(frames_j), warps, ok_lane,
-            perspective=params.motion_type == MotionType.Homography,
-            allow_pallas=cfg is not None,
-            pallas_k=cfg[0] if cfg else 7,
-            pallas_tile_rows=cfg[1] if cfg else 128,
-        )
+            warps = result.warp_matrix
+            if scale_hw is not None:
+                warps = _adjust_warp_for_scale(
+                    warps, params.motion_type, scale_hw, (h, w)
+                )
+            acc = acc + warp_accumulate_rgb(
+                color.to_unit_f32(frames_j), warps, ok_lane,
+                perspective=params.motion_type == MotionType.Homography,
+                allow_pallas=cfg is not None,
+                pallas_k=cfg[0] if cfg else 7,
+                pallas_tile_rows=cfg[1] if cfg else 128,
+            )
         all_ok.append(np.asarray(result.ok)[:n_real])
         all_iters.append(np.asarray(result.num_iters)[:n_real])
         all_rho.append(np.asarray(result.rho)[:n_real])
@@ -589,6 +841,28 @@ def ecc_match_stream(
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
     if ckpt is not None:
         ckpt.remove()  # completed — the checkpoint has served its job
+    if not ok.all():
+        bad = np.nonzero(~ok)[0] + 1
+        if on_failure == "raise":
+            raise ProcessingError(
+                f"findTransformECC failed to converge for frames {bad.tolist()}"
+            )
+    clip_frac = None
+    if sigma:
+        mats_np = (
+            np.concatenate(all_warps) if all_warps
+            else np.zeros((0, 3, 3), np.float32)
+        )
+        out, clip_frac = _stream_sigma_stack(
+            files, mats_np, ok,
+            perspective=params.motion_type == MotionType.Homography,
+            kappa=params.sigma_kappa, iters=params.sigma_iters,
+            chunk_size=chunk_size, hw=(h, w),
+            preserve_depth=preserve_depth,
+        )
+    else:
+        count = 1 + int(ok.sum()) if not ok.all() else n_total
+        out = np.asarray(acc) / count
     stats = None
     if return_stats:
         from ..utils.tracing import PipelineStats
@@ -600,13 +874,6 @@ def ecc_match_stream(
             ecc_iterations=np.concatenate(all_iters).tolist()
             if all_iters else [],
             ecc_rho=np.concatenate(all_rho).tolist() if all_rho else [],
+            clipped_sample_frac=clip_frac,
         )
-    if not ok.all():
-        bad = np.nonzero(~ok)[0] + 1
-        if on_failure == "raise":
-            raise ProcessingError(
-                f"findTransformECC failed to converge for frames {bad.tolist()}"
-            )
-    count = 1 + int(ok.sum()) if not ok.all() else n_total
-    out = np.asarray(acc) / count
     return (out, stats) if return_stats else out

@@ -320,6 +320,89 @@ def _single_frame_out(frame_u8: np.ndarray, params) -> np.ndarray:
     return out
 
 
+def _keypoint_match_arrays_sharded(
+    frames: np.ndarray,
+    params: KeyPointMatchParameters,
+    scale_hw,
+    seed: int,
+    return_stats: bool,
+    mask,
+    mesh,
+):
+    """Multi-chip ``keypoint_match_arrays``: batched ORB + matching +
+    RANSAC + warp run as ONE shard_map program over the mesh's 'data'
+    axis (parallel.keypoint_stack_step) with feature parity —
+    scale-down, detection masks, uint16, all border modes, sigma-clip.
+    Return semantics identical to the single-device path
+    ((dropped, stacked[, stats]))."""
+    from ..parallel import mesh as pmesh
+    from .ecc import _pad_burst
+
+    n, h, w = frames.shape[:3]
+    if getattr(params, "output_scale", 1) != 1:
+        raise InvalidParamsError(
+            "output_scale > 1 (super-resolution) is not supported with "
+            "mesh=; use the single-device pipeline"
+        )
+    border = constants.border_mode_name(params.border_mode)
+    if (getattr(params, "stacking", "mean") == "sigma_clip"
+            and border not in ("constant", "transparent")):
+        raise InvalidParamsError(
+            "stacking='sigma_clip' requires BORDER_CONSTANT or "
+            "BORDER_TRANSPARENT (sample inclusion is defined by warp "
+            f"coverage), got border mode {border!r}"
+        )
+    det_mask = _prepare_det_mask(mask, (h, w), scale_hw)
+    # frame 0's features, detected once and replicated (the sharded
+    # step matches every lane — frame 0 included, at identity —
+    # against them)
+    feats0 = detect_features_chunked(
+        jnp.asarray(frames[:1]), scale_hw=scale_hw, det_mask=det_mask
+    )
+    ref_feats = jax.tree.map(lambda x: x[0], feats0)
+    ndata = mesh.shape["data"]
+    frames_p, lane_valid = _pad_burst(frames, ndata)
+    frames_j = pmesh.shard_frames(jnp.asarray(frames_p), mesh)
+    sigma = getattr(params, "stacking", "mean") == "sigma_clip"
+    total, ok_j, mc_j, ic_j = pmesh.keypoint_stack_step(
+        frames_j,
+        ref_feats,
+        mesh,
+        method=params.method,
+        ransac_reproj_threshold=params.ransac_reproj_threshold,
+        match_ratio=params.match_ratio,
+        match_keep_ratio=params.match_keep_ratio,
+        max_iters=params.max_iters,
+        confidence=params.confidence,
+        seed=seed,
+        stacking=getattr(params, "stacking", "mean"),
+        sigma_kappa=params.sigma_kappa,
+        sigma_iters=params.sigma_iters,
+        scale_hw=scale_hw,
+        det_mask=det_mask,
+        border_mode=params.border_mode,
+        border_value=tuple(params.border_value),
+        lane_valid=jnp.asarray(lane_valid),
+        return_extras=True,
+    )
+    ok = np.asarray(ok_j)[:n]
+    kept = int(ok.sum())
+    dropped = n - kept
+    out = np.asarray(total) if sigma else np.asarray(total) / max(kept, 1)
+    if return_stats:
+        from ..utils.tracing import PipelineStats
+
+        stats = PipelineStats(
+            frames_total=n,
+            frames_kept=kept,
+            frames_dropped=dropped,
+            match_counts=np.asarray(mc_j)[1:n].tolist(),
+            inlier_counts=np.asarray(ic_j)[1:n].tolist(),
+        )
+        return dropped, out, stats
+    return dropped, out
+
+
 def keypoint_match_arrays(
     frames: np.ndarray,
     params: KeyPointMatchParameters = KeyPointMatchParameters(),
@@ -327,6 +410,7 @@ def keypoint_match_arrays(
     seed: int = 0,
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
+    mesh=None,
 ):
     """Array-based ``keypoint_match``: ``frames`` is ``[N,H,W,3] uint8``
     RGB.  Returns ``(dropped_count, stacked [H,W,3] float32 RGB in
@@ -338,7 +422,16 @@ def keypoint_match_arrays(
     detection mask, applied to EVERY frame (sensor-fixed artifacts:
     lens dirt, watermarks, dead regions): no keypoints are detected in
     the masked region, so static overlay content cannot vote for an
-    identity homography.  Stacking is unaffected."""
+    identity homography.  Stacking is unaffected.
+
+    ``mesh``: ``None`` (single device), ``"auto"`` (shard the frame
+    axis over every visible device when there is more than one), or a
+    ``jax.sharding.Mesh`` with a 'data' axis — the reference's
+    invisible-in-API parallelism (src/lib.rs:188).  Feature parity is
+    kept except super-resolution (``output_scale > 1``), which
+    raises.  RANSAC draws per-frame keys from the same seed but a
+    different stream than the single-device path, so warp estimates
+    agree statistically, not bitwise."""
     params.validate()
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
@@ -374,6 +467,14 @@ def keypoint_match_arrays(
                 frames_total=1, frames_kept=1, frames_dropped=0
             )
         return 0, out
+
+    from .ecc import _resolve_mesh
+
+    mesh = _resolve_mesh(mesh)
+    if mesh is not None:
+        return _keypoint_match_arrays_sharded(
+            frames, params, scale_hw, seed, return_stats, mask, mesh
+        )
 
     frames_j = jnp.asarray(frames)
     det_mask = _prepare_det_mask(mask, (h, w), scale_hw)
@@ -510,15 +611,18 @@ def keypoint_match(
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
     preserve_depth: bool = False,
+    mesh=None,
 ):
     """Align and stack image files by ORB keypoint matching
     (ref src/lib.rs:129-144).  ``mask`` excludes regions from keypoint
     detection in every frame (see :func:`keypoint_match_arrays`).
     ``preserve_depth`` decodes 16-bit files to uint16 and stacks at
-    full depth (detection is unchanged)."""
+    full depth (detection is unchanged).  ``mesh`` shards the burst
+    over multiple chips (see :func:`keypoint_match_arrays`)."""
     frames = io.load_frames(files, preserve_depth=preserve_depth)
     return keypoint_match_arrays(
-        frames, params, scale_down_width, seed, return_stats, mask=mask
+        frames, params, scale_down_width, seed, return_stats, mask=mask,
+        mesh=mesh,
     )
 
 
@@ -545,14 +649,34 @@ def keypoint_match_stream(
     ``checkpoint_path`` makes the run RESUMABLE (see
     :func:`libstacker_tpu.models.ecc.ecc_match_stream`); the RANSAC
     RNG stream is replayed to the resume point, so a resumed run is
-    bit-identical to an uninterrupted one."""
+    bit-identical to an uninterrupted one.
+
+    ``params.stacking = "sigma_clip"`` streams too: the align pass
+    stores the (tiny) homographies, then the moment accumulators of
+    ops/stack.py stream over ``1 + sigma_iters`` extra decode passes
+    (see models.ecc._stream_sigma_stack).  Not combinable with
+    ``checkpoint_path`` yet."""
     params.validate()
-    if (getattr(params, "stacking", "mean") != "mean"
-            or getattr(params, "output_scale", 1) != 1):
+    sigma = getattr(params, "stacking", "mean") == "sigma_clip"
+    if getattr(params, "output_scale", 1) != 1:
         raise InvalidParamsError(
-            "sigma_clip / output_scale stacking is not available in the"
+            "output_scale stacking is not available in the"
             " streaming pipelines; use the whole-burst entry points"
         )
+    if sigma and checkpoint_path is not None:
+        raise InvalidParamsError(
+            "stacking='sigma_clip' streams over multiple decode passes "
+            "and cannot be checkpointed yet; drop checkpoint_path or "
+            "use the whole-burst entry point"
+        )
+    if sigma:
+        border = constants.border_mode_name(params.border_mode)
+        if border not in ("constant", "transparent"):
+            raise InvalidParamsError(
+                "stacking='sigma_clip' requires BORDER_CONSTANT or "
+                "BORDER_TRANSPARENT (sample inclusion is defined by "
+                f"warp coverage), got border mode {border!r}"
+            )
     files = io.normalize_files(files)
     if not files:
         raise NotEnoughFilesError()
@@ -588,6 +712,7 @@ def keypoint_match_stream(
     all_ok = []
     all_mc = []
     all_ic = []
+    all_hs = []
     ckpt = None
     chunks_done = 0
     if checkpoint_path is not None:
@@ -654,7 +779,8 @@ def keypoint_match_stream(
         # contract as keypoint_match_arrays' stage 3)
         border = constants.border_mode_name(params.border_mode)
         speculate = (
-            border in ("constant", "transparent")
+            not sigma
+            and border in ("constant", "transparent")
             and warp_batch._pallas_usable(h, w)
         )
         spec_sum = None
@@ -673,25 +799,30 @@ def keypoint_match_stream(
             hs_np[:, 1, 2] *= sy
             hs_np[:, 2, 0] /= sx
             hs_np[:, 2, 1] /= sy
-        kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
-        cfg, apron = _pallas_warp_dispatch(
-            kept_hs, h, w, params.border_mode
-        )
-        if speculate and cfg == (1, 128):
-            acc = acc + spec_sum
+        if sigma:
+            # sigma-clip streams its moment passes AFTER the align
+            # pass: store this chunk's (scale-adjusted) homographies
+            all_hs.append(hs_np[:n_real].astype(np.float32))
         else:
-            acc = acc + _warp_and_accumulate_chunk(
-                frames_j,
-                hs,
-                oks,
-                border_mode=params.border_mode,
-                border_value=tuple(params.border_value),
-                scale_hw=scale_hw,
-                allow_pallas=cfg is not None,
-                pallas_k=cfg[0] if cfg else 7,
-                pallas_tile_rows=cfg[1] if cfg else 128,
-                apron=apron,
+            kept_hs = hs_np[oks_np] if oks_np.any() else hs_np[:0]
+            cfg, apron = _pallas_warp_dispatch(
+                kept_hs, h, w, params.border_mode
             )
+            if speculate and cfg == (1, 128):
+                acc = acc + spec_sum
+            else:
+                acc = acc + _warp_and_accumulate_chunk(
+                    frames_j,
+                    hs,
+                    oks,
+                    border_mode=params.border_mode,
+                    border_value=tuple(params.border_value),
+                    scale_hw=scale_hw,
+                    allow_pallas=cfg is not None,
+                    pallas_k=cfg[0] if cfg else 7,
+                    pallas_tile_rows=cfg[1] if cfg else 128,
+                    apron=apron,
+                )
         all_ok.append(oks_np[:n_real])
         all_mc.append(np.asarray(mcounts)[:n_real])
         all_ic.append(np.asarray(icounts)[:n_real])
@@ -712,7 +843,22 @@ def keypoint_match_stream(
         ckpt.remove()  # completed — the checkpoint has served its job
     kept = 1 + int(ok.sum())
     dropped = int((~ok).sum())
-    out = np.asarray(acc) / kept
+    clip_frac = None
+    if sigma:
+        from .ecc import _stream_sigma_stack
+
+        mats_np = (
+            np.concatenate(all_hs) if all_hs
+            else np.zeros((0, 3, 3), np.float32)
+        )
+        out, clip_frac = _stream_sigma_stack(
+            files, mats_np, ok, perspective=True,
+            kappa=params.sigma_kappa, iters=params.sigma_iters,
+            chunk_size=chunk_size, hw=(h, w),
+            preserve_depth=preserve_depth,
+        )
+    else:
+        out = np.asarray(acc) / kept
     if return_stats:
         from ..utils.tracing import PipelineStats
 
@@ -724,6 +870,7 @@ def keypoint_match_stream(
             if all_mc else [],
             inlier_counts=np.concatenate(all_ic).tolist()
             if all_ic else [],
+            clipped_sample_frac=clip_frac,
         )
         return dropped, out, stats
     return dropped, out

@@ -302,6 +302,8 @@ def find_transform_ecc_batched_graph(
     gauss_filt_size: int = 5,
     warp_init: Optional[jnp.ndarray] = None,
     mode: Optional[str] = None,
+    input_mask: Optional[jnp.ndarray] = None,
+    coarse_levels: int = 0,
 ) -> EccResult:
     """In-graph batched ECC (traceable inside jit / shard_map): one warp
     per template frame against a shared input image.  On TPU the solve
@@ -319,6 +321,19 @@ def find_transform_ecc_batched_graph(
     single long-running programs) and rescues escaped lanes on the
     exact XLA path.
 
+    ``input_mask`` ([H,W], nonzero = valid): cv2's ``inputMask``
+    semantics, identical to the host driver's (the mask is binarised,
+    blurred, re-thresholded and pre-multiplied into the input
+    gradients; every iteration nearest-warps it) — traced in-graph so
+    masked solves work under shard_map.
+
+    ``coarse_levels`` > 0 runs the in-graph coarse-to-fine cascade:
+    octaves are built by cascaded 2x INTER_AREA reductions (matmul
+    resizes — shard_map safe) and each level's solve warm-starts the
+    next; the full-resolution solve owns the exact criteria.  No
+    cross-scale rho seeding (the fine solve always confirms
+    convergence on its own content).
+
     ``mode``: 'forward' or 'lazy' run as requested; 'ic' is DOWNGRADED
     to 'forward' here — the in-graph solve has no XLA rescue stage, and
     IC relies on one (its template-resampled linearisation disagrees
@@ -333,9 +348,71 @@ def find_transform_ecc_batched_graph(
         raise ValueError(f"mode must be one of {_ECC_MODES}, got {mode!r}")
     if mode == "ic":
         mode = "forward"
-    templates_f, image_f, gx, gy = _prepare_inputs(
-        templates, input_image, gauss_filt_size
-    )
+    if coarse_levels > 0:
+        n0, h0, w0 = templates.shape
+        levels = [
+            lvl for lvl in range(1, coarse_levels + 1)
+            if min(h0, w0) // 2 ** lvl >= 64
+        ]
+        octaves = {}
+        tl, il = templates, input_image
+        ml = (
+            None if input_mask is None
+            else (jnp.asarray(input_mask) > 0).astype(jnp.float32)
+        )
+        from . import resize as _resize
+        from .. import constants as _constants
+
+        for lvl in range(1, (max(levels) + 1) if levels else 1):
+            s = 2 ** lvl
+            dh, dw = h0 // s, w0 // s
+            tl = _resize.resize(tl, (dh, dw), _constants.INTER_AREA)
+            il = _resize.resize(il, (dh, dw), _constants.INTER_AREA)
+            if ml is not None:
+                ml = _resize.resize(ml, (dh, dw), _constants.INTER_AREA)
+            if lvl in levels:
+                # conservative mask downscale (same rule as the host
+                # driver): a coarse pixel stays valid only if >= half
+                # its INTER_AREA footprint was
+                octaves[lvl] = (tl, il, None if ml is None else ml >= 0.5)
+        init = warp_init
+        init_at_full_scale = warp_init is not None
+        for lvl in sorted(octaves, reverse=True):
+            s = 2 ** lvl
+            tl, il, mlv = octaves[lvl]
+            if init_at_full_scale:
+                init = _rescale_warp_batch(init, motion_type, 1.0 / s)
+                init_at_full_scale = False
+            res = find_transform_ecc_batched_graph(
+                tl, il, motion_type, num_iters, eps, gauss_filt_size,
+                warp_init=init, mode=mode, input_mask=mlv,
+                coarse_levels=0,
+            )
+            # a failed/frozen octave lane's iterate is not a meaningful
+            # warm start — hand the finer level this level's own init
+            base = (
+                jnp.tile(identity_warp(motion_type)[None], (n0, 1, 1))
+                if init is None else init
+            )
+            wm = jnp.where(res.ok[:, None, None], res.warp_matrix, base)
+            init = _rescale_warp_batch(wm, motion_type, 2.0)
+        return find_transform_ecc_batched_graph(
+            templates, input_image, motion_type, num_iters, eps,
+            gauss_filt_size, warp_init=init, mode=mode,
+            input_mask=input_mask, coarse_levels=0,
+        )
+    pre_mask = None
+    if input_mask is not None:
+        image_f, gx, gy, pre_mask = _ecc_prepare_input_masked_jit(
+            input_image, input_mask, gauss_filt_size
+        )
+        templates_f = filters.gaussian_blur(
+            templates.astype(jnp.float32), gauss_filt_size
+        )
+    else:
+        templates_f, image_f, gx, gy = _prepare_inputs(
+            templates, input_image, gauss_filt_size
+        )
     n, h, w = templates_f.shape
     warp0 = identity_warp(motion_type)
     # tie the carry init to the input data so the carry has the same
@@ -357,7 +434,7 @@ def find_transform_ecc_batched_graph(
     if not use_pallas:
         final = _ecc_loop_batched(
             templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-            eps, None, False,
+            eps, None, False, pre_mask=pre_mask,
         )
         m, rho, _, it, ok, _ = final[:6]
         return EccResult(rho=rho, warp_matrix=m, ok=ok, num_iters=it)
@@ -375,7 +452,7 @@ def find_transform_ecc_batched_graph(
             carry = _reactivate_carry(carry, eps, carry[5] & ~carry[4])
         carry = _ecc_loop_batched(
             templates_f, image_f, gx, gy, carry, motion_type, num_iters,
-            eps, None, True, k, mode,
+            eps, None, True, k, mode, pre_mask,
         )
     m, rho, _, it, ok, _ = carry[:6]
     from . import warp_pallas

@@ -20,6 +20,7 @@ has no distributed backend, SURVEY.md §2c).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -119,6 +120,11 @@ def ecc_stack_step(
     stacking: str = "mean",
     sigma_kappa: float = 2.5,
     sigma_iters: int = 1,
+    scale_hw=None,
+    coarse_levels: int = 0,
+    input_mask: Optional[jnp.ndarray] = None,
+    lane_valid: Optional[jnp.ndarray] = None,
+    return_extras: bool = False,
 ):
     """One full sharded align+stack step.
 
@@ -147,22 +153,102 @@ def ecc_stack_step(
     flip the inclusion of samples sitting exactly on the kappa
     boundary (each flip moves that pixel by at most one sample's
     influence; the mean path has no such discontinuity).
-    """
-    from ..ops import stack as stack_ops
-    from ..ops.ecc import _MAX_SOLVE_LANES
-    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
 
+    Feature parity with the single-chip pipeline (r3 VERDICT item 2):
+
+    - ``scale_hw``: the (h_small, w_small) SOLVE grid — the scale-down
+      path of src/lib.rs:849-1028.  ``reference_grey`` must then be
+      frame 0's grey AT that grid (``models.ecc._ecc_grey_jit`` with
+      the same ``scale_hw``); each shard resizes its local greys
+      in-graph (uint8-rounded INTER_AREA, dense-path parity) and the
+      solved warps are upscaled (src/lib.rs:941-958) before the
+      full-res warp.
+    - ``coarse_levels``: in-graph coarse-to-fine cascade (the r3
+      headline lever) — octave warm starts inside the graph solve.
+    - ``input_mask``: cv2 ``inputMask`` at the SOLVE grid, replicated
+      (prepare with ``models.ecc._ecc_mask_jit``); disables the phase
+      warm start like the single-chip pipeline.
+    - ``lane_valid`` ([N] bool): padding mask — lanes marked False
+      (frames appended to make N divide the data axis) are excluded
+      from the sum and reported ok=False.
+    - ``return_extras``: also return (rho [N], num_iters [N]) for
+      PipelineStats parity.
+
+    uint16 bursts work unchanged: alignment runs on the high-byte
+    reduction, stacking at native depth (color.depth_reduce_u8 /
+    to_unit_f32 — same contract as the single-chip pipelines).
+
+    The program is built once per (mesh, config) and wrapped in
+    ``jax.jit`` — calling ``shard_map`` eagerly re-dispatches outside
+    the jit cache and, on the TPU backend, recompiles the whole module
+    on EVERY call (measured: 306 s per call at 4x240x320 vs 15 s once
+    under jit; the persistent compilation cache only hooks the jit
+    path).
+    """
     if stacking not in ("mean", "sigma_clip"):
         raise ValueError(
             f"stacking must be 'mean' or 'sigma_clip', got {stacking!r}"
         )
+    if input_mask is not None:
+        phase_init = False  # whole-frame FFT would see the masked content
 
-    h, w = reference_grey.shape
+    if scale_hw is not None:
+        scale_hw = (int(scale_hw[0]), int(scale_hw[1]))
+        if tuple(reference_grey.shape) != scale_hw:
+            raise ValueError(
+                f"reference_grey must be at the solve grid {scale_hw}, "
+                f"got {tuple(reference_grey.shape)}"
+            )
+    fn = _ecc_step_program(
+        mesh, motion_type, int(num_iters), float(eps),
+        int(gauss_filt_size), bool(phase_init), stacking,
+        float(sigma_kappa), int(sigma_iters), scale_hw,
+        int(coarse_levels), input_mask is not None,
+        lane_valid is not None, bool(return_extras),
+    )
+    args = (frames_u8, reference_grey)
+    if lane_valid is not None:
+        args = args + (lane_valid,)
+    if input_mask is not None:
+        args = args + (input_mask,)
+    return fn(*args)
 
-    def local_step(frames_local, ref_grey):
-        grey = color.rgb_to_gray_u8(
-            color.depth_reduce_u8(frames_local)
-        ).astype(jnp.float32)
+
+@functools.lru_cache(maxsize=128)
+def _ecc_step_program(
+    mesh: Mesh,
+    motion_type: MotionType,
+    num_iters: int,
+    eps: float,
+    gauss_filt_size: int,
+    phase_init: bool,
+    stacking: str,
+    sigma_kappa: float,
+    sigma_iters: int,
+    scale_hw,
+    coarse_levels: int,
+    has_mask: bool,
+    has_valid: bool,
+    return_extras: bool,
+):
+    """Build + jit the sharded ECC step for one static config (cached:
+    stable function identity keeps repeat calls on jit's fast path; the
+    persistent compilation cache absorbs the cross-process compile)."""
+    from ..ops import resize as resize_ops, stack as stack_ops
+    from ..ops.ecc import _MAX_SOLVE_LANES
+    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
+    from .. import constants
+
+    def local_step(frames_local, ref_grey, valid_local, input_mask):
+        h, w = frames_local.shape[1], frames_local.shape[2]
+        grey_u8 = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_local))
+        if scale_hw is not None:
+            # dense-path parity: resize the uint8 grey (rounded back to
+            # u8) BEFORE the float cast (models.ecc._ecc_grey_jit)
+            grey_u8 = resize_ops.resize(
+                grey_u8, scale_hw, constants.INTER_AREA
+            )
+        grey = grey_u8.astype(jnp.float32)
         f32 = color.to_unit_f32(frames_local)
         n_loc = grey.shape[0]
         warp_init = None
@@ -190,10 +276,22 @@ def ecc_stack_step(
                         None if warp_init is None
                         else warp_init[s0 : s0 + _MAX_SOLVE_LANES]
                     ),
+                    input_mask=input_mask,
+                    coarse_levels=coarse_levels,
                 )
             )
         warps = jnp.concatenate([p.warp_matrix for p in parts])
         res_ok = jnp.concatenate([p.ok for p in parts])
+        rho = jnp.concatenate([p.rho for p in parts])
+        iters = jnp.concatenate([p.num_iters for p in parts])
+        if valid_local is not None:
+            res_ok = res_ok & valid_local
+        if scale_hw is not None:
+            from ..models.ecc import _adjust_warp_for_scale
+
+            warps = _adjust_warp_for_scale(
+                warps, motion_type, scale_hw, (h, w)
+            )
         perspective = motion_type == MotionType.Homography
         if stacking == "sigma_clip":
             # distributed kappa-sigma clip: local warped shard + psum'd
@@ -220,16 +318,34 @@ def ecc_stack_step(
             )
             total = jax.lax.psum(partial, "data")
         ok = jax.lax.all_gather(res_ok, "data", tiled=True)
+        if return_extras:
+            rho_g = jax.lax.all_gather(rho, "data", tiled=True)
+            it_g = jax.lax.all_gather(iters, "data", tiled=True)
+            return total, ok, rho_g, it_g
         return total, ok
 
-    fn = shard_map(
-        local_step,
+    # only the arguments actually supplied appear in the traced
+    # signature (None has no pytree leaves to give an in_spec to)
+    if has_valid and has_mask:
+        wrapped = local_step
+        specs = (P("data"), P(), P("data"), P())
+    elif has_valid:
+        wrapped = lambda f, r, v: local_step(f, r, v, None)
+        specs = (P("data"), P(), P("data"))
+    elif has_mask:
+        wrapped = lambda f, r, m: local_step(f, r, None, m)
+        specs = (P("data"), P(), P())
+    else:
+        wrapped = lambda f, r: local_step(f, r, None, None)
+        specs = (P("data"), P())
+    nout = 4 if return_extras else 2
+    return jax.jit(shard_map(
+        wrapped,
         mesh=mesh,
-        in_specs=(P("data"), P()),
-        out_specs=(P(), P()),
+        in_specs=specs,
+        out_specs=tuple([P()] * nout),
         check_vma=False,  # psum/all_gather outputs are replicated by construction
-    )
-    return fn(frames_u8, reference_grey)
+    ))
 
 
 def _sharded_sigma_total(wf, incl, kappa: float, iters: int):
@@ -274,6 +390,12 @@ def keypoint_stack_step(
     stacking: str = "mean",
     sigma_kappa: float = 2.5,
     sigma_iters: int = 1,
+    scale_hw=None,
+    det_mask: Optional[jnp.ndarray] = None,
+    border_mode: int = 0,
+    border_value=(0.0, 0.0, 0.0, 0.0),
+    lane_valid: Optional[jnp.ndarray] = None,
+    return_extras: bool = False,
 ):
     """One full sharded ORB/RANSAC align+stack step — the keypoint-path
     counterpart of :func:`ecc_stack_step` (reference Rayon fan-out at
@@ -299,26 +421,111 @@ def keypoint_stack_step(
     by ``ok.sum()`` for the mean like keypoint_match_arrays does.
     ``stacking="sigma_clip"`` mirrors :func:`ecc_stack_step`'s robust
     mode (the first return is then the FINAL image — don't divide).
+
+    Feature parity with the single-chip pipeline (r3 VERDICT item 2):
+
+    - ``scale_hw``: the DETECTION grid (keypoint scale-down path,
+      src/lib.rs:355-601) — ``ref_feats`` must be detected at the same
+      grid; homographies are rescaled (src/utils.rs:218-248) before
+      the full-res warp.
+    - ``det_mask``: cv2 detectAndCompute's detection mask at the
+      detection grid, replicated (prepare with
+      ``models.keypoint._prepare_det_mask``).
+    - ``border_mode`` / ``border_value``: the stage-3 warp's border
+      (KeyPointMatchParameters fields).  constant/transparent run the
+      fused fast path; index-mapping modes (replicate/reflect/wrap)
+      take the exact XLA warp in-graph (the apron trick needs a
+      host-side data-dependent pad).
+    - ``lane_valid`` ([N] bool): padding mask, as in
+      :func:`ecc_stack_step`.
+    - ``return_extras``: also return (match_counts [N],
+      inlier_counts [N]).
+
+    Built once per (mesh, config) and jit-wrapped, like
+    :func:`ecc_stack_step` (eager shard_map recompiles per call on the
+    TPU backend — the un-jitted keypoint module took >25 min there).
     """
-    from ..ops import matcher, orb, ransac as ransac_ops, warp_pallas
-    from ..ops import stack as stack_ops
-    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
+    from ..ops import warp as warp_ops
 
     if stacking not in ("mean", "sigma_clip"):
         raise ValueError(
             f"stacking must be 'mean' or 'sigma_clip', got {stacking!r}"
         )
-    n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
+    border, _ = warp_ops._resolve_border(border_mode, 0.0)
+    if stacking == "sigma_clip" and border not in (
+        "constant", "transparent"
+    ):
+        raise ValueError(
+            "stacking='sigma_clip' requires BORDER_CONSTANT or "
+            f"BORDER_TRANSPARENT, got border mode {border!r}"
+        )
+    n = frames_u8.shape[0]
+    if scale_hw is not None:
+        scale_hw = (int(scale_hw[0]), int(scale_hw[1]))
     ndata = mesh.shape["data"]
     if n % ndata != 0:
         raise ValueError(f"N={n} must divide the data axis ({ndata})")
-    n_loc = n // ndata
+    fn = _keypoint_step_program(
+        mesh, int(method), float(ransac_reproj_threshold),
+        float(match_ratio), float(match_keep_ratio), int(max_iters),
+        float(confidence), int(seed), stacking, float(sigma_kappa),
+        int(sigma_iters), scale_hw, int(border_mode),
+        tuple(float(v) for v in tuple(border_value)[:3]),
+        det_mask is not None, lane_valid is not None,
+        bool(return_extras), n // ndata,
+    )
+    args = (frames_u8, ref_feats)
+    if lane_valid is not None:
+        args = args + (lane_valid,)
+    if det_mask is not None:
+        args = args + (det_mask,)
+    return fn(*args)
+
+
+@functools.lru_cache(maxsize=128)
+def _keypoint_step_program(
+    mesh: Mesh,
+    method: int,
+    ransac_reproj_threshold: float,
+    match_ratio: float,
+    match_keep_ratio: float,
+    max_iters: int,
+    confidence: float,
+    seed: int,
+    stacking: str,
+    sigma_kappa: float,
+    sigma_iters: int,
+    scale_hw,
+    border_mode: int,
+    border_value,
+    has_det_mask: bool,
+    has_valid: bool,
+    return_extras: bool,
+    n_loc: int,
+):
+    """Build + jit the sharded keypoint step for one static config."""
+    from ..ops import matcher, orb, ransac as ransac_ops, warp_pallas
+    from ..ops import resize as resize_ops, stack as stack_ops
+    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
+    from ..ops import warp as warp_ops
+    from .. import constants
+
+    border, _ = warp_ops._resolve_border(border_mode, 0.0)
+    bv = jnp.asarray(border_value, jnp.float32)
+    if border == "transparent":
+        # TRANSPARENT over a zero dst base is tap-wise CONSTANT 0
+        bv = jnp.zeros(3, jnp.float32)
     key = jax.random.PRNGKey(seed)
 
-    def local_step(frames_local, rfeats):
+    def local_step(frames_local, rfeats, valid_local, det_mask):
+        h, w = frames_local.shape[1], frames_local.shape[2]
         grey = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_local))
+        if scale_hw is not None:
+            grey = resize_ops.resize(grey, scale_hw, constants.INTER_AREA)
         f32 = color.to_unit_f32(frames_local)
-        feats = jax.vmap(orb.orb_detect_and_compute)(grey)
+        feats = jax.vmap(
+            lambda g: orb.orb_detect_and_compute(g, mask=det_mask)
+        )(grey)
         didx = jax.lax.axis_index("data")
 
         def match_one(i_desc, i_valid, i_xy, lane):
@@ -340,12 +547,18 @@ def keypoint_stack_step(
             )
             det = jnp.linalg.det(res.h)
             ok = enough & res.ok & (jnp.abs(det) >= 1e-6)
-            return res.h, ok
+            return res.h, ok, filt.count, res.num_inliers
 
-        hs_l, oks_l = jax.vmap(match_one)(
+        hs_l, oks_l, mc_l, ic_l = jax.vmap(match_one)(
             feats.descriptors, feats.valid, feats.xy,
             jnp.arange(n_loc),
         )
+        if valid_local is not None:
+            oks_l = oks_l & valid_local
+        if scale_hw is not None:
+            from ..models.keypoint import _adjust_h_for_scale
+
+            hs_l = _adjust_h_for_scale(hs_l, scale_hw, (h, w))
         hs_safe = jnp.where(
             oks_l[:, None, None], hs_l, jnp.eye(3, dtype=hs_l.dtype)
         )
@@ -358,14 +571,15 @@ def keypoint_stack_step(
             def fast_wf(args):
                 f32_, hs_ = args
                 return warp_frames_batch(
-                    f32_, hs_, perspective=True,
+                    f32_, hs_, perspective=True, border_value=bv,
                     allow_pallas=True, pallas_k=7,
                 )
 
             def exact_wf(args):
                 f32_, hs_ = args
                 return warp_frames_batch(
-                    f32_, hs_, perspective=True, allow_pallas=False,
+                    f32_, hs_, perspective=True, border_value=bv,
+                    allow_pallas=False,
                 )
 
             wf = jax.lax.cond(fast_ok, fast_wf, exact_wf, (f32, hs_safe))
@@ -374,19 +588,30 @@ def keypoint_stack_step(
                 & oks_l[:, None, None]
             )
             total = _sharded_sigma_total(wf, incl, sigma_kappa, sigma_iters)
+        elif border not in ("constant", "transparent"):
+            # index-mapping border modes: exact XLA warp in-graph (no
+            # host-side apron available under shard_map), masked sum —
+            # identical semantics to the single-chip exact path
+            warped = warp_frames_batch(
+                f32, hs_safe, perspective=True, border_value=bv,
+                allow_pallas=False, border_mode=border_mode,
+            )
+            valid = oks_l.astype(jnp.float32)[:, None, None, None]
+            total = jax.lax.psum(jnp.sum(warped * valid, axis=0), "data")
         else:
 
             def fast_branch(args):
                 f32_, hs_, oks_ = args
                 return warp_accumulate_rgb(
-                    f32_, hs_, oks_, perspective=True,
+                    f32_, hs_, oks_, perspective=True, border_value=bv,
                     allow_pallas=True, pallas_k=7,
                 )
 
             def exact_branch(args):
                 f32_, hs_, oks_ = args
                 return warp_accumulate_rgb(
-                    f32_, hs_, oks_, perspective=True, allow_pallas=False,
+                    f32_, hs_, oks_, perspective=True, border_value=bv,
+                    allow_pallas=False,
                 )
 
             partial = jax.lax.cond(
@@ -394,16 +619,32 @@ def keypoint_stack_step(
             )
             total = jax.lax.psum(partial, "data")
         ok = jax.lax.all_gather(oks_l, "data", tiled=True)
+        if return_extras:
+            mc_g = jax.lax.all_gather(mc_l, "data", tiled=True)
+            ic_g = jax.lax.all_gather(ic_l, "data", tiled=True)
+            return total, ok, mc_g, ic_g
         return total, ok
 
-    fn = shard_map(
-        local_step,
+    if has_valid and has_det_mask:
+        wrapped = local_step
+        specs = (P("data"), P(), P("data"), P())
+    elif has_valid:
+        wrapped = lambda f, r, v: local_step(f, r, v, None)
+        specs = (P("data"), P(), P("data"))
+    elif has_det_mask:
+        wrapped = lambda f, r, m: local_step(f, r, None, m)
+        specs = (P("data"), P(), P())
+    else:
+        wrapped = lambda f, r: local_step(f, r, None, None)
+        specs = (P("data"), P())
+    nout = 4 if return_extras else 2
+    return jax.jit(shard_map(
+        wrapped,
         mesh=mesh,
-        in_specs=(P("data"), P()),
-        out_specs=(P(), P()),
+        in_specs=specs,
+        out_specs=tuple([P()] * nout),
         check_vma=False,  # psum/all_gather outputs are replicated by construction
-    )
-    return fn(frames_u8, ref_feats)
+    ))
 
 
 def ecc_stack_step_spatial(
@@ -445,10 +686,7 @@ def ecc_stack_step_spatial(
 
     Returns (stacked_sum [H,W,3] f32 rows-sharded, ok [N] bool).
     """
-    from ..ops import resize as _resize
-
     nsp = mesh.shape["spatial"]
-    ndata = mesh.shape["data"]
     n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
     hs, ws = int(scale_hw[0]), int(scale_hw[1])
     if h % nsp != 0:
@@ -456,6 +694,33 @@ def ecc_stack_step_spatial(
     h_loc = h // nsp
     if halo > h_loc:
         raise ValueError(f"halo {halo} exceeds shard height {h_loc}")
+    fn = _ecc_spatial_program(
+        mesh, (hs, ws), motion_type, int(num_iters), float(eps),
+        int(gauss_filt_size), int(halo), bool(phase_init), h, w,
+    )
+    return fn(frames_u8, ref_u8)
+
+
+@functools.lru_cache(maxsize=64)
+def _ecc_spatial_program(
+    mesh: Mesh,
+    scale_hw,
+    motion_type: MotionType,
+    num_iters: int,
+    eps: float,
+    gauss_filt_size: int,
+    halo: int,
+    phase_init: bool,
+    h: int,
+    w: int,
+):
+    """Build + jit the spatially-sharded ECC step for one static config
+    (same rationale as :func:`_ecc_step_program`)."""
+    from ..ops import resize as _resize
+
+    nsp = mesh.shape["spatial"]
+    hs, ws = scale_hw
+    h_loc = h // nsp
     # INTER_AREA row-mixing weights [hs, H] (host constant)
     wy = jnp.asarray(_resize._area_weights(h, hs))
     wx = jnp.asarray(_resize._area_weights(w, ws))
@@ -589,14 +854,13 @@ def ecc_stack_step_spatial(
         ok = jax.lax.all_gather(res_ok, "data", tiled=True)
         return total, ok
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P("data", "spatial"), P("spatial")),
         out_specs=(P("spatial"), P()),
         check_vma=False,
-    )
-    return fn(frames_u8, ref_u8)
+    ))
 
 
 def warp_rows_sharded(
@@ -629,8 +893,19 @@ def warp_rows_sharded(
     minv = warp.invert_3x3(
         m3 if m3.shape == (3, 3) else warp.affine_to_3x3(m3)
     )
+    return _warp_rows_program(mesh, int(halo), h, w)(frame, minv)
 
-    def local(rows_local):
+
+@functools.lru_cache(maxsize=64)
+def _warp_rows_program(mesh: Mesh, halo: int, h: int, w: int):
+    """Build + jit the rows-sharded warp for one static config (same
+    rationale as :func:`_ecc_step_program`; the inverse map is an
+    operand, not a closure constant, so the program is reusable across
+    matrices)."""
+    nsp = mesh.shape["spatial"]
+    h_loc = h // nsp
+
+    def local(rows_local, minv):
         idx = jax.lax.axis_index("spatial")
         up = [(i, (i + 1) % nsp) for i in range(nsp)]
         down = [(i, (i - 1) % nsp) for i in range(nsp)]
@@ -668,14 +943,13 @@ def warp_rows_sharded(
         # caller respects the halo domain (documented above)
         return out
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("spatial"),),
+        in_specs=(P("spatial"), P()),
         out_specs=P("spatial"),
         check_vma=False,
-    )
-    return fn(frame)
+    ))
 
 
 def sharpness_teng_spatial(
@@ -688,6 +962,14 @@ def sharpness_teng_spatial(
 
     ``frames``: [N,H,W] float32. Returns [N] sharpness scores.
     """
+    h, w = frames.shape[-2], frames.shape[-1]
+    return _sharpness_teng_program(mesh, int(k_size))(frames) / (h * w)
+
+
+@functools.lru_cache(maxsize=16)
+def _sharpness_teng_program(mesh: Mesh, k_size: int):
+    """Build + jit the spatially-sharded Tenengrad program (same
+    rationale as :func:`_ecc_step_program`)."""
     r = len(filters.deriv_kernel(1, k_size)) // 2
     nsp = mesh.shape["spatial"]
 
@@ -722,12 +1004,10 @@ def sharpness_teng_spatial(
         s = jax.lax.psum(s, "spatial")
         return jax.lax.all_gather(s, "data", tiled=True)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(P("data", "spatial", None),),
         out_specs=P(),
         check_vma=False,
-    )
-    h, w = frames.shape[-2], frames.shape[-1]
-    return fn(frames) / (h * w)
+    ))

@@ -1,12 +1,19 @@
-"""Multi-host (DCN) mesh smoke test: two local CPU processes join via
+"""Multi-host (DCN) mesh tests: two local CPU processes join via
 ``jax.distributed``, build one global ('data','spatial') mesh, assemble
-a global burst from per-process frames and run the sharded ECC
-align+stack step (SURVEY.md §7 phase 6 — the reference has no
-distributed story at all).
+a global burst from per-process frames and run the sharded steps
+(SURVEY.md §7 phase 6 — the reference has no distributed story at all).
+
+Three scenarios (r3 VERDICT item 7 — the r3 suite only crossed the
+process boundary with translation/mean): translation ECC + mean,
+homography ECC + distributed sigma-clip (the clip moments psum across
+DCN), and the keypoint path with a genuinely dropped frame (reference
+drop semantics, src/lib.rs:240-242, across processes).  Each asserts
+parity with the same scenario on the single-process 8-device mesh via
+the shared tests/_dcn_scenarios.py definitions.
 
 Skips when the environment can't run cross-process CPU collectives
 (e.g. no gloo support in the wheel); the single-process mesh path is
-covered by tests/test_parallel.py.
+covered by tests/test_parallel.py and test_mesh_public_api.py.
 """
 
 import os
@@ -21,7 +28,9 @@ import pytest
 _WORKER = textwrap.dedent(
     """
     import os, sys
-    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    port, pid, outdir, scenario = (
+        sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -33,35 +42,25 @@ _WORKER = textwrap.dedent(
                            process_id=pid)
     assert jax.device_count() == 4, jax.devices()
 
-    import jax.numpy as jnp
     import numpy as np
-    from libstacker_tpu.ops import color
-    from libstacker_tpu.params import MotionType
+    sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
+    import _dcn_scenarios as sc
 
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
-    frames_all = np.stack(
-        [np.roll(base, shift=i % 3, axis=1) for i in range(4)]
-    )
-    local = frames_all[2 * pid : 2 * pid + 2]
+    frames_all, base = sc.make_burst(scenario)
+    n = frames_all.shape[0]
+    local = frames_all[pid * n // 2 : (pid + 1) * n // 2]
 
     mesh = pmesh.make_global_mesh(data=4, spatial=1)
     frames_g = pmesh.shard_frames_global(local, mesh)
-    ref_grey = color.rgb_to_gray_u8(jnp.asarray(base)).astype(jnp.float32)
-    with mesh:
-        stacked, ok = pmesh.ecc_stack_step(
-            frames_g, ref_grey, mesh,
-            motion_type=MotionType.Translation, num_iters=3, eps=1e-3,
-        )
-        stacked.block_until_ready()
+    stacked, ok = sc.run_step(scenario, frames_g, base, mesh)
     if pid == 0:
-        np.save(os.path.join(outdir, "stacked.npy"), np.asarray(stacked))
-        np.save(os.path.join(outdir, "ok.npy"), np.asarray(ok))
+        np.save(os.path.join(outdir, "stacked.npy"), stacked)
+        np.save(os.path.join(outdir, "ok.npy"), ok)
     """
 )
 
 
-def test_two_process_dcn_stack(tmp_path):
+def _run_two_process(tmp_path, scenario: str):
     port = socket.socket()
     port.bind(("localhost", 0))
     portno = port.getsockname()[1]
@@ -71,11 +70,12 @@ def test_two_process_dcn_stack(tmp_path):
         k: v for k, v in os.environ.items()
         if not k.startswith(("JAX_", "XLA_"))
     }
+    repo = os.path.dirname(os.path.dirname(__file__))
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(portno), str(pid),
-             str(tmp_path)],
-            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+             str(tmp_path), scenario],
+            env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for pid in (0, 1)
@@ -83,7 +83,9 @@ def test_two_process_dcn_stack(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # the keypoint scenario's shard_map ORB program can take
+            # >5 min to compile per process on a contended 1-core host
+            out, _ = p.communicate(timeout=1200)
             outs.append(out.decode(errors="replace"))
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -98,31 +100,48 @@ def test_two_process_dcn_stack(tmp_path):
         ):
             pytest.skip(f"distributed CPU unsupported here: {msg[-300:]}")
         raise AssertionError(f"distributed workers failed:\n{msg}")
+    return (
+        np.load(tmp_path / "stacked.npy"), np.load(tmp_path / "ok.npy")
+    )
 
-    stacked = np.load(tmp_path / "stacked.npy")
-    ok = np.load(tmp_path / "ok.npy")
-    assert ok.shape == (4,) and ok.all()
-    assert stacked.shape == (48, 64, 3)
 
-    # single-process reference on the local 8-device CPU mesh
+def _single_process_reference(scenario: str):
     import jax
     import jax.numpy as jnp
 
-    from libstacker_tpu.ops import color
-    from libstacker_tpu.parallel import mesh as pmesh
-    from libstacker_tpu.params import MotionType
+    sys.path.insert(0, os.path.dirname(__file__))
+    import _dcn_scenarios as sc
 
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
-    frames_all = np.stack(
-        [np.roll(base, shift=i % 3, axis=1) for i in range(4)]
-    )
+    from libstacker_tpu.parallel import mesh as pmesh
+
+    frames_all, base = sc.make_burst(scenario)
     mesh = pmesh.make_mesh(jax.devices()[:4], data=4, spatial=1)
     frames_j = pmesh.shard_frames(jnp.asarray(frames_all), mesh)
-    ref_grey = color.rgb_to_gray_u8(jnp.asarray(base)).astype(jnp.float32)
-    with mesh:
-        want, ok1 = pmesh.ecc_stack_step(
-            frames_j, ref_grey, mesh,
-            motion_type=MotionType.Translation, num_iters=3, eps=1e-3,
-        )
-    np.testing.assert_allclose(stacked, np.asarray(want), atol=1e-4)
+    return sc.run_step(scenario, frames_j, base, mesh), frames_all
+
+
+@pytest.mark.parametrize(
+    "scenario", ["translation", "homography_sigma", "keypoint_drop"]
+)
+def test_two_process_dcn_parity(tmp_path, scenario):
+    stacked, ok = _run_two_process(tmp_path, scenario)
+    (want, ok_want), frames_all = _single_process_reference(scenario)
+    n = frames_all.shape[0]
+    assert ok.shape == (n,)
+    np.testing.assert_array_equal(ok, ok_want)
+    if scenario == "keypoint_drop":
+        # the flattened frame must be DROPPED on whichever process held
+        # it, and nowhere else
+        assert not ok[2] and ok[[0, 1, 3]].all()
+    else:
+        assert ok.all()
+    assert stacked.shape == want.shape
+    if scenario == "homography_sigma":
+        # documented near-exactness of the distributed clip: the psum
+        # reduction order can flip samples exactly on the kappa
+        # boundary at isolated pixels
+        diff = np.abs(stacked - want)
+        assert (diff <= 1e-4).mean() > 0.999
+        assert diff.max() < 0.05
+    else:
+        np.testing.assert_allclose(stacked, want, atol=1e-4)

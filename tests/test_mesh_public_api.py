@@ -1,0 +1,199 @@
+"""Multi-chip parity through the PUBLIC entry points (r3 VERDICT items
+1+2): ``ecc_match_arrays(..., mesh=...)`` and
+``keypoint_match_arrays(..., mesh=...)`` must reproduce the
+single-device pipelines feature-for-feature — plain, scale-down,
+alignment/detection masks, uint16 depth, coarse-to-fine and sigma-clip
+— on the virtual 8-device CPU mesh, including the N-not-divisible
+padding path.  This is the reference's own API shape: its parallelism
+lives inside ``keypoint_match``/``ecc_match`` (src/lib.rs:188, 746 —
+the caller never orchestrates workers)."""
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from libstacker_tpu.errors import InvalidParamsError
+from libstacker_tpu.models.ecc import ecc_match_arrays
+from libstacker_tpu.models.keypoint import keypoint_match_arrays
+from libstacker_tpu.params import (
+    EccMatchParameters,
+    KeyPointMatchParameters,
+    MotionType,
+)
+from libstacker_tpu.parallel import make_mesh
+
+
+def _translation_burst(n=6, h=128, w=160, seed=3):
+    rng = np.random.default_rng(seed)
+    base = cv2.GaussianBlur(
+        rng.random((h * 2, w * 2)).astype(np.float32), (0, 0), 3.0
+    ) * 255.0
+    frames = []
+    shifts = [(0.0, 0.0)] + [
+        (float(rng.uniform(-4, 4)), float(rng.uniform(-4, 4)))
+        for _ in range(n - 1)
+    ]
+    for dx, dy in shifts:
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.stack([cur] * 3, -1).astype(np.uint8))
+    return np.stack(frames)
+
+
+def _textured_burst(n=5, h=192, w=256, seed=7):
+    rng = np.random.default_rng(seed)
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h * 2, w * 2), np.uint8), (0, 0), 1.2
+    )
+    frames = []
+    shifts = [(0.0, 0.0)] + [
+        (float(rng.uniform(-4, 4)), float(rng.uniform(-4, 4)))
+        for _ in range(n - 1)
+    ]
+    for dx, dy in shifts:
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.stack([cur] * 3, -1).astype(np.uint8))
+    return np.stack(frames)
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return make_mesh(jax.devices()[:4], data=4, spatial=1)
+
+
+@pytest.fixture(scope="module")
+def ecc_burst():
+    return _translation_burst()
+
+
+@pytest.fixture(scope="module")
+def kp_burst():
+    return _textured_burst()
+
+
+_ECC_KW = dict(motion_type=MotionType.Translation, max_count=50,
+               epsilon=1e-4)
+
+
+@pytest.mark.parametrize(
+    "variant",
+    ["plain", "scaled", "masked", "u16", "coarse", "sigma"],
+)
+def test_ecc_public_mesh_parity(variant, ecc_burst, mesh4):
+    frames = ecc_burst
+    n, h, w = frames.shape[:3]
+    kw = dict(_ECC_KW)
+    call = dict(on_failure="drop")
+    atol = 2e-4
+    if variant == "scaled":
+        call["scale_down_width"] = 100.0
+    elif variant == "masked":
+        m = np.full((h, w), 255, np.uint8)
+        m[: h // 4, : w // 3] = 0  # exclude a corner from the solve
+        call["mask"] = m
+    elif variant == "u16":
+        frames = (frames.astype(np.uint16)) * 257
+    elif variant == "coarse":
+        kw["coarse_levels"] = 1
+        # the dense coarse driver seeds the full-res |d rho| test from
+        # the octave rho (LIBSTACKER_COARSE_RHO_SEED); the in-graph
+        # cascade always confirms on its own content — both are valid
+        # eps stopping points, so allow sub-pixel iterate differences
+        atol = 2e-2
+    elif variant == "sigma":
+        kw["stacking"] = "sigma_clip"
+        kw["sigma_kappa"] = 2.5
+        kw["sigma_iters"] = 1
+        frames = np.concatenate(
+            [frames, frames[:2]], axis=0
+        )  # >= 8 samples so the clip can act
+    params = EccMatchParameters(**kw)
+    dense = ecc_match_arrays(frames, params, return_stats=True, **call)
+    sharded = ecc_match_arrays(
+        frames, params, return_stats=True, mesh=mesh4, **call
+    )
+    d_img, d_stats = dense
+    s_img, s_stats = sharded
+    assert s_img.shape == d_img.shape
+    assert s_stats.frames_kept == d_stats.frames_kept
+    if variant == "sigma":
+        # documented near-exactness (parallel.ecc_stack_step): the
+        # psum's reduction order perturbs mu/sigma at the last ulp,
+        # which can flip samples sitting exactly on the kappa boundary
+        # — each flip moves that pixel by at most one sample's
+        # influence.  The bulk must still be bitwise-tight.
+        diff = np.abs(s_img - d_img)
+        assert (diff <= atol).mean() > 0.99
+        assert diff.max() < 0.05
+    else:
+        np.testing.assert_allclose(s_img, d_img, atol=atol)
+
+
+# u16 is deliberately not a keypoint variant here: detection runs on
+# the same high-byte reduction as u8 (color.depth_reduce_u8, asserted
+# in test_color) and the u16 stacking depth is covered by the ECC u16
+# variant above — the extra dense+sharded ORB compiles (~8 min on the
+# 1-core CI host) buy no new coverage.
+@pytest.mark.parametrize("variant", ["plain", "scaled", "masked"])
+def test_keypoint_public_mesh_parity(variant, kp_burst, mesh4):
+    frames = kp_burst
+    n, h, w = frames.shape[:3]
+    call = {}
+    if variant == "scaled":
+        call["scale_down_width"] = 96.0
+    elif variant == "masked":
+        m = np.full((h, w), 255, np.uint8)
+        m[:, : w // 4] = 0  # no detections in the left quarter
+        call["mask"] = m
+    params = KeyPointMatchParameters()
+    d_drop, d_img = keypoint_match_arrays(frames, params, **call)
+    s_drop, s_img = keypoint_match_arrays(
+        frames, params, mesh=mesh4, **call
+    )
+    assert s_img.shape == d_img.shape
+    assert s_drop == d_drop
+    # RANSAC draws a different (per-lane) key stream under the mesh, so
+    # warps agree statistically: sub-pixel image agreement, not bitwise
+    np.testing.assert_allclose(s_img, d_img, atol=0.06)
+    # the bulk of the image must be essentially identical
+    assert np.mean(np.abs(s_img - d_img)) < 5e-3
+
+
+def test_ecc_mesh_rejects_super_resolution(ecc_burst, mesh4):
+    params = EccMatchParameters(output_scale=2, **_ECC_KW)
+    with pytest.raises(InvalidParamsError, match="output_scale"):
+        ecc_match_arrays(ecc_burst, params, mesh=mesh4)
+
+
+def test_keypoint_mesh_rejects_super_resolution(kp_burst, mesh4):
+    params = KeyPointMatchParameters(output_scale=2)
+    with pytest.raises(InvalidParamsError, match="output_scale"):
+        keypoint_match_arrays(kp_burst, params, mesh=mesh4)
+
+
+def test_mesh_auto_resolves(ecc_burst):
+    """mesh='auto' builds a data mesh over every visible device (8 on
+    the test backend) — same results as the dense pipeline."""
+    params = EccMatchParameters(**_ECC_KW)
+    dense = ecc_match_arrays(ecc_burst, params)
+    auto = ecc_match_arrays(ecc_burst, params, mesh="auto")
+    np.testing.assert_allclose(auto, dense, atol=2e-4)
+
+
+def test_mesh_invalid_values(ecc_burst):
+    params = EccMatchParameters(**_ECC_KW)
+    with pytest.raises(InvalidParamsError, match="mesh"):
+        ecc_match_arrays(ecc_burst, params, mesh="bogus")
+    from jax.sharding import Mesh
+
+    nomesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("x",))
+    with pytest.raises(InvalidParamsError, match="data"):
+        ecc_match_arrays(ecc_burst, params, mesh=nomesh)

@@ -198,21 +198,32 @@ def test_sigma_clip_param_validation_and_streaming_guard(tmp_path):
                 border_mode=constants.BORDER_REPLICATE,
             ),
         )
-    # streaming pipelines are single-pass
+    # streaming sigma-clip works (r3 VERDICT item 6) but has no
+    # resumable cursor yet: the checkpoint combination must refuse
     from libstacker_tpu import ecc_match_stream, keypoint_match_stream
 
     p = tmp_path / "f0.png"
     cv2.imwrite(str(p), np.zeros((32, 32, 3), np.uint8))
-    with pytest.raises(InvalidParamsError):
+    with pytest.raises(InvalidParamsError, match="checkpoint"):
         ecc_match_stream(
             [str(p)],
             EccMatchParameters(
                 motion_type=MotionType.Translation, stacking="sigma_clip"
             ),
+            checkpoint_path=str(tmp_path / "ck.npz"),
         )
-    with pytest.raises(InvalidParamsError):
+    with pytest.raises(InvalidParamsError, match="checkpoint"):
         keypoint_match_stream(
-            [str(p)], KeyPointMatchParameters(stacking="sigma_clip")
+            [str(p)], KeyPointMatchParameters(stacking="sigma_clip"),
+            checkpoint_path=str(tmp_path / "ck2.npz"),
+        )
+    # super-resolution still refuses to stream
+    with pytest.raises(InvalidParamsError, match="output_scale"):
+        ecc_match_stream(
+            [str(p)],
+            EccMatchParameters(
+                motion_type=MotionType.Translation, output_scale=2
+            ),
         )
 
 
@@ -458,3 +469,100 @@ def test_sr_interleave_phases_matches_transpose():
             .reshape(f * h, f * w, 3)
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_ecc_stream_sigma_clip_matches_whole_burst(tmp_path):
+    """r3 VERDICT item 6: streaming sigma-clip — stream-vs-whole-burst
+    parity at n >= 16 with an injected outlier frame.  The stream's
+    align pass stores the warps, then the S0/S1/S2 moment passes
+    re-stream the files (ops/stack.py's accumulators compose over
+    chunks exactly)."""
+    from libstacker_tpu import ecc_match_stream
+
+    rng = np.random.default_rng(31)
+    h, w = 96, 128
+    base = cv2.GaussianBlur(
+        rng.integers(40, 200, (h, w, 3), np.uint8).astype(np.uint8),
+        (0, 0), 3.0,
+    )
+    frames = []
+    for i in range(16):
+        dx, dy = int(rng.integers(-3, 4)), int(rng.integers(-3, 4))
+        f = np.roll(base, (dy, dx), (0, 1))
+        noise = rng.normal(0, 2.0, f.shape)
+        frames.append(np.clip(f.astype(np.float32) + noise, 0, 255)
+                      .astype(np.uint8))
+    frames = np.stack(frames)
+    streaked = frames[5].copy()
+    cv2.line(streaked, (10, 20), (110, 70), (255, 255, 255), 2)
+    frames[5] = streaked
+    files = []
+    for i, f in enumerate(frames):
+        p = tmp_path / f"f{i:02d}.png"
+        cv2.imwrite(str(p), f[..., ::-1])
+        files.append(str(p))
+    params = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=80, epsilon=1e-4,
+        stacking="sigma_clip", sigma_kappa=2.5, sigma_iters=2,
+    )
+    whole, wstats = ecc_match_arrays(frames, params, return_stats=True)
+    streamed, sstats = ecc_match_stream(
+        files, params, chunk_size=5, return_stats=True
+    )
+    assert sstats.frames_kept == wstats.frames_kept
+    assert sstats.clipped_sample_frac is not None
+    assert sstats.clipped_sample_frac > 0.0  # the streak was rejected
+    # near-exact: the stream's chunk grouping (5 vs the whole-burst 8)
+    # reorders the float moment sums, which can flip a sample sitting
+    # exactly on the kappa boundary at isolated pixels
+    diff = np.abs(streamed - whole)
+    assert (diff <= 1e-4).mean() > 0.999
+    assert diff.max() < 0.05
+    # the streak must actually be suppressed, not merely averaged
+    clean_mean = ecc_match_arrays(
+        np.concatenate([frames[:5], frames[6:]]),
+        EccMatchParameters(
+            motion_type=MotionType.Translation, max_count=80, epsilon=1e-4
+        ),
+    )
+    streak = np.zeros((h, w), np.uint8)
+    cv2.line(streak, (10, 20), (110, 70), 1, 2)
+    core = streak.astype(bool)
+    assert np.abs(streamed - clean_mean)[core].mean() < 0.01
+
+
+def test_keypoint_stream_sigma_clip_matches_whole_burst(tmp_path):
+    from libstacker_tpu import keypoint_match_stream
+
+    rng = np.random.default_rng(33)
+    h, w = 192, 256
+    base = cv2.resize(
+        rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8).astype(np.uint8),
+        (w, h), interpolation=cv2.INTER_NEAREST,
+    )
+    frames = []
+    for i in range(9):
+        dx, dy = int(rng.integers(-4, 5)), int(rng.integers(-4, 5))
+        frames.append(np.roll(base, (dy, dx), (0, 1)))
+    frames = np.stack(frames)
+    streaked = frames[4].copy()
+    cv2.line(streaked, (30, 40), (220, 150), (255, 255, 255), 3)
+    frames[4] = streaked
+    files = []
+    for i, f in enumerate(frames):
+        p = tmp_path / f"k{i:02d}.png"
+        cv2.imwrite(str(p), f[..., ::-1])
+        files.append(str(p))
+    params = KeyPointMatchParameters(
+        stacking="sigma_clip", sigma_kappa=2.0, sigma_iters=1
+    )
+    wd, whole = keypoint_match_arrays(frames, params, seed=3)
+    sd, streamed, st = keypoint_match_stream(
+        files, params, chunk_size=4, seed=3, return_stats=True
+    )
+    assert wd == sd == 0
+    assert st.clipped_sample_frac is not None and st.clipped_sample_frac > 0
+    # the RANSAC RNG stream differs between the batched (one key split
+    # over n-1) and streaming (per-chunk splits) paths: statistical
+    # agreement, not bitwise
+    assert np.mean(np.abs(streamed - whole)) < 5e-3
