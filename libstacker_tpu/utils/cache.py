@@ -10,8 +10,21 @@ from __future__ import annotations
 
 import os
 
+# Default INSIDE the repo workspace, not /tmp: /tmp is wiped between
+# driver/CI rounds (measured — every r3 bench run recompiled the full
+# 4K program population cold, warmup 63.7 s vs ~38 s warm), while the
+# workspace persists.  Falls back to /tmp when the package is installed
+# somewhere read-only.
+_REPO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(
+        __file__
+    )))),
+    ".jax_cache",
+)
 _DEFAULT_DIR = os.environ.get(
-    "LIBSTACKER_CACHE_DIR", "/tmp/libstacker_jax_cache"
+    "LIBSTACKER_CACHE_DIR",
+    _REPO_DIR if os.access(os.path.dirname(_REPO_DIR), os.W_OK)
+    else "/tmp/libstacker_jax_cache",
 )
 
 
@@ -24,5 +37,8 @@ def enable_compilation_cache(path: str = _DEFAULT_DIR) -> str:
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache even fast-compiling programs: the bench/CLI population is
+    # dozens of small jits whose 0.2-0.9 s compiles add up to a
+    # noticeable cold tail on a 1-core host
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     return os.environ["JAX_COMPILATION_CACHE_DIR"]
