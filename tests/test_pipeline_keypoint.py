@@ -214,3 +214,63 @@ def test_keypoint_match_tiny_scale_drops_all():
     dropped, got = keypoint_match_arrays(frames, scale_down_width=12)
     assert dropped == 2
     np.testing.assert_allclose(got, frames[0].astype(np.float32) / 255.0)
+
+
+def test_detect_chunk_budget_fence():
+    """Regression fence for the batch-20 4K detection device fault (r3
+    VERDICT weak #3; repro checked in at
+    benchmarks/repro_detect_batch.py): the chunk budget must keep any
+    single detection dispatch at 4K strictly below the faulting batch,
+    while not regressing below the measured-stable batch 10."""
+    from libstacker_tpu.models.keypoint import detect_chunk_budget
+
+    chunk_4k = detect_chunk_budget(100, 2160, 3840)
+    assert chunk_4k < 20, chunk_4k  # the faulting batch
+    assert chunk_4k >= 10, chunk_4k  # the measured-stable/perf batch
+    # smaller grids may batch more, monotonically
+    assert detect_chunk_budget(100, 1080, 1920) >= chunk_4k
+    assert detect_chunk_budget(3, 2160, 3840) == 3  # never exceeds n
+
+
+def test_detect_scan_matches_per_chunk_loop(monkeypatch):
+    """The scan-over-chunks detection program (one dispatch) must
+    produce bit-identical features to the r3 per-chunk dispatch loop,
+    including the padded-tail case (n=5, chunk=2)."""
+    import jax.numpy as jnp
+
+    from libstacker_tpu.models import keypoint as kp
+
+    rng = np.random.default_rng(53)
+    small = rng.integers(0, 256, (96 // 8, 128 // 8), np.uint8)
+    frames = np.stack([
+        np.stack([np.roll(small.repeat(8, 0).repeat(8, 1), i, 1)] * 3, -1)
+        for i in range(5)
+    ])
+    fj = jnp.asarray(frames)
+    monkeypatch.setenv("LIBSTACKER_DETECT_SCAN", "0")
+    loop = kp.detect_features_chunked(fj, chunk=2)
+    monkeypatch.setenv("LIBSTACKER_DETECT_SCAN", "1")
+    scan = kp.detect_features_chunked(fj, chunk=2)
+    for name in loop._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(scan, name)),
+            np.asarray(getattr(loop, name)),
+            err_msg=name,
+        )
+    # scaled grid + detection mask ride the scan body too
+    mask = np.zeros((96, 128), np.float32)
+    mask[:, 64:] = 1.0
+    monkeypatch.setenv("LIBSTACKER_DETECT_SCAN", "0")
+    loop_m = kp.detect_features_chunked(
+        fj, chunk=3, det_mask=jnp.asarray(mask)
+    )
+    monkeypatch.setenv("LIBSTACKER_DETECT_SCAN", "1")
+    scan_m = kp.detect_features_chunked(
+        fj, chunk=3, det_mask=jnp.asarray(mask)
+    )
+    for name in loop_m._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(scan_m, name)),
+            np.asarray(getattr(loop_m, name)),
+            err_msg=name,
+        )
