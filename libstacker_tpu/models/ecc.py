@@ -304,15 +304,19 @@ def _resolve_mesh(mesh):
     return mesh
 
 
-def _pad_burst(frames: np.ndarray, ndata: int):
+def _pad_burst(frames, ndata: int):
     """Pad the frame axis to a multiple of the data-axis size with
     copies of frame 0 (their lanes converge instantly and are excluded
-    from the result via lane_valid)."""
+    from the result via lane_valid).  Device-resident bursts pad on
+    device (no host round-trip)."""
     n = frames.shape[0]
     pad = (-n) % ndata
     if pad == 0:
         return frames, np.ones(n, bool)
-    frames_p = np.concatenate([frames, np.repeat(frames[:1], pad, axis=0)])
+    xp = jnp if isinstance(frames, jax.Array) else np
+    frames_p = xp.concatenate(
+        [frames, xp.repeat(frames[:1], pad, axis=0)]
+    )
     return frames_p, np.arange(n + pad) < n
 
 
@@ -324,6 +328,7 @@ def _ecc_match_arrays_sharded(
     return_stats: bool,
     mask,
     mesh,
+    device_output: bool = False,
 ):
     """Multi-chip ``ecc_match_arrays``: the whole align+stack step runs
     as ONE shard_map program over the mesh's 'data' axis
@@ -393,7 +398,8 @@ def _ecc_match_arrays_sharded(
                 f"{bad.tolist()}"
             )
     kept = int(ok.sum())
-    out = np.asarray(total) if sigma else np.asarray(total) / max(kept, 1)
+    fetch = (lambda x: x) if device_output else np.asarray
+    out = fetch(total) if sigma else fetch(total) / max(kept, 1)
     return (out, stats) if return_stats else out
 
 
@@ -405,8 +411,13 @@ def ecc_match_arrays(
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
     mesh=None,
+    device_output: bool = False,
 ):
-    """Array-based ``ecc_match``: ``frames`` is ``[N,H,W,3] uint8`` RGB.
+    """Array-based ``ecc_match``: ``frames`` is ``[N,H,W,3] uint8`` RGB
+    (numpy, staged to HBM once — or a device-resident ``jax.Array``,
+    used in place with no re-upload).  ``device_output=True`` returns
+    the stacked image as a ``jax.Array`` still in HBM (no D2H
+    materialisation — compose with further device-side processing).
 
     Returns the stacked ``[H,W,3] float32`` RGB image in [0,1]
     (frame 0's grid), like the reference returns a CV_32F Mat
@@ -432,7 +443,11 @@ def ecc_match_arrays(
     raises.
     """
     params.validate()
-    frames = np.asarray(frames)
+    if not isinstance(frames, jax.Array):
+        # device-resident bursts pass through untouched (np.asarray on
+        # a jax.Array is a full D2H download; callers that already
+        # staged the burst in HBM keep it there)
+        frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise InvalidParamsError(
             f"frames must be [N,H,W,3] uint8/uint16, got {frames.shape}"
@@ -474,7 +489,8 @@ def ecc_match_arrays(
     mesh = _resolve_mesh(mesh)
     if mesh is not None:
         return _ecc_match_arrays_sharded(
-            frames, params, scale_hw, on_failure, return_stats, mask, mesh
+            frames, params, scale_hw, on_failure, return_stats, mask,
+            mesh, device_output,
         )
 
     frames_j = jnp.asarray(frames)
@@ -591,6 +607,7 @@ def ecc_match_arrays(
             ecc_rho=np.asarray(result.rho).tolist(),
             clipped_sample_frac=clip_frac if sigma else None,
         )
+    fetch = (lambda x: x) if device_output else np.asarray
     if not ok.all():
         bad = np.nonzero(~ok)[0] + 1
         if on_failure == "raise":
@@ -600,16 +617,16 @@ def ecc_match_arrays(
                 "denominator)"
             )
         if sigma or sr_factor > 1:  # failed lanes already excluded
-            out = np.asarray(stacked_img)
+            out = fetch(stacked_img)
             return (out, stats) if return_stats else out
         # drop mode: failed frames contributed nothing to the sum
         count = 1 + int(ok.sum())
-        out = np.asarray(stacked_sum) / count
+        out = fetch(stacked_sum) / count
         return (out, stats) if return_stats else out
     out = (
-        np.asarray(stacked_img)
+        fetch(stacked_img)
         if (sigma or sr_factor > 1)
-        else np.asarray(stacked_sum) / n
+        else fetch(stacked_sum) / n
     )
     return (out, stats) if return_stats else out
 

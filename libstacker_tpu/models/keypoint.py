@@ -359,6 +359,7 @@ def _single_frame_out(frame_u8: np.ndarray, params) -> np.ndarray:
     """n==1 stack: frame 0 itself — bilinearly upsampled when a
     super-resolution output grid was requested (there are no other
     frames to recover detail from)."""
+    frame_u8 = np.asarray(frame_u8)  # one frame; device inputs download
     scale = 65535.0 if frame_u8.dtype == np.uint16 else 255.0
     out = frame_u8.astype(np.float32) / scale
     f = getattr(params, "output_scale", 1)
@@ -380,6 +381,7 @@ def _keypoint_match_arrays_sharded(
     return_stats: bool,
     mask,
     mesh,
+    device_output: bool = False,
 ):
     """Multi-chip ``keypoint_match_arrays``: batched ORB + matching +
     RANSAC + warp run as ONE shard_map program over the mesh's 'data'
@@ -440,7 +442,8 @@ def _keypoint_match_arrays_sharded(
     ok = np.asarray(ok_j)[:n]
     kept = int(ok.sum())
     dropped = n - kept
-    out = np.asarray(total) if sigma else np.asarray(total) / max(kept, 1)
+    fetch = (lambda x: x) if device_output else np.asarray
+    out = fetch(total) if sigma else fetch(total) / max(kept, 1)
     if return_stats:
         from ..utils.tracing import PipelineStats
 
@@ -463,6 +466,7 @@ def keypoint_match_arrays(
     return_stats: bool = False,
     mask: Optional[np.ndarray] = None,
     mesh=None,
+    device_output: bool = False,
 ):
     """Array-based ``keypoint_match``: ``frames`` is ``[N,H,W,3] uint8``
     RGB.  Returns ``(dropped_count, stacked [H,W,3] float32 RGB in
@@ -474,7 +478,9 @@ def keypoint_match_arrays(
     detection mask, applied to EVERY frame (sensor-fixed artifacts:
     lens dirt, watermarks, dead regions): no keypoints are detected in
     the masked region, so static overlay content cannot vote for an
-    identity homography.  Stacking is unaffected.
+    identity homography.  Stacking is unaffected.  ``frames`` may be a
+    device-resident ``jax.Array`` (no re-upload; numpy bursts are
+    staged once).
 
     ``mesh``: ``None`` (single device), ``"auto"`` (shard the frame
     axis over every visible device when there is more than one), or a
@@ -485,7 +491,10 @@ def keypoint_match_arrays(
     different stream than the single-device path, so warp estimates
     agree statistically, not bitwise."""
     params.validate()
-    frames = np.asarray(frames)
+    if not isinstance(frames, jax.Array):
+        # device-resident bursts pass through untouched (np.asarray on
+        # a jax.Array is a full D2H download)
+        frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise InvalidParamsError(
             f"frames must be [N,H,W,3] uint8/uint16, got {frames.shape}"
@@ -525,7 +534,8 @@ def keypoint_match_arrays(
     mesh = _resolve_mesh(mesh)
     if mesh is not None:
         return _keypoint_match_arrays_sharded(
-            frames, params, scale_hw, seed, return_stats, mask, mesh
+            frames, params, scale_hw, seed, return_stats, mask, mesh,
+            device_output,
         )
 
     frames_j = jnp.asarray(frames)
@@ -635,10 +645,11 @@ def keypoint_match_arrays(
     oks = oks_np
     kept = 1 + int(oks.sum())
     dropped = int((~oks).sum())
+    fetch = (lambda x: x) if device_output else np.asarray
     out = (
-        np.asarray(stacked_img)
+        fetch(stacked_img)
         if (sigma or sr_factor > 1)
-        else np.asarray(stacked_sum) / kept
+        else fetch(stacked_sum) / kept
     )
     if return_stats:
         from ..utils.tracing import PipelineStats

@@ -247,3 +247,50 @@ def test_ecc_match_stream_matches_batch(rng, tmp_path):
     batch = ecc_match_arrays(frames, params)
     streamed = ecc_match_stream(files, params, chunk_size=2)
     np.testing.assert_allclose(streamed, batch, atol=1e-5)
+
+
+def test_device_resident_input_and_output():
+    """jax.Array bursts are used in place (no forced np.asarray
+    download) and device_output=True returns the stack still in HBM —
+    both bitwise-identical to the numpy round-trip."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(71)
+    h, w = 64, 96
+    base = cv2.GaussianBlur(
+        rng.random((h * 2, w * 2)).astype(np.float32), (0, 0), 3.0
+    ) * 255.0
+    frames = []
+    for dx, dy in [(0, 0), (2.0, -1.0), (-1.5, 2.5)]:
+        m = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        cur = cv2.warpAffine(
+            base, m, (w * 2, h * 2),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.stack([cur] * 3, -1).astype(np.uint8))
+    frames = np.stack(frames)
+    params = EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=30, epsilon=1e-4
+    )
+    want = ecc_match_arrays(frames, params)
+    got_dev = ecc_match_arrays(jnp.asarray(frames), params)
+    np.testing.assert_array_equal(np.asarray(got_dev), want)
+    out_dev = ecc_match_arrays(frames, params, device_output=True)
+    assert isinstance(out_dev, jax.Array)
+    np.testing.assert_array_equal(np.asarray(out_dev), want)
+    # keypoint counterpart
+    from libstacker_tpu import KeyPointMatchParameters, keypoint_match_arrays
+
+    tex = np.stack([np.roll(
+        rng.integers(0, 256, (96 // 8, 128 // 8), np.uint8)
+        .repeat(8, 0).repeat(8, 1), i, 1) for i in range(3)])
+    kframes = np.repeat(tex[..., None], 3, axis=-1)
+    d0, w0 = keypoint_match_arrays(kframes, KeyPointMatchParameters())
+    d1, w1 = keypoint_match_arrays(
+        jnp.asarray(kframes), KeyPointMatchParameters(),
+        device_output=True,
+    )
+    assert d0 == d1
+    assert isinstance(w1, jax.Array)
+    np.testing.assert_array_equal(np.asarray(w1), w0)
