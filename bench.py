@@ -148,16 +148,32 @@ def parity_check(h=2160, w=3840):
     ))
     accum_max = float(np.abs(fused - unfused).max())
 
+    # raw-u8-source kernel path (r4): integer windows widened in-VMEM
+    # must be BITWISE identical to the materialised-f32 path
+    burst_u8 = jnp.clip(jnp.round(burst * 255.0), 0, 255).astype(
+        jnp.uint8
+    )
+    fused_u8 = np.asarray(warp_batch.warp_accumulate_rgb(
+        burst_u8, mats, oks, perspective=True, allow_pallas=True,
+        pallas_k=7,
+    ))
+    fused_f32 = np.asarray(warp_batch.warp_accumulate_rgb(
+        burst_u8.astype(jnp.float32) * (1.0 / 255.0), mats, oks,
+        perspective=True, allow_pallas=True, pallas_k=7,
+    ))
+    u8_max = float(np.abs(fused_u8 - fused_f32).max())
+
     ok = (warp_frac < 1e-3 and warp_max < 0.05 and mom_rel < 1e-4
-          and accum_max < 1e-3)
+          and accum_max < 1e-3 and u8_max == 0.0)
     log(f"parity: warp frac_off={warp_frac:.2e} max={warp_max:.2e} "
-        f"moments rel={mom_rel:.2e} accum max={accum_max:.2e} -> "
-        f"{'OK' if ok else 'MISMATCH'}")
+        f"moments rel={mom_rel:.2e} accum max={accum_max:.2e} "
+        f"u8src max={u8_max:.2e} -> {'OK' if ok else 'MISMATCH'}")
     return {
         "warp_frac_off": warp_frac,
         "warp_maxdiff": warp_max,
         "moments_reldiff": mom_rel,
         "warp_accum_maxdiff": accum_max,
+        "warp_accum_u8src_maxdiff": u8_max,
         "ok": ok,
     }
 
@@ -245,11 +261,10 @@ def main():
     @functools.partial(jax.jit, static_argnames=("warp_k", "allow_pallas"))
     def warp_accum(frames_chunk_u8, warps, oks, acc, warp_k=7,
                    allow_pallas=True):
-        f32 = color.u8_to_f32(frames_chunk_u8)
         # fused warp+accumulate kernel: one sweep per chunk, no warped
-        # intermediate (ops/warp_accum_pallas)
+        # intermediate, RAW u8 windows (ops/warp_accum_pallas)
         return acc + warp_batch.warp_accumulate_rgb(
-            f32, warps, oks, perspective=True,
+            frames_chunk_u8, warps, oks, perspective=True,
             allow_pallas=allow_pallas, pallas_k=warp_k,
         )
 

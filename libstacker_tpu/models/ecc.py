@@ -124,7 +124,6 @@ def _ecc_warp_accumulate_jit(
     masked sum over frames.  ``allow_pallas`` is the host-computed
     kernel-domain dispatch decision (ops.warp_batch)."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    frames_f32 = color.to_unit_f32(frames_u8)
     if scale_hw is not None:
         warps = _adjust_warp_for_scale(warps, motion_type, scale_hw, (h, w))
     # failed lanes contribute nothing; keep their (frozen, finite) warps
@@ -132,8 +131,11 @@ def _ecc_warp_accumulate_jit(
     eye = jnp.eye(3, dtype=warps.dtype)[: warps.shape[1]]
     warps = jnp.where(oks[:, None, None], warps, eye)
     perspective = motion_type == MotionType.Homography
-    return frames_f32[0] + warp_accumulate_rgb(
-        frames_f32[1:], warps, oks, perspective=perspective,
+    # the RAW burst feeds the fused kernel (integer windows, 4x less
+    # HBM traffic than a materialised f32 copy; in-VMEM widen is
+    # bitwise identical to to_unit_f32)
+    return color.to_unit_f32(frames_u8[0]) + warp_accumulate_rgb(
+        frames_u8[1:], warps, oks, perspective=perspective,
         allow_pallas=allow_pallas, pallas_k=pallas_k,
         pallas_tile_rows=pallas_tile_rows,
     )
@@ -834,7 +836,7 @@ def ecc_match_stream(
                     warps, params.motion_type, scale_hw, (h, w)
                 )
             acc = acc + warp_accumulate_rgb(
-                color.to_unit_f32(frames_j), warps, ok_lane,
+                frames_j, warps, ok_lane,
                 perspective=params.motion_type == MotionType.Homography,
                 allow_pallas=cfg is not None,
                 pallas_k=cfg[0] if cfg else 7,

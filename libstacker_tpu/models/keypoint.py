@@ -254,7 +254,6 @@ def _warp_and_accumulate_chunk(
     apron-extended source (ops.warp_batch; ``apron`` from
     pallas_required_apron, host-computed like ``pallas_k``)."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    frames_f32 = color.to_unit_f32(frames_u8)
     if scale_hw is not None:
         hs = _adjust_h_for_scale(hs, scale_hw, (h, w))
     # dropped frames contribute nothing, but their (possibly wild or
@@ -265,16 +264,18 @@ def _warp_and_accumulate_chunk(
     border, _ = warp._resolve_border(border_mode, 0.0)
     if border in ("constant", "transparent"):
         # fused warp+accumulate kernel (one sweep, no [C,H,W,3]
-        # intermediate); TRANSPARENT over a zero dst base is tap-wise
+        # intermediate, RAW integer burst in — the kernel widens
+        # in-VMEM); TRANSPARENT over a zero dst base is tap-wise
         # CONSTANT 0 (see ops.warp_batch)
         return warp_accumulate_rgb(
-            frames_f32, hs, oks, perspective=True,
+            frames_u8, hs, oks, perspective=True,
             border_value=jnp.zeros(3) if border == "transparent" else bv,
             allow_pallas=allow_pallas, pallas_k=pallas_k,
             pallas_tile_rows=pallas_tile_rows,
         )
     warped = warp_frames_batch(
-        frames_f32, hs, perspective=True, border_value=bv,
+        color.to_unit_f32(frames_u8), hs, perspective=True,
+        border_value=bv,
         allow_pallas=allow_pallas, pallas_k=pallas_k,
         border_mode=border_mode, apron=apron,
         pallas_tile_rows=pallas_tile_rows,

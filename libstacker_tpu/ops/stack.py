@@ -124,14 +124,21 @@ def _coverage(mats3: jnp.ndarray, h: int, w: int,
 
 def _fused_moments_ok(
     h: int, w: int, allow_pallas: bool, pallas_k: int,
-    pallas_tile_rows: int,
+    pallas_tile_rows: int, row_align: int = 32,
 ) -> bool:
     """Host-side dispatch for the FUSED moments kernel (same geometry
     gate as ops/warp_batch.warp_accumulate_rgb; the warp-domain gate is
-    the caller's ``allow_pallas``, from pallas_pick_config)."""
+    the caller's ``allow_pallas``, from pallas_pick_config).
+    ``row_align`` defaults to the uint8 raw-source window alignment —
+    the fused sweeps feed the kernel the RAW burst (4x less window
+    traffic), whose clip-floor slack needs 32-row alignment."""
     wp = ((w + 127) // 128) * 128
-    wh = ((pallas_tile_rows + 2 * pallas_k + 10 + 7) // 8) * 8
-    fits = ((h + 7) // 8) * 8 >= wh and wp >= _warp_tile_cols(wp, pallas_tile_rows) + 256
+    wh = -(-(pallas_tile_rows + 2 * pallas_k + 2 + row_align)
+           // row_align) * row_align
+    fits = (
+        -(-h // row_align) * row_align >= wh
+        and wp >= _warp_tile_cols(wp, pallas_tile_rows) + 256
+    )
     return bool(allow_pallas and _pallas_usable(h, w) and fits)
 
 
@@ -150,20 +157,22 @@ def _moments_chunk(
 
     ``fused=True`` (host-gated by :func:`_fused_moments_ok`) runs the
     single-sweep Pallas moments kernel: no [C,H,W,3] warped
-    intermediate, coverage + moment accumulation in-tile."""
+    intermediate, coverage + moment accumulation in-tile, and the RAW
+    uint8/uint16 burst feeds the kernel (integer windows, in-VMEM
+    widen)."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    f = color.to_unit_f32(frames_u8)
     if fused:
         from . import warp_accum_pallas
 
         minv = jnp.linalg.inv(mats.astype(jnp.float32))
         s0c, s1, s2 = warp_accum_pallas.warp_moments_rgb_pallas(
-            f, minv, oks, k=pallas_k,
+            frames_u8, minv, oks, k=pallas_k,
             tile=(pallas_tile_rows,
                   _warp_tile_cols(-(-w // 128) * 128, pallas_tile_rows)),
             quant_affine=not perspective, interpret=_warp_interpret(),
         )
         return s0c[..., 0], s1, s2
+    f = color.to_unit_f32(frames_u8)
     wf = warp_frames_batch(
         f, mats, perspective=perspective, allow_pallas=allow_pallas,
         pallas_k=pallas_k, pallas_tile_rows=pallas_tile_rows,
@@ -190,17 +199,17 @@ def _clipped_chunk(
     """Re-warp sweep accumulating only samples within ``tol`` of ``mu``
     (per pixel AND per channel) -> (C0/C1/C2 [H,W,3])."""
     h, w = frames_u8.shape[1], frames_u8.shape[2]
-    f = color.to_unit_f32(frames_u8)
     if fused:
         from . import warp_accum_pallas
 
         minv = jnp.linalg.inv(mats.astype(jnp.float32))
         return warp_accum_pallas.warp_moments_rgb_pallas(
-            f, minv, oks, mu=mu, tol=tol, k=pallas_k,
+            frames_u8, minv, oks, mu=mu, tol=tol, k=pallas_k,
             tile=(pallas_tile_rows,
                   _warp_tile_cols(-(-w // 128) * 128, pallas_tile_rows)),
             quant_affine=not perspective, interpret=_warp_interpret(),
         )
+    f = color.to_unit_f32(frames_u8)
     wf = warp_frames_batch(
         f, mats, perspective=perspective, allow_pallas=allow_pallas,
         pallas_k=pallas_k, pallas_tile_rows=pallas_tile_rows,

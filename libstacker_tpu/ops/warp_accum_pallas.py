@@ -59,6 +59,8 @@ def _warp_accum_kernel(
     quant_affine: bool,
     moments: bool = False,
     clip: bool = False,
+    src_scale: float = 0.0,
+    row_align: int = 8,
 ):
     # ref layout (moments/clip extend the plain accumulate kernel):
     #   m_ref    SMEM [N, 12]: 9 inverse-matrix entries + valid + 2 pad
@@ -84,7 +86,13 @@ def _warp_accum_kernel(
     y0 = ti * th
     x0 = tj * tw
 
-    wh = ((th + 2 * k + 10 + 7) // 8) * 8
+    # Integer sources DMA raw u8/u16 windows (4x / 2x less HBM traffic
+    # than the materialised f32 burst) and convert+scale in-VMEM; their
+    # coarser sublane tiling forces row starts to multiples of
+    # ``row_align`` (u8: 32, u16: 16, f32: 8 — the empirical Mosaic DMA
+    # alignment rule), so the window carries row_align-1 rows of
+    # clip-floor slack instead of 7.
+    wh = _round_up(th + 2 * k + 3 + row_align - 1, row_align)
     ww = tw + 256  # pixel columns; interleaved width is 3*ww
 
     def window_origin(n_, ti_, tj_):
@@ -101,7 +109,7 @@ def _warp_accum_kernel(
         bx_ = jnp.round(csx - cx_).astype(jnp.int32)
         r0i = ti_ * th + by_ - (k + 1)
         c0i = tj_ * tw + bx_ - (k + 1)
-        r0_ = (jnp.clip(r0i, 0, hp - wh) // 8) * 8
+        r0_ = (jnp.clip(r0i, 0, hp - wh) // row_align) * row_align
         c0_ = (jnp.clip(c0i, 0, wp - ww) // 128) * 128
         return r0_, c0_, r0i, c0i
 
@@ -166,6 +174,16 @@ def _warp_accum_kernel(
         sem.at[slot],
     ).wait()
     win = scratch[slot]
+    if src_scale:
+        # integer source: widen + normalise ONCE per window — the tap
+        # loop then runs the identical f32 math as the f32-source path
+        # (exact-integer convert * scale is exactly to_unit_f32's
+        # value, so results stay bitwise identical).  Mosaic has no
+        # direct u8->f32 cast; hop through int32 (zero-extend, exact).
+        win = (
+            win.astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(src_scale)
+        )
     win = pltpu.roll(win, jnp.mod(r0 - r0_ideal, wh), 0)
     win = pltpu.roll(win, jnp.mod(3 * (c0 - c0_ideal), 3 * ww), 1)
 
@@ -319,9 +337,17 @@ def _launch(
         raise ValueError(f"tile {tile}: need rows % 8 == 0, cols % 128 == 0")
     if not (1 <= k <= 40):
         raise ValueError(f"k={k} outside the supported band (1..40)")
-    hp = _round_up(h, 8)
+    # integer sources ride the kernel raw (4x/2x less window traffic);
+    # their coarser sublane tiling needs coarser row alignment
+    if frames.dtype == jnp.uint8:
+        src_scale, row_align = 1.0 / 255.0, 32
+    elif frames.dtype == jnp.uint16:
+        src_scale, row_align = 1.0 / 65535.0, 16
+    else:
+        src_scale, row_align = 0.0, 8
+    hp = _round_up(h, row_align)
     wp = _round_up(w, 128)
-    wh = ((th + 2 * k + 10 + 7) // 8) * 8
+    wh = _round_up(th + 2 * k + 3 + row_align - 1, row_align)
     ww = tw + 256
     if hp < wh or wp < ww:
         raise ValueError(
@@ -348,7 +374,8 @@ def _launch(
     kernel = functools.partial(
         _warp_accum_kernel, th=th, tw=tw, k=k, h=h, w=w, hp=hp, wp=wp,
         ny=ny, nx=nx, nf=n, quant_affine=quant_affine,
-        moments=moments, clip=clip,
+        moments=moments, clip=clip, src_scale=src_scale,
+        row_align=row_align,
     )
     out_tile = pl.BlockSpec(
         (1, th, 3 * tw), lambda i, j, nn: (0, i, j),
@@ -377,7 +404,7 @@ def _launch(
         in_specs=in_specs,
         out_specs=(out_tile,) * 3 if moments else out_tile,
         scratch_shapes=[
-            pltpu.VMEM((2, wh, 3 * ww), jnp.float32),
+            pltpu.VMEM((2, wh, 3 * ww), frames.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         # Wide-column tiles (LIBSTACKER_WARP_TILE_COLS) overflow the

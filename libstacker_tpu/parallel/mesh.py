@@ -312,9 +312,10 @@ def _ecc_step_program(
             )
             total = _sharded_sigma_total(wf, incl, sigma_kappa, sigma_iters)
         else:
-            # fused warp+accumulate (one Pallas sweep on TPU; masked sum)
+            # fused warp+accumulate (one Pallas sweep on TPU; masked
+            # sum) — RAW burst in, the kernel widens in-VMEM
             partial = warp_accumulate_rgb(
-                f32, warps, res_ok, perspective=perspective
+                frames_local, warps, res_ok, perspective=perspective
             )
             total = jax.lax.psum(partial, "data")
         ok = jax.lax.all_gather(res_ok, "data", tiled=True)
@@ -601,21 +602,22 @@ def _keypoint_step_program(
         else:
 
             def fast_branch(args):
-                f32_, hs_, oks_ = args
+                frames_, hs_, oks_ = args
                 return warp_accumulate_rgb(
-                    f32_, hs_, oks_, perspective=True, border_value=bv,
+                    frames_, hs_, oks_, perspective=True, border_value=bv,
                     allow_pallas=True, pallas_k=7,
                 )
 
             def exact_branch(args):
-                f32_, hs_, oks_ = args
+                frames_, hs_, oks_ = args
                 return warp_accumulate_rgb(
-                    f32_, hs_, oks_, perspective=True, border_value=bv,
+                    frames_, hs_, oks_, perspective=True, border_value=bv,
                     allow_pallas=False,
                 )
 
             partial = jax.lax.cond(
-                fast_ok, fast_branch, exact_branch, (f32, hs_safe, oks_l)
+                fast_ok, fast_branch, exact_branch,
+                (frames_local, hs_safe, oks_l),
             )
             total = jax.lax.psum(partial, "data")
         ok = jax.lax.all_gather(oks_l, "data", tiled=True)

@@ -284,3 +284,59 @@ def test_fused_large_rotation_shrunk_tile():
     d = np.abs(got - want)
     assert (d > 1e-5).mean() <= 2e-3, (d > 1e-5).mean()
     assert d.max() < 0.02, d.max()
+
+
+def test_integer_source_bitwise_matches_f32():
+    """r4: the kernel DMAs RAW uint8/uint16 windows (4x/2x less HBM
+    traffic) and widens+normalises in-VMEM — results must be BITWISE
+    identical to feeding color.to_unit_f32(frames), for the plain
+    accumulate, the moments pass, and the clip pass (on-chip smoke
+    2026-08-20 confirmed the same on real Mosaic; bench.py's parity
+    check re-asserts it every round)."""
+    from libstacker_tpu.ops import color
+    from libstacker_tpu.ops.warp_accum_pallas import (
+        warp_moments_rgb_pallas,
+    )
+
+    rng = np.random.default_rng(79)
+    h, w = 192, 512
+    frames_u8 = rng.integers(0, 256, (3, h, w, 3), np.uint8)
+    mats = np.stack([np.eye(3, dtype=np.float32)] * 3)
+    mats[1, 0, 2] = -3.5
+    mats[1, 1, 2] = 2.25
+    mats[2, 0, 2] = 5.0
+    minv = np.linalg.inv(mats)
+    oks = jnp.asarray([1.0, 1.0, 0.0])
+    for raw in (frames_u8, frames_u8.astype(np.uint16) * 257):
+        f32 = color.to_unit_f32(jnp.asarray(raw))
+        a = np.asarray(warp_accum_rgb_pallas(
+            f32, jnp.asarray(minv), oks, k=3, tile=(64, 128),
+            interpret=True,
+        ))
+        b = np.asarray(warp_accum_rgb_pallas(
+            jnp.asarray(raw), jnp.asarray(minv), oks, k=3,
+            tile=(64, 128), interpret=True,
+        ))
+        np.testing.assert_array_equal(a, b)
+    f32 = color.to_unit_f32(jnp.asarray(frames_u8))
+    s = warp_moments_rgb_pallas(
+        f32, jnp.asarray(minv), oks, k=3, tile=(64, 128), interpret=True
+    )
+    t = warp_moments_rgb_pallas(
+        jnp.asarray(frames_u8), jnp.asarray(minv), oks, k=3,
+        tile=(64, 128), interpret=True,
+    )
+    for x, y in zip(s, t):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    mu = jnp.asarray(np.asarray(s[1]) / np.maximum(np.asarray(s[0]), 1))
+    tol = jnp.full((h, w, 3), 0.02, jnp.float32)
+    s2 = warp_moments_rgb_pallas(
+        f32, jnp.asarray(minv), oks, mu=mu, tol=tol, k=3,
+        tile=(64, 128), interpret=True,
+    )
+    t2 = warp_moments_rgb_pallas(
+        jnp.asarray(frames_u8), jnp.asarray(minv), oks, mu=mu, tol=tol,
+        k=3, tile=(64, 128), interpret=True,
+    )
+    for x, y in zip(s2, t2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
