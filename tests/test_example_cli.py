@@ -67,3 +67,39 @@ def test_cli_keypoint_stream(tiny_burst, tmp_path):
     )
     assert rc == 0
     assert (out / "keypoint_full.png").exists()
+
+
+def test_cli_mesh_flag(tiny_burst, tmp_path):
+    """--mesh N routes both pipelines through the public sharded path
+    (r3 VERDICT item 1: the CLI, like the reference's example, must get
+    multi-chip without orchestration)."""
+    out = tmp_path / "out_mesh"
+    rc = _run_cli(
+        [str(tiny_burst), "--out", str(out), "--method", "all",
+         "--no-scaled", "--mesh", "2", "--max-count", "20",
+         "--epsilon", "1e-3", "--motion-type", "translation"]
+    )
+    assert rc == 0
+    for name in ("ecc_full.png", "keypoint_full.png"):
+        img = np.asarray(Image.open(out / name))
+        assert img.shape == (120, 160, 3)
+
+
+def test_cli_stream_sigma_clip(tiny_burst, tmp_path):
+    """Streaming sigma-clip is un-errored in the CLI (r3 VERDICT item
+    6); the checkpoint combination refuses."""
+    out = tmp_path / "out_ssig"
+    rc = _run_cli(
+        [str(tiny_burst), "--out", str(out), "--method", "ecc",
+         "--no-scaled", "--keep-all", "--stream", "2",
+         "--stacking", "sigma_clip", "--max-count", "20",
+         "--epsilon", "1e-3", "--motion-type", "translation"]
+    )
+    assert rc == 0
+    assert (out / "ecc_full.png").exists()
+    with pytest.raises(SystemExit):
+        _run_cli(
+            [str(tiny_burst), "--out", str(out), "--method", "ecc",
+             "--stream", "2", "--stacking", "sigma_clip",
+             "--checkpoint", str(tmp_path / "ck")]
+        )
