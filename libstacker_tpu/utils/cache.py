@@ -30,9 +30,23 @@ _DEFAULT_DIR = os.environ.get(
 
 def enable_compilation_cache(path: str = _DEFAULT_DIR) -> str:
     """Point JAX's persistent compilation cache at ``path`` (created on
-    demand).  Safe to call more than once; returns the directory."""
+    demand).  Safe to call more than once; returns the directory (or
+    "" when the cache stays off).
+
+    TPU-ONLY: serialising some CPU-backend executables SEGFAULTS
+    inside ``jax.compilation_cache.put_executable_and_time`` (observed
+    2026-08-20 under pytest — a CLI test enabled the cache
+    process-wide and a later CPU pipeline test crashed the whole
+    suite).  CPU runs compile in seconds anyway; the cache's job is
+    the multi-minute Mosaic/XLA TPU tail."""
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - no backend at all
+        backend = None
+    if backend != "tpu":
+        return ""
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
