@@ -38,3 +38,25 @@ def noise_image(rng):
 @pytest.fixture(scope="session")
 def noise_rgb(rng):
     return rng.integers(0, 256, size=(64, 80, 3), dtype=np.uint8)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test FILES.
+
+    Two consecutive full-suite runs (2026-08-20) segfaulted inside the
+    XLA CPU backend while compiling an ECC slab program late in the
+    suite (once in compilation_cache serialization, once in
+    backend_compile_and_load) — the same test passes in every
+    file-subset run, so the trigger is whole-suite accumulated compile
+    state, not the test.  Clearing jit caches per module bounds the
+    live LLVM-JIT'd program population; programs recompile on demand
+    (fixtures holding device arrays are unaffected).
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
