@@ -424,8 +424,9 @@ def run_secondaries(ecc_frames, bl):
     each, plus a compact summary dict for the headline's extra_metrics.
     Each metric times the SECOND run (first run pays compile, reported
     as warmup_s).  A wall-clock budget bounds the total so a driver
-    bench run cannot stall on secondary compiles."""
-    budget_s = float(os.environ.get("BENCH_SECONDARY_BUDGET", "1200"))
+    bench run cannot stall on secondary compiles — the headline JSON
+    line prints LAST, so a killed bench run would lose it."""
+    budget_s = float(os.environ.get("BENCH_SECONDARY_BUDGET", "700"))
     t_start = time.perf_counter()
     summary = {}
 
@@ -441,6 +442,8 @@ def run_secondaries(ecc_frames, bl):
 
     # keypoint 20f 4K (the r3 keypoint headline, machine-captured)
     try:
+        if left() < 120:
+            raise RuntimeError("secondary budget exhausted before start")
         sys.path.insert(0, os.path.join(os.path.dirname(__file__),
                                         "benchmarks"))
         import bench_keypoint as bk
@@ -463,6 +466,8 @@ def run_secondaries(ecc_frames, bl):
         # the reference's own recommended production config: detection
         # on a scale_down_width=800 grid ("2-4x speedup with minimal
         # accuracy loss", src/lib.rs:93,108), warp at full res
+        if left() < 120:
+            raise RuntimeError("secondary budget exhausted (scaled)")
         from libstacker_tpu.models.keypoint import keypoint_match_arrays
         from libstacker_tpu.params import KeyPointMatchParameters
 
