@@ -394,12 +394,13 @@ def _keypoint_match_arrays_sharded(
     from .ecc import _pad_burst
 
     n, h, w = frames.shape[:3]
-    if getattr(params, "output_scale", 1) != 1:
-        raise InvalidParamsError(
-            "output_scale > 1 (super-resolution) is not supported with "
-            "mesh=; use the single-device pipeline"
-        )
+    sr_factor = getattr(params, "output_scale", 1)
     border = constants.border_mode_name(params.border_mode)
+    if sr_factor > 1 and border not in ("constant", "transparent"):
+        raise InvalidParamsError(
+            "output_scale > 1 requires BORDER_CONSTANT or "
+            f"BORDER_TRANSPARENT, got border mode {border!r}"
+        )
     if (getattr(params, "stacking", "mean") == "sigma_clip"
             and border not in ("constant", "transparent")):
         raise InvalidParamsError(
@@ -439,12 +440,14 @@ def _keypoint_match_arrays_sharded(
         border_value=tuple(params.border_value),
         lane_valid=jnp.asarray(lane_valid),
         return_extras=True,
+        output_scale=sr_factor,
     )
     ok = np.asarray(ok_j)[:n]
     kept = int(ok.sum())
     dropped = n - kept
     fetch = (lambda x: x) if device_output else np.asarray
-    out = fetch(total) if sigma else fetch(total) / max(kept, 1)
+    final = sigma or sr_factor > 1  # already a finalised image
+    out = fetch(total) if final else fetch(total) / max(kept, 1)
     if return_stats:
         from ..utils.tracing import PipelineStats
 

@@ -8,6 +8,7 @@ from .mesh import (
     ecc_stack_step,
     ecc_stack_step_spatial,
     init_distributed,
+    keypoint_solve_step,
     keypoint_stack_step,
     make_global_mesh,
     make_mesh,
@@ -21,6 +22,7 @@ __all__ = [
     "ecc_stack_step",
     "ecc_stack_step_spatial",
     "init_distributed",
+    "keypoint_solve_step",
     "keypoint_stack_step",
     "make_global_mesh",
     "make_mesh",

@@ -125,21 +125,37 @@ def ecc_stack_step(
     input_mask: Optional[jnp.ndarray] = None,
     lane_valid: Optional[jnp.ndarray] = None,
     return_extras: bool = False,
+    output_scale: int = 1,
+    mode: Optional[str] = None,
 ):
     """One full sharded align+stack step.
 
     ``frames_u8``: [N,H,W,3] uint8, N divisible by the 'data' axis size.
     ``reference_grey``: [H,W] float32 (frame 0's grey, replicated).
 
-    Per shard: grey-convert local frames, batched-ECC them against the
-    replicated reference (the in-graph band-ladder solve), warp via
-    the SAME fast-kernel dispatch the single-chip pipelines use
-    (``warp_frames_batch`` — the Pallas tiled kernel on TPU; the
-    graph solve's final domain check guarantees every ok-lane's warp
-    sits inside the kernel's widest band in both directions), partial-sum;
-    then ``psum`` over 'data' replaces the reference's try_reduce
-    (src/lib.rs:819-833).
-    Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool).
+    r5 structure (VERDICT r4 item 8): the step is a HOST-DRIVEN
+    composition of three bounded shard_map programs instead of one
+    monolithic device program —
+
+    1. *prep* (:func:`_ecc_prep_program`): per-shard grey conversion,
+       optional scale-down, octave pyramid build, template blur and the
+       phase-correlation warm start;
+    2. *solve* (:func:`_ecc_solve_sharded`): the slab-driven batched
+       Gauss-Newton solve, mirroring the dense host driver
+       (``ops.ecc.find_transform_ecc_batched``) level for level — the
+       same coarse-to-fine rho seeding, the same k-escalation ladder on
+       TPU, the same exact-XLA rescue of failed lanes, and the same
+       ``default_slab_iters`` program-length bound, so no single device
+       program can trip the TPU runtime's long-program watchdog even at
+       ``max_count=2500`` (the monolithic in-graph solve ran the whole
+       iteration budget as one program);
+    3. *stack* (:func:`_ecc_stack_program`): per-shard warp+accumulate
+       with the SAME host-side Pallas band dispatch the single-chip
+       pipelines use (``pallas_pick_config`` over the solved, fetched
+       warps), then ``psum`` over 'data' replaces the reference's
+       try_reduce (src/lib.rs:819-833).
+
+    Returns (stacked_sum [H,W,3] f32 replicated, ok [N] bool numpy).
 
     ``stacking="sigma_clip"`` (beyond-reference, see ops/stack.py):
     kappa-sigma outlier rejection distributes naturally over the mesh —
@@ -154,6 +170,13 @@ def ecc_stack_step(
     boundary (each flip moves that pixel by at most one sample's
     influence; the mean path has no such discontinuity).
 
+    ``output_scale`` > 1 (super-resolution, r4 VERDICT item 6): the
+    shift-and-add deposit of ops/stack.py distributes like the moments —
+    each shard deposits its local frames onto the fine grid and the
+    weight/value accumulators ``psum`` over 'data'.  The first return
+    value is then the FINAL [f*H, f*W, 3] image.  Not combinable with
+    ``stacking="sigma_clip"``.
+
     Feature parity with the single-chip pipeline (r3 VERDICT item 2):
 
     - ``scale_hw``: the (h_small, w_small) SOLVE grid — the scale-down
@@ -163,8 +186,10 @@ def ecc_stack_step(
       in-graph (uint8-rounded INTER_AREA, dense-path parity) and the
       solved warps are upscaled (src/lib.rs:941-958) before the
       full-res warp.
-    - ``coarse_levels``: in-graph coarse-to-fine cascade (the r3
-      headline lever) — octave warm starts inside the graph solve.
+    - ``coarse_levels``: coarse-to-fine octave cascade with the dense
+      driver's cross-scale rho seeding (r4 VERDICT item 7 — the two
+      drivers now share one stopping rule, so mesh on/off parity is
+      tight).
     - ``input_mask``: cv2 ``inputMask`` at the SOLVE grid, replicated
       (prepare with ``models.ecc._ecc_mask_jit``); disables the phase
       warm start like the single-chip pipeline.
@@ -178,7 +203,7 @@ def ecc_stack_step(
     reduction, stacking at native depth (color.depth_reduce_u8 /
     to_unit_f32 — same contract as the single-chip pipelines).
 
-    The program is built once per (mesh, config) and wrapped in
+    Every program is built once per (mesh, config) and wrapped in
     ``jax.jit`` — calling ``shard_map`` eagerly re-dispatches outside
     the jit cache and, on the TPU backend, recompiles the whole module
     on EVERY call (measured: 306 s per call at 4x240x320 vs 15 s once
@@ -189,8 +214,16 @@ def ecc_stack_step(
         raise ValueError(
             f"stacking must be 'mean' or 'sigma_clip', got {stacking!r}"
         )
+    if output_scale > 1 and stacking != "mean":
+        raise ValueError(
+            "output_scale > 1 cannot be combined with sigma_clip"
+        )
     if input_mask is not None:
         phase_init = False  # whole-frame FFT would see the masked content
+    n, h, w = frames_u8.shape[0], frames_u8.shape[1], frames_u8.shape[2]
+    ndata = mesh.shape["data"]
+    if n % ndata != 0:
+        raise ValueError(f"N={n} must divide the data axis ({ndata})")
 
     if scale_hw is not None:
         scale_hw = (int(scale_hw[0]), int(scale_hw[1]))
@@ -199,153 +232,636 @@ def ecc_stack_step(
                 f"reference_grey must be at the solve grid {scale_hw}, "
                 f"got {tuple(reference_grey.shape)}"
             )
-    fn = _ecc_step_program(
-        mesh, motion_type, int(num_iters), float(eps),
-        int(gauss_filt_size), bool(phase_init), stacking,
-        float(sigma_kappa), int(sigma_iters), scale_hw,
-        int(coarse_levels), input_mask is not None,
-        lane_valid is not None, bool(return_extras),
+    warps, rho, iters, ok_np = _ecc_solve_sharded(
+        frames_u8, reference_grey, mesh,
+        motion_type=motion_type, num_iters=int(num_iters), eps=float(eps),
+        gauss_filt_size=int(gauss_filt_size), phase_init=bool(phase_init),
+        scale_hw=scale_hw, coarse_levels=int(coarse_levels),
+        input_mask=input_mask, mode=mode,
     )
-    args = (frames_u8, reference_grey)
     if lane_valid is not None:
-        args = args + (lane_valid,)
-    if input_mask is not None:
-        args = args + (input_mask,)
-    return fn(*args)
+        ok_np = ok_np & np.asarray(jax.device_get(lane_valid), bool)
+    total = _ecc_stack_sharded(
+        frames_u8, warps, ok_np, mesh,
+        motion_type=motion_type, scale_hw=scale_hw, stacking=stacking,
+        sigma_kappa=float(sigma_kappa), sigma_iters=int(sigma_iters),
+        output_scale=int(output_scale),
+    )
+    if return_extras:
+        return total, ok_np, rho, iters
+    return total, ok_np
 
 
-@functools.lru_cache(maxsize=128)
-def _ecc_step_program(
+def _ecc_solve_sharded(
+    frames_u8,
+    reference_grey,
     mesh: Mesh,
     motion_type: MotionType,
     num_iters: int,
     eps: float,
     gauss_filt_size: int,
     phase_init: bool,
-    stacking: str,
-    sigma_kappa: float,
-    sigma_iters: int,
     scale_hw,
     coarse_levels: int,
-    has_mask: bool,
-    has_valid: bool,
-    return_extras: bool,
+    input_mask,
+    mode: Optional[str] = None,
 ):
-    """Build + jit the sharded ECC step for one static config (cached:
-    stable function identity keeps repeat calls on jit's fast path; the
-    persistent compilation cache absorbs the cross-process compile)."""
-    from ..ops import resize as resize_ops, stack as stack_ops
-    from ..ops.ecc import _MAX_SOLVE_LANES
-    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
+    """Slab-driven sharded ECC solve -> (warps [N,r,3] np.f64, rho [N],
+    iters [N], ok [N] bool — all host numpy; warps are at the SOLVE
+    grid).  Mirrors the dense host driver
+    (``ops.ecc.find_transform_ecc_batched``) stage for stage so mesh
+    on/off produces the same iterates: octave cascade with cross-scale
+    rho seeding, k-escalation ladder on the fused TPU kernel, exact-XLA
+    rescue for failed lanes, and ``default_slab_iters``-bounded device
+    programs (r4 VERDICT items 7+8).  All host decisions are made from
+    fully-replicated scalars/arrays, so every process of a multi-host
+    (DCN) run takes identical control-flow branches.
+    """
+    import os as _os
+
+    if mode is None:
+        mode = ecc_ops._ecc_mode_default()
+    if input_mask is not None and mode == "ic":
+        mode = "forward"  # same downgrade as the dense driver
+    n = frames_u8.shape[0]
+    grid = (
+        scale_hw if scale_hw is not None
+        else (int(frames_u8.shape[1]), int(frames_u8.shape[2]))
+    )
+    hs, ws = grid
+    levels = [
+        lvl for lvl in range(1, coarse_levels + 1)
+        if min(hs, ws) // 2 ** lvl >= 64
+    ]
+    level_shapes = tuple((hs // 2 ** lvl, ws // 2 ** lvl) for lvl in levels)
+
+    # --- prep: per-shard grey + octave templates + phase warm start ---
+    prep = _ecc_prep_program(
+        mesh, scale_hw, level_shapes, int(gauss_filt_size),
+        bool(phase_init), motion_type,
+    )
+    outs = prep(frames_u8, reference_grey)
+    tmpl_by_level = {0: outs[0]}
+    for i, lvl in enumerate(levels):
+        tmpl_by_level[lvl] = outs[1 + i]
+    warp_init = outs[-1] if phase_init else None
+
+    # --- image-side fields per level (replicated; host-computed from
+    # the replicated reference, exactly like the dense driver) ---
+    ref_by_level = {0: reference_grey}
+    mask_by_level = {0: input_mask}
+    il = reference_grey
+    ml = (
+        None if input_mask is None
+        else (jnp.asarray(input_mask) > 0).astype(jnp.float32)
+    )
+    for lvl in range(1, (max(levels) + 1) if levels else 1):
+        dh, dw = hs // 2 ** lvl, ws // 2 ** lvl
+        il = ecc_ops._resize_area_jit(il, dh, dw)
+        if ml is not None:
+            ml = ecc_ops._resize_area_jit(ml, dh, dw)
+        if lvl in levels:
+            ref_by_level[lvl] = il
+            mask_by_level[lvl] = None if ml is None else ml >= 0.5
+
+    eps_oct = eps
+    if eps > 0:
+        eps_oct = eps * float(
+            _os.environ.get("LIBSTACKER_COARSE_EPS_MULT", "1")
+        )
+
+    init = warp_init
+    rho_seed = None
+    for lvl in sorted(levels, reverse=True):
+        s = 2 ** lvl
+        if init is not None and init is warp_init and lvl == max(levels):
+            # the phase warm start is at the solve grid; bring it to the
+            # deepest octave (subsequent levels rescale 2x below)
+            init = _rescale_warps_jit(init, motion_type, 1.0 / s)
+        wm, rho_o, ok_o = _drive_sharded_solve(
+            mesh, tmpl_by_level[lvl], ref_by_level[lvl],
+            mask_by_level[lvl], init, None, motion_type, num_iters,
+            eps_oct, gauss_filt_size, mode, n,
+        )[:3]
+        # a failed/frozen octave lane's iterate is not a meaningful warm
+        # start — hand the finer level this level's own init (dense
+        # driver semantics via the rescue; here via explicit fallback)
+        base = init
+        if base is None:
+            base = np.tile(
+                np.asarray(ecc_ops.identity_warp(motion_type)),
+                (n, 1, 1),
+            )
+        wm = _where_ok_jit(ok_o, wm, base)
+        init = _rescale_warps_jit(wm, motion_type, 2.0)
+        # cross-scale rho seed (r4 VERDICT item 7): the SAME stopping
+        # rule as the dense driver — a lane whose octave converged hands
+        # its rho down so the finer level stops after one polishing
+        # iteration when |d rho| < eps across the scale change
+        rho_seed = _rho_seed_jit(ok_o, rho_o)
+    if _os.environ.get("LIBSTACKER_COARSE_RHO_SEED", "1") == "0":
+        rho_seed = None
+    wm, rho, ok, iters = _drive_sharded_solve(
+        mesh, tmpl_by_level[0], ref_by_level[0], mask_by_level[0],
+        init, rho_seed, motion_type, num_iters, eps, gauss_filt_size,
+        mode, n,
+    )
+    return (
+        np.asarray(jax.device_get(wm), np.float64),
+        np.asarray(jax.device_get(rho)),
+        np.asarray(jax.device_get(iters)),
+        np.asarray(jax.device_get(ok), bool),
+    )
+
+
+def _drive_sharded_solve(
+    mesh: Mesh,
+    templates_f,  # [N,h,w] f32 blurred, sharded P('data')
+    ref_grey,  # [h,w] f32 (RAW, unblurred), replicated
+    input_mask,  # [h,w] bool/float or None, replicated
+    warp_init,  # [N,r,3] or None
+    rho_seed,  # [N] f32 or None (octave rho, -1 = no seed)
+    motion_type: MotionType,
+    num_iters: int,
+    eps: float,
+    gauss_filt_size: int,
+    mode: str,
+    n: int,
+):
+    """Drive one grid level's sharded solve to completion: bounded slab
+    programs with host-synced convergence flags, the k-escalation
+    ladder on TPU and the exact-XLA rescue — the sharded mirror of the
+    dense driver's ``drive`` loop.  Returns (m, rho, ok, iters) as
+    REPLICATED device arrays."""
+    import os as _os
+
+    h, w = int(templates_f.shape[1]), int(templates_f.shape[2])
+    ndata = mesh.shape["data"]
+    n_loc = n // ndata
+    pre_mask = None
+    if input_mask is not None:
+        image_f, gx, gy, pre_mask = ecc_ops._ecc_prepare_input_masked_jit(
+            ref_grey, input_mask, gauss_filt_size
+        )
+    else:
+        image_f, gx, gy = ecc_ops._ecc_prepare_input_jit(
+            ref_grey, gauss_filt_size
+        )
+
+    carry = _sharded_carry_init(
+        n, motion_type, mode, eps, warp_init, rho_seed
+    )
+    m_init = carry[0]
+
+    use_pallas = (
+        ecc_ops._pallas_ok(h, w)
+        and tuple(image_f.shape[-2:]) == (h, w)
+    )
+
+    def drive(carry, use_pallas: bool, warp_k: int = 7):
+        slab_iters = ecc_ops.default_slab_iters(
+            n_loc, h, w, use_pallas=use_pallas
+        )
+        fn = _ecc_slab_program(
+            mesh, motion_type, num_iters, float(eps), slab_iters,
+            use_pallas, warp_k, mode, pre_mask is not None,
+        )
+        disp = 1
+        while True:
+            for _ in range(disp):
+                args = (templates_f, image_f, gx, gy) + tuple(carry)
+                if pre_mask is not None:
+                    args = args + (pre_mask,)
+                out = fn(*args)
+                carry = out[:-2]
+                flags = out[-2:]
+            not_done, esc_pending = jax.device_get(
+                (flags[0], flags[1])
+            )
+            if int(not_done) == 0:
+                return carry, int(esc_pending) > 0
+            disp = min(disp * 2, 8)
+
+    if not use_pallas:
+        carry, _ = drive(carry, False)
+    else:
+        env_k = ecc_ops._ecc_warp_k()
+        ladder = (env_k,) if env_k is not None else ecc_ops._K_LADDER
+        for ki, k in enumerate(ladder):
+            carry, esc_pending = drive(carry, True, k)
+            if ki + 1 == len(ladder) or not esc_pending:
+                break
+            carry = _reactivate_sharded_jit(carry, float(eps))
+        # exact-XLA rescue of any failed lane (genuine ECC failures get
+        # the reference formulation's verdict; domain-escapes beyond
+        # the widest band get the unbounded gather path)
+        any_bad = int(jax.device_get(_count_bad_jit(carry[4])))
+        if any_bad:
+            if mode in ("ic", "lazy"):
+                carry = (_restore_init_jit(carry[4], carry[0], m_init),
+                         ) + tuple(carry[1:])
+            carry = _reactivate_sharded_jit(
+                carry, float(eps), all_bad=True
+            )
+            carry, _ = drive(carry, False)
+
+    gather = _ecc_gather_program(mesh, 4)
+    m, rho, ok, iters = gather(carry[0], carry[1], carry[4], carry[3])
+    return m, rho, ok, iters
+
+
+@functools.lru_cache(maxsize=64)
+def _ecc_prep_program(
+    mesh: Mesh,
+    scale_hw,
+    level_shapes,
+    gauss_filt_size: int,
+    phase_init: bool,
+    motion_type: MotionType,
+):
+    """Per-shard solve prep: grey conversion (+ optional INTER_AREA
+    scale-down, dense-path parity: resize the uint8 grey BEFORE the
+    float cast), blurred templates for the solve grid and every octave
+    (cascaded 2x INTER_AREA reductions of the RAW grey, like the dense
+    octave build), and the phase-correlation warm start.  All
+    per-frame-local — no collectives."""
+    from ..ops import resize as resize_ops
     from .. import constants
 
-    def local_step(frames_local, ref_grey, valid_local, input_mask):
-        h, w = frames_local.shape[1], frames_local.shape[2]
+    def local(frames_local, ref_grey):
         grey_u8 = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_local))
         if scale_hw is not None:
-            # dense-path parity: resize the uint8 grey (rounded back to
-            # u8) BEFORE the float cast (models.ecc._ecc_grey_jit)
             grey_u8 = resize_ops.resize(
                 grey_u8, scale_hw, constants.INTER_AREA
             )
         grey = grey_u8.astype(jnp.float32)
-        f32 = color.to_unit_f32(frames_local)
-        n_loc = grey.shape[0]
-        warp_init = None
+        outs = [filters.gaussian_blur(grey, gauss_filt_size)]
+        tl = grey
+        for dh, dw in level_shapes:
+            tl = ecc_ops._resize_area_jit(tl, dh, dw)
+            outs.append(filters.gaussian_blur(tl, gauss_filt_size))
         if phase_init:
             from ..ops import phasecorr
 
-            # in-graph warm start: batched FFT translation estimate
-            # (ops/phasecorr.py) — local frames only, no collective
-            warp_init = phasecorr.phase_init_warps(
-                grey, ref_grey, motion_type=motion_type
-            )
-        # static lane-group chunking: the fused kernel's SMEM moment
-        # accumulator bounds one batched solve at _MAX_SOLVE_LANES
-        parts = []
-        for s0 in range(0, n_loc, _MAX_SOLVE_LANES):
-            parts.append(
-                ecc_ops.find_transform_ecc_batched_graph(
-                    grey[s0 : s0 + _MAX_SOLVE_LANES],
-                    ref_grey,
-                    motion_type=motion_type,
-                    num_iters=num_iters,
-                    eps=eps,
-                    gauss_filt_size=gauss_filt_size,
-                    warp_init=(
-                        None if warp_init is None
-                        else warp_init[s0 : s0 + _MAX_SOLVE_LANES]
-                    ),
-                    input_mask=input_mask,
-                    coarse_levels=coarse_levels,
+            outs.append(
+                phasecorr.phase_init_warps(
+                    grey, ref_grey, motion_type=motion_type
                 )
             )
-        warps = jnp.concatenate([p.warp_matrix for p in parts])
-        res_ok = jnp.concatenate([p.ok for p in parts])
-        rho = jnp.concatenate([p.rho for p in parts])
-        iters = jnp.concatenate([p.num_iters for p in parts])
-        if valid_local is not None:
-            res_ok = res_ok & valid_local
-        if scale_hw is not None:
-            from ..models.ecc import _adjust_warp_for_scale
+        return tuple(outs)
 
-            warps = _adjust_warp_for_scale(
-                warps, motion_type, scale_hw, (h, w)
-            )
-        perspective = motion_type == MotionType.Homography
-        if stacking == "sigma_clip":
-            # distributed kappa-sigma clip: local warped shard + psum'd
-            # per-pixel moments (ops/stack.py semantics, sharded)
-            from ..ops import warp as warp_ops
-
-            h_, w_ = f32.shape[1], f32.shape[2]
-            m3 = (
-                warps if warps.shape[-2] == 3
-                else jax.vmap(warp_ops.affine_to_3x3)(warps)
-            )
-            eye = jnp.eye(3, dtype=m3.dtype)
-            m3 = jnp.where(res_ok[:, None, None], m3, eye)
-            wf = warp_frames_batch(f32, m3, perspective=perspective)
-            incl = (
-                stack_ops._coverage(m3, h_, w_, perspective)
-                & res_ok[:, None, None]
-            )
-            total = _sharded_sigma_total(wf, incl, sigma_kappa, sigma_iters)
-        else:
-            # fused warp+accumulate (one Pallas sweep on TPU; masked
-            # sum) — RAW burst in, the kernel widens in-VMEM
-            partial = warp_accumulate_rgb(
-                frames_local, warps, res_ok, perspective=perspective
-            )
-            total = jax.lax.psum(partial, "data")
-        ok = jax.lax.all_gather(res_ok, "data", tiled=True)
-        if return_extras:
-            rho_g = jax.lax.all_gather(rho, "data", tiled=True)
-            it_g = jax.lax.all_gather(iters, "data", tiled=True)
-            return total, ok, rho_g, it_g
-        return total, ok
-
-    # only the arguments actually supplied appear in the traced
-    # signature (None has no pytree leaves to give an in_spec to)
-    if has_valid and has_mask:
-        wrapped = local_step
-        specs = (P("data"), P(), P("data"), P())
-    elif has_valid:
-        wrapped = lambda f, r, v: local_step(f, r, v, None)
-        specs = (P("data"), P(), P("data"))
-    elif has_mask:
-        wrapped = lambda f, r, m: local_step(f, r, None, m)
-        specs = (P("data"), P(), P())
-    else:
-        wrapped = lambda f, r: local_step(f, r, None, None)
-        specs = (P("data"), P())
-    nout = 4 if return_extras else 2
+    nout = 1 + len(level_shapes) + (1 if phase_init else 0)
     return jax.jit(shard_map(
-        wrapped,
+        local,
         mesh=mesh,
-        in_specs=specs,
+        in_specs=(P("data"), P()),
+        out_specs=tuple([P("data")] * nout),
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=128)
+def _ecc_slab_program(
+    mesh: Mesh,
+    motion_type: MotionType,
+    num_iters: int,
+    eps: float,
+    slab_iters: int,
+    use_pallas: bool,
+    warp_k: int,
+    mode: str,
+    has_mask: bool,
+):
+    """One bounded solve slab as a shard_map program: each shard
+    advances its local lanes by at most ``slab_iters`` Gauss-Newton
+    iterations (``ops.ecc._ecc_loop_batched`` — the exact same slab the
+    dense driver dispatches), then psums two replicated scalars the
+    host drive loop reads: the not-yet-converged lane count and the
+    domain-escalation-pending count."""
+    from ..ops.ecc import _MAX_SOLVE_LANES
+
+    def local(tmpl_f, image_f, gx, gy, *rest):
+        if has_mask:
+            carry, pre_mask = rest[:-1], rest[-1]
+        else:
+            carry, pre_mask = rest, None
+        n_loc = tmpl_f.shape[0]
+        # static lane-group chunking: the fused kernel's SMEM moment
+        # accumulator bounds one batched solve at _MAX_SOLVE_LANES
+        new_parts = []
+        for s0 in range(0, n_loc, _MAX_SOLVE_LANES):
+            sub = tuple(c[s0 : s0 + _MAX_SOLVE_LANES] for c in carry)
+            new_parts.append(ecc_ops._ecc_loop_batched(
+                tmpl_f[s0 : s0 + _MAX_SOLVE_LANES], image_f, gx, gy,
+                sub, motion_type, num_iters, eps, slab_iters,
+                use_pallas, warp_k, mode, pre_mask,
+            ))
+        new_c = tuple(
+            jnp.concatenate([p[i] for p in new_parts])
+            for i in range(len(new_parts[0]))
+        )
+        m, rho, last_rho, it, ok = new_c[:5]
+        done = (it >= num_iters) | (jnp.abs(rho - last_rho) < eps) | ~ok
+        not_done = jax.lax.psum(jnp.sum(~done), "data")
+        esc_pending = jax.lax.psum(
+            jnp.sum(new_c[5] & ~new_c[4]), "data"
+        )
+        return new_c + (not_done, esc_pending)
+
+    n_carry = 8 if mode in ("ic", "lazy") else 6
+    in_specs = (P("data"), P(), P(), P()) + tuple([P("data")] * n_carry)
+    if has_mask:
+        in_specs = in_specs + (P(),)
+    out_specs = tuple([P("data")] * n_carry) + (P(), P())
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    ))
+
+
+def _sharded_carry_init(n, motion_type, mode, eps, warp_init, rho_seed):
+    """Fresh solve carry, mirroring the dense driver's init including
+    the cross-scale rho seed semantics: seeded lanes start at
+    (rho_seed, rho_seed - 2*eps) so the first iteration always runs
+    and OpenCV's |d rho| < eps test applies across the scale change;
+    unseeded lanes keep the (-1, -eps) cold start.  Host numpy for the
+    constant leaves (auto-replicated at dispatch; safe multi-process),
+    device arrays pass through."""
+    if warp_init is None:
+        m = np.tile(
+            np.asarray(ecc_ops.identity_warp(motion_type)), (n, 1, 1)
+        )
+    else:
+        m = warp_init
+    if rho_seed is not None and eps > 0 and mode in ("forward", "lazy"):
+        rho, last_rho = _seed_rho_jit(rho_seed, float(eps))
+    else:
+        rho = np.full((n,), -1.0, np.float32)
+        last_rho = np.full((n,), -float(eps), np.float32)
+    carry = (
+        m,
+        rho,
+        last_rho,
+        np.zeros((n,), np.int32),
+        np.ones((n,), bool),
+        np.zeros((n,), bool),
+    )
+    if mode in ("ic", "lazy"):
+        p = motion_type.num_params
+        carry = carry + (
+            np.zeros((n, p, p), np.float32),
+            np.zeros((n,), bool),
+        )
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _seed_rho_jit(rho_seed, eps: float):
+    valid = rho_seed > -1.0
+    rho = jnp.where(valid, rho_seed, jnp.float32(-1.0))
+    last = jnp.where(
+        valid, rho_seed - jnp.float32(eps), jnp.float32(0.0)
+    ) - jnp.float32(eps)
+    return rho, last
+
+
+@jax.jit
+def _rho_seed_jit(ok, rho):
+    return jnp.where(ok & (rho > -1.0), rho, jnp.float32(-1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("motion_type", "s"))
+def _rescale_warps_jit(warps, motion_type: MotionType, s: float):
+    return ecc_ops._rescale_warp_batch(
+        jnp.asarray(warps, jnp.float32), motion_type, s
+    )
+
+
+@jax.jit
+def _where_ok_jit(ok, a, b):
+    return jnp.where(
+        ok[:, None, None], jnp.asarray(a, jnp.float32),
+        jnp.asarray(b, jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "all_bad"))
+def _reactivate_sharded_jit(carry, eps: float, all_bad: bool = False):
+    """Warm-start lanes for another drive pass: the escalated lanes
+    (esc & ~ok) by default, or EVERY failed lane for the rescue pass —
+    elementwise on the sharded carry (ops.ecc._reactivate_carry)."""
+    lane_mask = (carry[5] & ~carry[4]) if not all_bad else ~carry[4]
+    return ecc_ops._reactivate_carry(tuple(carry), eps, lane_mask)
+
+
+@jax.jit
+def _count_bad_jit(ok):
+    return jnp.sum(~ok)
+
+
+@jax.jit
+def _restore_init_jit(ok, m, m_init):
+    bad = ~ok
+    return jnp.where(bad[:, None, None], jnp.asarray(m_init, m.dtype), m)
+
+
+@functools.lru_cache(maxsize=64)
+def _ecc_gather_program(mesh: Mesh, nout: int):
+    """all_gather ``nout`` lane-sharded arrays to replicated (tiny —
+    warps/rho/ok/iters), so the host (every process of a DCN run) can
+    fetch them for the stage-3 dispatch decisions."""
+    def local(*xs):
+        return tuple(
+            jax.lax.all_gather(x, "data", tiled=True) for x in xs
+        )
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple([P("data")] * nout),
         out_specs=tuple([P()] * nout),
-        check_vma=False,  # psum/all_gather outputs are replicated by construction
+        check_vma=False,
+    ))
+
+
+def _ecc_stack_sharded(
+    frames_u8,
+    warps_np: np.ndarray,  # [N,r,3] float64, at the SOLVE grid
+    ok_np: np.ndarray,  # [N] bool
+    mesh: Mesh,
+    motion_type: MotionType,
+    scale_hw,
+    stacking: str,
+    sigma_kappa: float,
+    sigma_iters: int,
+    output_scale: int = 1,
+):
+    """Stage 3 of the sharded step: adjust the solved warps for scale on
+    host (src/lib.rs:941-958), sanitise failed lanes to identity, pick
+    the Pallas kernel band with the SAME host dispatch the single-chip
+    pipelines use, and run the per-shard warp+accumulate / sigma-clip /
+    super-resolution program with a psum over 'data'."""
+    from ..ops import warp_batch
+
+    h, w = int(frames_u8.shape[1]), int(frames_u8.shape[2])
+    perspective = motion_type == MotionType.Homography
+    m = np.array(warps_np, np.float64, copy=True)
+    if m.shape[-2] == 2:
+        m3 = np.concatenate(
+            [m, np.tile(np.asarray([[[0.0, 0.0, 1.0]]]), (m.shape[0], 1, 1))],
+            axis=1,
+        )
+    else:
+        m3 = m
+    if scale_hw is not None:
+        sx = w / scale_hw[1]
+        sy = h / scale_hw[0]
+        m3[:, 0, 2] *= sx
+        m3[:, 1, 2] *= sy
+        if perspective:
+            m3[:, 2, 0] /= sx
+            m3[:, 2, 1] /= sy
+    m3[~ok_np] = np.eye(3)  # NaN matrices must not reach linalg.inv
+    m3f = m3.astype(np.float32)
+    kept = m3[ok_np] if ok_np.any() else m3[:0]
+    if output_scale > 1:
+        from ..ops.stack import _sr_pick_config
+
+        cfg = _sr_pick_config(m3f, h, w, output_scale)
+        fn = _ecc_sr_stack_program(
+            mesh, int(output_scale), bool(perspective),
+            cfg if cfg is None else (int(cfg[0]), int(cfg[1])),
+        )
+        return fn(frames_u8, m3f, ok_np)
+    cfg = warp_batch.pallas_pick_config(kept, h, w)
+    allow = cfg is not None
+    k = cfg[0] if cfg else 7
+    tile_rows = cfg[1] if cfg else 128
+    if stacking == "sigma_clip":
+        fn = _ecc_sigma_stack_program(
+            mesh, bool(perspective), float(sigma_kappa),
+            int(sigma_iters), allow, k, tile_rows,
+        )
+    else:
+        fn = _ecc_mean_stack_program(
+            mesh, bool(perspective), allow, k, tile_rows
+        )
+    return fn(frames_u8, m3f, ok_np)
+
+
+@functools.lru_cache(maxsize=64)
+def _ecc_mean_stack_program(
+    mesh: Mesh, perspective: bool, allow_pallas: bool, pallas_k: int,
+    tile_rows: int,
+):
+    """Per-shard fused warp+accumulate (RAW integer burst in, the
+    kernel widens in-VMEM) + psum over 'data' — the reference's
+    try_reduce (src/lib.rs:819-833)."""
+    from ..ops.warp_batch import warp_accumulate_rgb
+
+    def local(frames_local, m3_local, oks_local):
+        partial = warp_accumulate_rgb(
+            frames_local, m3_local, oks_local, perspective=perspective,
+            allow_pallas=allow_pallas, pallas_k=pallas_k,
+            pallas_tile_rows=tile_rows,
+        )
+        return jax.lax.psum(partial, "data")
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=64)
+def _ecc_sigma_stack_program(
+    mesh: Mesh, perspective: bool, kappa: float, iters: int,
+    allow_pallas: bool, pallas_k: int, tile_rows: int,
+):
+    """Per-shard warp + distributed kappa-sigma clip (psum'd per-pixel
+    moments; ops/stack.clip_iterate is the single source of truth)."""
+    from ..ops import stack as stack_ops
+    from ..ops.warp_batch import warp_frames_batch
+
+    def local(frames_local, m3_local, oks_local):
+        h, w = frames_local.shape[1], frames_local.shape[2]
+        f32 = color.to_unit_f32(frames_local)
+        wf = warp_frames_batch(
+            f32, m3_local, perspective=perspective,
+            allow_pallas=allow_pallas, pallas_k=pallas_k,
+            pallas_tile_rows=tile_rows,
+        )
+        incl = (
+            stack_ops._coverage(m3_local, h, w, perspective)
+            & oks_local[:, None, None]
+        )
+        return _sharded_sigma_total(wf, incl, kappa, iters)
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _ecc_sr_stack_program(
+    mesh: Mesh, factor: int, perspective: bool, cfg,
+):
+    """Per-shard super-resolution deposit + psum'd fine-grid weight /
+    value accumulators (r4 VERDICT item 6): each shard deposits its
+    local frames (static lane chunks bound the [C,fH,fW,3] transients),
+    the accumulators psum over 'data', and the finalisation
+    (weight-normalised shift-and-add; ops/stack.py semantics) runs on
+    the replicated sums.  ``cfg`` = (pallas_k, tile_rows) for the fused
+    per-phase kernel path, or None for the XLA gather deposit."""
+    from ..ops import stack as stack_ops
+
+    kernel_sigma = 0.3  # super_res_stack's default (no hole fallback)
+
+    def local(frames_local, m3_local, oks_local):
+        n_loc = frames_local.shape[0]
+        chunk = 4 if cfg is not None else 2
+        acc = None
+        for s0 in range(0, n_loc, chunk):
+            sl = slice(s0, s0 + chunk)
+            if cfg is not None:
+                part = stack_ops._sr_kernel_chunk(
+                    frames_local[sl], m3_local[sl], oks_local[sl],
+                    factor=factor, kernel_sigma=kernel_sigma,
+                    perspective=perspective, pallas_k=cfg[0],
+                    pallas_tile_rows=cfg[1],
+                )
+            else:
+                part = stack_ops._sr_chunk(
+                    frames_local[sl], m3_local[sl], oks_local[sl],
+                    factor=factor, kernel_sigma=kernel_sigma,
+                    perspective=perspective, with_fallback=False,
+                )
+            acc = part if acc is None else tuple(
+                a + p for a, p in zip(acc, part)
+            )
+        av = jax.lax.psum(acc[0], "data")
+        aw = jax.lax.psum(acc[1], "data")
+        if cfg is not None:
+            out_p = av / jnp.maximum(aw, 1e-6)[..., None]
+            return stack_ops._sr_interleave_phases(out_p, factor)
+        return av / jnp.maximum(aw, 1e-6)[..., None]
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
     ))
 
 
@@ -397,6 +913,7 @@ def keypoint_stack_step(
     border_value=(0.0, 0.0, 0.0, 0.0),
     lane_valid: Optional[jnp.ndarray] = None,
     return_extras: bool = False,
+    output_scale: int = 1,
 ):
     """One full sharded ORB/RANSAC align+stack step — the keypoint-path
     counterpart of :func:`ecc_stack_step` (reference Rayon fan-out at
@@ -422,6 +939,13 @@ def keypoint_stack_step(
     by ``ok.sum()`` for the mean like keypoint_match_arrays does.
     ``stacking="sigma_clip"`` mirrors :func:`ecc_stack_step`'s robust
     mode (the first return is then the FINAL image — don't divide).
+    ``output_scale`` > 1 (super-resolution, r4 VERDICT item 6)
+    distributes the shift-and-add deposit: each shard deposits its
+    local frames on the fine grid (the XLA gather formulation of
+    ops/stack._sr_chunk — RANSAC homographies are unbounded, so no
+    static kernel-band dispatch is possible in-graph) and the
+    weight/value accumulators psum over 'data'; the first return is
+    then the FINAL [f*H, f*W, 3] image.
 
     Feature parity with the single-chip pipeline (r3 VERDICT item 2):
 
@@ -460,6 +984,13 @@ def keypoint_stack_step(
             "stacking='sigma_clip' requires BORDER_CONSTANT or "
             f"BORDER_TRANSPARENT, got border mode {border!r}"
         )
+    if output_scale > 1 and (
+        stacking != "mean" or border not in ("constant", "transparent")
+    ):
+        raise ValueError(
+            "output_scale > 1 requires stacking='mean' and "
+            "BORDER_CONSTANT/TRANSPARENT"
+        )
     n = frames_u8.shape[0]
     if scale_hw is not None:
         scale_hw = (int(scale_hw[0]), int(scale_hw[1]))
@@ -473,7 +1004,7 @@ def keypoint_stack_step(
         int(sigma_iters), scale_hw, int(border_mode),
         tuple(float(v) for v in tuple(border_value)[:3]),
         det_mask is not None, lane_valid is not None,
-        bool(return_extras), n // ndata,
+        bool(return_extras), n // ndata, int(output_scale),
     )
     args = (frames_u8, ref_feats)
     if lane_valid is not None:
@@ -483,9 +1014,7 @@ def keypoint_stack_step(
     return fn(*args)
 
 
-@functools.lru_cache(maxsize=128)
-def _keypoint_step_program(
-    mesh: Mesh,
+def _kp_solve_local_fn(
     method: int,
     ransac_reproj_threshold: float,
     match_ratio: float,
@@ -493,37 +1022,28 @@ def _keypoint_step_program(
     max_iters: int,
     confidence: float,
     seed: int,
-    stacking: str,
-    sigma_kappa: float,
-    sigma_iters: int,
     scale_hw,
-    border_mode: int,
-    border_value,
-    has_det_mask: bool,
-    has_valid: bool,
-    return_extras: bool,
     n_loc: int,
 ):
-    """Build + jit the sharded keypoint step for one static config."""
-    from ..ops import matcher, orb, ransac as ransac_ops, warp_pallas
-    from ..ops import resize as resize_ops, stack as stack_ops
-    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
-    from ..ops import warp as warp_ops
+    """Shared per-shard ORB/match/RANSAC solve closure (used by the
+    stack program and by :func:`keypoint_solve_step`'s solve-only
+    program): batched ORB on the local frames, Hamming 2-NN against the
+    replicated reference features, ratio/sort/keep, vectorised RANSAC
+    with per-lane fold_in keys (lane identity independent of the mesh
+    layout), validity checks and the scale-down homography adjustment.
+    Returns ``(hs_safe [n,3,3] full-res, oks [n], match_counts,
+    inlier_counts)``."""
+    from ..ops import matcher, orb, ransac as ransac_ops
+    from ..ops import resize as resize_ops
     from .. import constants
 
-    border, _ = warp_ops._resolve_border(border_mode, 0.0)
-    bv = jnp.asarray(border_value, jnp.float32)
-    if border == "transparent":
-        # TRANSPARENT over a zero dst base is tap-wise CONSTANT 0
-        bv = jnp.zeros(3, jnp.float32)
     key = jax.random.PRNGKey(seed)
 
-    def local_step(frames_local, rfeats, valid_local, det_mask):
+    def solve_local(frames_local, rfeats, valid_local, det_mask):
         h, w = frames_local.shape[1], frames_local.shape[2]
         grey = color.rgb_to_gray_u8(color.depth_reduce_u8(frames_local))
         if scale_hw is not None:
             grey = resize_ops.resize(grey, scale_hw, constants.INTER_AREA)
-        f32 = color.to_unit_f32(frames_local)
         feats = jax.vmap(
             lambda g: orb.orb_detect_and_compute(g, mask=det_mask)
         )(grey)
@@ -563,11 +1083,218 @@ def _keypoint_step_program(
         hs_safe = jnp.where(
             oks_l[:, None, None], hs_l, jnp.eye(3, dtype=hs_l.dtype)
         )
+        return hs_safe, oks_l, mc_l, ic_l
+
+    return solve_local
+
+
+def keypoint_solve_step(
+    frames_u8: jnp.ndarray,
+    ref_feats,
+    mesh: Mesh,
+    method: int = 8,
+    ransac_reproj_threshold: float = 5.0,
+    match_ratio: float = 0.9,
+    match_keep_ratio: float = 0.8,
+    max_iters: int = 2000,
+    confidence: float = 0.995,
+    seed: int = 0,
+    scale_hw=None,
+    det_mask: Optional[jnp.ndarray] = None,
+    lane_valid: Optional[jnp.ndarray] = None,
+):
+    """Sharded keypoint SOLVE only (no stacking): the streaming
+    sigma-clip pipelines need the homographies themselves — the moment
+    sweeps warp the burst later, in their own sharded passes.  Returns
+    ``(hs [N,3,3] full-res replicated, ok [N], match_counts [N],
+    inlier_counts [N])`` as host numpy."""
+    n = frames_u8.shape[0]
+    ndata = mesh.shape["data"]
+    if n % ndata != 0:
+        raise ValueError(f"N={n} must divide the data axis ({ndata})")
+    if scale_hw is not None:
+        scale_hw = (int(scale_hw[0]), int(scale_hw[1]))
+    fn = _keypoint_solve_program(
+        mesh, int(method), float(ransac_reproj_threshold),
+        float(match_ratio), float(match_keep_ratio), int(max_iters),
+        float(confidence), int(seed), scale_hw,
+        det_mask is not None, lane_valid is not None, n // ndata,
+    )
+    args = (frames_u8, ref_feats)
+    if lane_valid is not None:
+        args = args + (lane_valid,)
+    if det_mask is not None:
+        args = args + (det_mask,)
+    hs, ok, mc, ic = fn(*args)
+    return (
+        np.asarray(jax.device_get(hs)),
+        np.asarray(jax.device_get(ok), bool),
+        np.asarray(jax.device_get(mc)),
+        np.asarray(jax.device_get(ic)),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _keypoint_solve_program(
+    mesh: Mesh,
+    method: int,
+    ransac_reproj_threshold: float,
+    match_ratio: float,
+    match_keep_ratio: float,
+    max_iters: int,
+    confidence: float,
+    seed: int,
+    scale_hw,
+    has_det_mask: bool,
+    has_valid: bool,
+    n_loc: int,
+):
+    """Solve-only sharded keypoint program: the shared local solve plus
+    all_gathers of the (tiny) homographies and per-lane stats."""
+    solve_local = _kp_solve_local_fn(
+        method, ransac_reproj_threshold, match_ratio, match_keep_ratio,
+        max_iters, confidence, seed, scale_hw, n_loc,
+    )
+
+    def local_step(frames_local, rfeats, valid_local, det_mask):
+        hs, oks, mc, ic = solve_local(
+            frames_local, rfeats, valid_local, det_mask
+        )
+        return tuple(
+            jax.lax.all_gather(x, "data", tiled=True)
+            for x in (hs, oks, mc, ic)
+        )
+
+    if has_valid and has_det_mask:
+        wrapped = local_step
+        specs = (P("data"), P(), P("data"), P())
+    elif has_valid:
+        wrapped = lambda f, r, v: local_step(f, r, v, None)
+        specs = (P("data"), P(), P("data"))
+    elif has_det_mask:
+        wrapped = lambda f, r, m: local_step(f, r, None, m)
+        specs = (P("data"), P(), P())
+    else:
+        wrapped = lambda f, r: local_step(f, r, None, None)
+        specs = (P("data"), P())
+    return jax.jit(shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=specs,
+        out_specs=tuple([P()] * 4),
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _stream_moments_program(
+    mesh: Mesh,
+    perspective: bool,
+    allow_pallas: bool,
+    pallas_k: int,
+    tile_rows: int,
+    fused: bool,
+    clipped: bool,
+):
+    """One sharded moment sweep over a streaming chunk (r4 VERDICT item
+    3, stream x mesh with sigma-clip): each shard re-warps its local
+    lanes and the per-pixel moment accumulators psum over 'data' —
+    the host accumulates across chunks exactly like the single-device
+    ``models.ecc._stream_sigma_stack`` sweeps."""
+    from ..ops import stack as stack_ops
+
+    def local(frames_local, mats_local, oks_local, *extra):
+        fn = (
+            stack_ops._clipped_chunk if clipped
+            else stack_ops._moments_chunk
+        )
+        out = fn(
+            frames_local, mats_local, oks_local, *extra,
+            perspective=perspective, allow_pallas=allow_pallas,
+            pallas_k=pallas_k, pallas_tile_rows=tile_rows, fused=fused,
+        )
+        return tuple(jax.lax.psum(o, "data") for o in out)
+
+    in_specs = (P("data"), P("data"), P("data"))
+    if clipped:
+        in_specs = in_specs + (P(), P())
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=tuple([P()] * 3),
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=128)
+def _keypoint_step_program(
+    mesh: Mesh,
+    method: int,
+    ransac_reproj_threshold: float,
+    match_ratio: float,
+    match_keep_ratio: float,
+    max_iters: int,
+    confidence: float,
+    seed: int,
+    stacking: str,
+    sigma_kappa: float,
+    sigma_iters: int,
+    scale_hw,
+    border_mode: int,
+    border_value,
+    has_det_mask: bool,
+    has_valid: bool,
+    return_extras: bool,
+    n_loc: int,
+    output_scale: int = 1,
+):
+    """Build + jit the sharded keypoint step for one static config."""
+    from ..ops import warp_pallas
+    from ..ops import stack as stack_ops
+    from ..ops.warp_batch import warp_accumulate_rgb, warp_frames_batch
+    from ..ops import warp as warp_ops
+
+    border, _ = warp_ops._resolve_border(border_mode, 0.0)
+    bv = jnp.asarray(border_value, jnp.float32)
+    if border == "transparent":
+        # TRANSPARENT over a zero dst base is tap-wise CONSTANT 0
+        bv = jnp.zeros(3, jnp.float32)
+    solve_local = _kp_solve_local_fn(
+        method, ransac_reproj_threshold, match_ratio, match_keep_ratio,
+        max_iters, confidence, seed, scale_hw, n_loc,
+    )
+
+    def local_step(frames_local, rfeats, valid_local, det_mask):
+        h, w = frames_local.shape[1], frames_local.shape[2]
+        f32 = color.to_unit_f32(frames_local)
+        hs_safe, oks_l, mc_l, ic_l = solve_local(
+            frames_local, rfeats, valid_local, det_mask
+        )
         minv = jnp.linalg.inv(hs_safe)
         in_band = warp_pallas.residual_domain_ok(minv, h, w, k=7, xp=jnp)
         fast_ok = jnp.all(in_band | ~oks_l)
 
-        if stacking == "sigma_clip":
+        if output_scale > 1:
+            # distributed super-resolution deposit (r4 VERDICT item 6):
+            # XLA gather formulation, lane-chunked to bound the
+            # [C,fH,fW,3] transients; weight/value grids psum over
+            # 'data' and the finalisation runs on the replicated sums
+            acc = None
+            for s0 in range(0, n_loc, 2):
+                sl = slice(s0, s0 + 2)
+                part = stack_ops._sr_chunk(
+                    frames_local[sl], hs_safe[sl], oks_l[sl],
+                    factor=output_scale, kernel_sigma=0.3,
+                    perspective=True, with_fallback=False,
+                )
+                acc = part if acc is None else tuple(
+                    a + p for a, p in zip(acc, part)
+                )
+            av = jax.lax.psum(acc[0], "data")
+            aw = jax.lax.psum(acc[1], "data")
+            total = av / jnp.maximum(aw, 1e-6)[..., None]
+        elif stacking == "sigma_clip":
 
             def fast_wf(args):
                 f32_, hs_ = args

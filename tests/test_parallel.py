@@ -175,31 +175,51 @@ def test_spatial_end_to_end_matches_dense():
 
 def test_sharded_flops_scale_with_data_axis(burst):
     """Compile-level scaling proof on the virtual mesh (wall-clock can't
-    scale on one physical core): the 8-frame sharded program's
-    per-device FLOPs must be <= ~1/3 of the 1-device program's (perfect
-    would be 1/4 on data=4; collectives and the replicated small solve
-    add overhead)."""
+    scale on one physical core): per-device FLOPs of the sharded step's
+    two heavy programs — the slab-driven solve
+    (pmesh._ecc_slab_program, r5 structure) and the stacking warp
+    (pmesh._ecc_mean_stack_program) — must be <= ~1/3 of their 1-device
+    counterparts' (perfect would be 1/4 on data=4; the psum and the
+    replicated image-side operands add overhead)."""
+    from libstacker_tpu.ops import ecc as ecc_ops
+
+    n = burst.shape[0]
     ref_grey = color.rgb_to_gray_u8(jnp.asarray(burst[0])).astype(jnp.float32)
+    image_f, gx, gy = ecc_ops._ecc_prepare_input_jit(ref_grey, 5)
+    tmpl_f = jnp.broadcast_to(image_f[None], (n,) + image_f.shape)
+    carry = pmesh._sharded_carry_init(
+        n, MotionType.Translation, "forward", 1e-3, None, None
+    )
+    mats = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
+    oks = np.ones(n, bool)
 
-    def cost(mesh):
-        frames_j = pmesh.shard_frames(jnp.asarray(burst), mesh)
-
-        def run(f, r):
-            return pmesh.ecc_stack_step(
-                f, r, mesh, motion_type=MotionType.Translation,
-                num_iters=4, eps=1e-3,
-            )
-
-        compiled = jax.jit(run).lower(frames_j, ref_grey).compile()
+    def flops(compiled):
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca["flops"])
 
-    f1 = cost(pmesh.make_mesh(jax.devices()[:1], data=1, spatial=1))
-    f4 = cost(pmesh.make_mesh(jax.devices()[:4], data=4, spatial=1))
+    def cost(mesh):
+        slab = pmesh._ecc_slab_program(
+            mesh, MotionType.Translation, 4, 1e-3, 4, False, 7,
+            "forward", False,
+        )
+        solve = flops(
+            slab.lower(tmpl_f, image_f, gx, gy, *carry).compile()
+        )
+        stackp = pmesh._ecc_mean_stack_program(mesh, False, False, 7, 128)
+        stack = flops(
+            stackp.lower(jnp.asarray(burst), mats, oks).compile()
+        )
+        return solve, stack
+
+    m1 = pmesh.make_mesh(jax.devices()[:1], data=1, spatial=1)
+    m4 = pmesh.make_mesh(jax.devices()[:4], data=4, spatial=1)
+    s1, k1 = cost(m1)
+    s4, k4 = cost(m4)
     # cost_analysis reports per-device flops for SPMD programs
-    assert f4 <= f1 / 3.0, (f1, f4)
+    assert s4 <= s1 / 3.0, (s1, s4)
+    assert k4 <= k1 / 3.0, (k1, k4)
 
 
 def test_sharded_keypoint_stack_matches_unsharded():
