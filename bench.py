@@ -359,11 +359,57 @@ def main():
             f"({dt:.1f}s incl compile) -> "
             f"{'OK' if sharded_ok else 'MISMATCH'}")
 
+    # Adjudicable warmup decomposition (r4 VERDICT item 2): count the
+    # programs built during the warmup run and split compile vs
+    # persistent-cache deserialisation vs residual (first-dispatch
+    # device execution + tunnel RTT) via jax.monitoring.
+    cstat = {"active": False, "n_programs": 0, "cache_hits": 0,
+             "backend_compile_s": 0.0, "deserialise_s": 0.0,
+             "trace_lower_s": 0.0}
+
+    def _ev(name, **kw):
+        if cstat["active"] and name == "/jax/compilation_cache/cache_hits":
+            cstat["cache_hits"] += 1
+
+    def _dur(name, dur, **kw):
+        if not cstat["active"]:
+            return
+        if name == "/jax/core/compile/backend_compile_duration":
+            cstat["n_programs"] += 1
+            cstat["backend_compile_s"] += dur
+        elif name == "/jax/compilation_cache/cache_retrieval_time_sec":
+            cstat["deserialise_s"] += dur
+        elif name in ("/jax/core/compile/jaxpr_trace_duration",
+                      "/jax/core/compile/jaxpr_to_mlir_module_duration"):
+            cstat["trace_lower_s"] += dur
+
+    jax.monitoring.register_event_listener(_ev)
+    jax.monitoring.register_event_duration_secs_listener(_dur)
+
     log("warmup/compile...")
+    cstat["active"] = True
     t0 = time.perf_counter()
     run_once(frames_j)
     warmup_s = time.perf_counter() - t0
-    log(f"warmup took {warmup_s:.1f}s")
+    cstat["active"] = False
+    # backend_compile_duration INCLUDES the cache-retrieval time on a
+    # hit, so fresh compilation is the difference; the residual is
+    # first-dispatch device execution + tunnel round-trips
+    warmup_breakdown = {
+        "n_programs": cstat["n_programs"],
+        "cache_hits": cstat["cache_hits"],
+        "compile_s": round(
+            max(cstat["backend_compile_s"] - cstat["deserialise_s"], 0.0),
+            2,
+        ),
+        "deserialise_s": round(cstat["deserialise_s"], 2),
+        "trace_lower_s": round(cstat["trace_lower_s"], 2),
+        "residual_dispatch_s": round(
+            max(warmup_s - cstat["backend_compile_s"]
+                - cstat["trace_lower_s"], 0.0), 2,
+        ),
+    }
+    log(f"warmup took {warmup_s:.1f}s  breakdown={warmup_breakdown}")
 
     t0 = time.perf_counter()
     run_once(frames_j)
@@ -398,12 +444,22 @@ def main():
 
     from libstacker_tpu.ops.ecc import _ecc_mode_default
 
+    # honest end-to-end accounting (r4 VERDICT item 5): the headline
+    # value is steady-state COMPUTE throughput with the burst resident
+    # in HBM (the production design: device-resident I/O); the
+    # upload-inclusive number charges this session's one-off H2D
+    # staging cost (a ~10 MB/s dev tunnel here — production hosts feed
+    # over PCIe) against the same single pass
+    fps_with_upload = N_FRAMES / (dt + upload_s)
     out = {
         "metric": f"ecc_homography_{N_FRAMES}f_{H}x{W}_align_stack",
         "value": round(fps, 3),
         "unit": "frames/sec",
+        "timing_basis": "compute_only_steady_state_burst_in_HBM",
+        "fps_including_upload": round(fps_with_upload, 3),
         "vs_baseline": round(vs, 2) if vs else None,
         "warmup_s": round(warmup_s, 1),
+        "warmup_breakdown": warmup_breakdown,
         "stages": stage,
         "ecc_mode": _ecc_mode_default(),
     }
@@ -512,7 +568,10 @@ def run_secondaries(ecc_frames, bl):
 
     def timed_pipeline(name, n_frames, **kwargs):
         """Warm + timed ecc_match_arrays run over the first n_frames of
-        the headline burst (already decoded on host)."""
+        the headline burst (already decoded on host).  ``params``
+        entries OVERRIDE the headline defaults (so secondaries can
+        change the motion model / criteria, e.g. the BASELINE config-2
+        Translation run)."""
         if left() < 60:
             log(f"secondary {name} skipped (budget)")
             summary[name + "_skipped"] = "budget"
@@ -523,11 +582,13 @@ def run_secondaries(ecc_frames, bl):
         # H2D bandwidth (the headline reports upload_s separately)
         sub = jnp.asarray(ecc_frames[:n_frames])
         sub.block_until_ready()
-        params = EccMatchParameters(
+        pkw = dict(
             motion_type=MotionType.Homography,
             max_count=NUM_ITERS, epsilon=EPS, gauss_filt_size=GAUSS,
-            phase_init=True, coarse_levels=1, **kwargs.pop("params", {}),
+            phase_init=True, coarse_levels=1,
         )
+        pkw.update(kwargs.pop("params", {}))
+        params = EccMatchParameters(**pkw)
         log(f"secondary: {name} ({n_frames}f)...")
 
         def once():
@@ -563,7 +624,79 @@ def run_secondaries(ecc_frames, bl):
     mask[: H // 4, : W // 4] = 0
     timed_pipeline("ecc_masked", 16, mask=mask)
     timed_pipeline("ecc_super_res_x2", 8, params=dict(output_scale=2))
+    # BASELINE config 2 (r4 VERDICT item 4): the cheapest motion model
+    # with OpenCV-style deep criteria (max_count=2500, eps=1e-4 — eps
+    # terminates long before 2500, like the reference's TermCriteria)
+    timed_pipeline(
+        "ecc_translation_mc2500", 16,
+        params=dict(motion_type=MotionType.Translation, max_count=2500,
+                    epsilon=1e-4),
+    )
+    sharpness_rank_stack(ecc_frames, bl, summary, emit, left)
     return summary
+
+
+def sharpness_rank_stack(ecc_frames, bl, summary, emit, left, n_frames=16):
+    """BASELINE config 4 (r4 VERDICT item 4): the reference example's
+    end-to-end workflow — score all four sharpness metrics, sort
+    ascending by Tenengrad, drop the worst frame, reverse so the
+    sharpest is the reference, then ECC-align+stack
+    (ref examples/main.rs:37-64).  Timed as one device-resident pass:
+    scoring, ranking, reordering and stacking all run on-chip."""
+    name = "sharpness_rank_drop_stack"
+    if left() < 90:
+        log(f"secondary {name} skipped (budget)")
+        summary[name + "_skipped"] = "budget"
+        return
+    import jax
+    import jax.numpy as jnp
+
+    from libstacker_tpu.models.ecc import ecc_match_arrays
+    from libstacker_tpu.ops import color
+    from libstacker_tpu.ops.sharpness import sharpness_all
+    from libstacker_tpu.params import EccMatchParameters, MotionType
+
+    sub = jnp.asarray(ecc_frames[:n_frames])
+    sub.block_until_ready()
+    params = EccMatchParameters(
+        motion_type=MotionType.Homography, max_count=NUM_ITERS,
+        epsilon=EPS, gauss_filt_size=GAUSS, phase_init=True,
+        coarse_levels=1,
+    )
+
+    @jax.jit
+    def rank(frames_u8):
+        grey = color.rgb_to_gray_u8(frames_u8).astype(jnp.float32)
+        scores = sharpness_all(grey)
+        order = jnp.argsort(scores["teng"])  # ascending (main.rs:53)
+        keep = order[1:][::-1]  # drop worst, sharpest becomes frame 0
+        return jnp.take(frames_u8, keep, axis=0), scores
+
+    def once():
+        burst, _ = rank(sub)
+        out = ecc_match_arrays(
+            burst, params, on_failure="drop", device_output=True
+        )
+        return float(out[0, 0, 0])  # scalar sync, no image D2H
+
+    log(f"secondary: {name} ({n_frames}f)...")
+    try:
+        t0 = time.perf_counter()
+        once()
+        warm_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        once()
+        dt = time.perf_counter() - t0
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"secondary {name} FAILED: {e!r}")
+        summary[name + "_error"] = repr(e)
+        return
+    emit({
+        "metric": f"{name}_{n_frames}f_{H}x{W}",
+        "value": round(n_frames / dt, 3),
+        "unit": "frames/sec",
+        "warmup_s": round(warm_s - dt, 1),
+    })
 
 
 if __name__ == "__main__":

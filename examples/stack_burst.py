@@ -145,15 +145,6 @@ def main():
     if args.stream > 0 and args.output_scale != 1:
         ap.error("--output-scale is not available with --stream (the "
                  "SR deposit needs whole-burst passes)")
-    if (args.stream > 0 and args.stacking == "sigma_clip"
-            and args.checkpoint is not None):
-        ap.error("--stacking sigma_clip with --stream cannot be "
-                 "checkpointed yet; drop --checkpoint")
-    if args.stream > 0 and args.mesh is not None:
-        ap.error("--mesh is not available with --stream yet (stream "
-                 "chunks are already pipeline-parallel on one chip)")
-    if args.mesh is not None and args.output_scale != 1:
-        ap.error("--output-scale is not available with --mesh")
     if args.output_scale != 1 and args.stacking != "mean":
         ap.error("--output-scale cannot be combined with "
                  "--stacking sigma_clip yet")
@@ -287,6 +278,7 @@ def main():
                         mask=align_mask,
                         preserve_depth=args.preserve_depth,
                         checkpoint_path=ckpt_path("keypoint", tag),
+                        mesh=mesh,
                     )
                 print(f"keypoint stream({tag}) dropped: {dropped}")
                 save_png(os.path.join(args.out, f"keypoint_{tag}.png"), img,
@@ -298,6 +290,7 @@ def main():
                         mask=align_mask,
                         preserve_depth=args.preserve_depth,
                         checkpoint_path=ckpt_path("ecc", tag),
+                        mesh=mesh,
                     )
                 save_png(os.path.join(args.out, f"ecc_{tag}.png"), img,
                          args.out_depth)

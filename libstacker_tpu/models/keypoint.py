@@ -704,6 +704,7 @@ def keypoint_match_stream(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 4,
     return_stats: bool = False,
+    mesh=None,
 ):
     """Streaming ``keypoint_match`` for bursts larger than HBM: frames
     are decoded (one chunk ahead on a background thread), ORB-matched
@@ -721,20 +722,28 @@ def keypoint_match_stream(
     ``params.stacking = "sigma_clip"`` streams too: the align pass
     stores the (tiny) homographies, then the moment accumulators of
     ops/stack.py stream over ``1 + sigma_iters`` extra decode passes
-    (see models.ecc._stream_sigma_stack).  Not combinable with
-    ``checkpoint_path`` yet."""
+    (see models.ecc._stream_sigma_stack).
+
+    ``mesh`` (r4 VERDICT item 3): streaming composes with multi-chip —
+    each chunk is sharded over the mesh's 'data' axis
+    (``parallel.keypoint_stack_step`` per chunk; the sigma-clip sweeps
+    psum their moments).  ``chunk_size`` is rounded up to a multiple of
+    the data-axis size.  The sharded RANSAC draws per-lane keys from
+    ``seed`` (not the single-device per-chunk key stream), so warp
+    estimates agree statistically with the unsharded stream, not
+    bitwise."""
     params.validate()
+    from .ecc import _resolve_mesh
+
+    mesh = _resolve_mesh(mesh)
+    if mesh is not None:
+        ndata = mesh.shape["data"]
+        chunk_size = -(-chunk_size // ndata) * ndata
     sigma = getattr(params, "stacking", "mean") == "sigma_clip"
     if getattr(params, "output_scale", 1) != 1:
         raise InvalidParamsError(
             "output_scale stacking is not available in the"
             " streaming pipelines; use the whole-burst entry points"
-        )
-    if sigma and checkpoint_path is not None:
-        raise InvalidParamsError(
-            "stacking='sigma_clip' streams over multiple decode passes "
-            "and cannot be checkpointed yet; drop checkpoint_path or "
-            "use the whole-burst entry point"
         )
     if sigma:
         border = constants.border_mode_name(params.border_mode)
@@ -782,6 +791,8 @@ def keypoint_match_stream(
     all_hs = []
     ckpt = None
     chunks_done = 0
+    sigma_resume = None
+    align_done = False
     if checkpoint_path is not None:
         from ..utils import checkpoint as ckpt_mod
 
@@ -791,22 +802,59 @@ def keypoint_match_stream(
                                chunk_size, extra=f"kp|{seed}", mask=mask),
         )
         chunks_done, state = ckpt.load()
-        if state is not None and chunks_done > 0:
-            acc = jnp.asarray(state["acc"])
+        if state is not None and int(state.get("phase", 0)) == 1:
+            # sigma-clip sweep phase (r4 VERDICT item 9): align done —
+            # restore its products and resume inside the moment sweeps
+            sigma_resume = dict(
+                pass_idx=int(state["pass_idx"]),
+                cursor=int(chunks_done),
+                part=(state["part0"], state["part1"], state["part2"]),
+                base=(
+                    (state["base0"], state["base1"], state["base2"])
+                    if int(state["has_base"]) else None
+                ),
+                total_s0=float(state["total_s0"]),
+            )
+            all_hs.append(state["al_warps"].astype(np.float32))
+            all_ok.append(state["al_ok"].astype(bool))
+            all_mc.append(state["al_mc"])
+            all_ic.append(state["al_ic"])
+            align_done = True
+            chunks_done = 0
+        elif state is not None and chunks_done > 0:
+            if "acc" in state:
+                acc = jnp.asarray(state["acc"])
             if state["ok"].size:
                 all_ok.append(state["ok"].astype(bool))
             if state.get("mc") is not None and state["mc"].size:
                 all_mc.append(state["mc"])
                 all_ic.append(state["ic"])
+            if sigma and state.get("hs") is not None and state["hs"].size:
+                all_hs.append(state["hs"].astype(np.float32))
             # replay the per-chunk RNG stream to the resume point so
             # the remaining chunks draw the same RANSAC hypotheses an
             # uninterrupted run would
             for _ in range(chunks_done):
                 key, _ = jax.random.split(key)
+
+    def save_align():
+        st = dict(
+            ok=np.concatenate(all_ok),
+            mc=np.concatenate(all_mc),
+            ic=np.concatenate(all_ic),
+        )
+        if sigma:
+            st["hs"] = (
+                np.concatenate(all_hs) if all_hs
+                else np.zeros((0, 3, 3), np.float32)
+            )
+        else:
+            st["acc"] = np.asarray(acc)
+        ckpt.save(chunks_done, **st)
     # async H2D double-buffering: upload chunk i+1 while chunk i's
     # detection/matching runs (decode-ahead already overlaps on a host
     # thread in io.prefetched_chunks)
-    gen = io.prefetched_chunks(
+    gen = iter(()) if align_done else io.prefetched_chunks(
         files, chunk_size, h, w, start=1 + chunks_done * chunk_size,
         preserve_depth=preserve_depth,
     )
@@ -815,15 +863,59 @@ def keypoint_match_stream(
         frames = next(gen, None)
         if frames is None:
             return None
-        return (
-            jax.device_put(io.pad_chunk(frames, chunk_size)),
-            frames.shape[0],
-        )
+        padded = io.pad_chunk(frames, chunk_size)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
 
+            return pmesh.shard_frames(jnp.asarray(padded), mesh), \
+                frames.shape[0]
+        return jax.device_put(padded), frames.shape[0]
+
+    ref_feats = (
+        jax.tree.map(lambda x: x[0], feats0) if mesh is not None else None
+    )
     cur = put_next()
     while cur is not None:
         frames_j, n_real = cur
         cur = put_next()
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            real_np = np.arange(chunk_size) < n_real
+            kw = dict(
+                method=params.method,
+                ransac_reproj_threshold=params.ransac_reproj_threshold,
+                match_ratio=params.match_ratio,
+                match_keep_ratio=params.match_keep_ratio,
+                max_iters=params.max_iters,
+                confidence=params.confidence,
+                seed=seed,
+                scale_hw=scale_hw,
+                det_mask=det_mask,
+                lane_valid=jnp.asarray(real_np),
+            )
+            if sigma:
+                hs_rep, ok_np, mc_np, ic_np = pmesh.keypoint_solve_step(
+                    frames_j, ref_feats, mesh, **kw
+                )
+                all_hs.append(hs_rep[:n_real].astype(np.float32))
+            else:
+                total, ok_np, mc_np, ic_np = pmesh.keypoint_stack_step(
+                    frames_j, ref_feats, mesh,
+                    border_mode=params.border_mode,
+                    border_value=tuple(params.border_value),
+                    return_extras=True, **kw,
+                )
+                acc = acc + total
+            all_ok.append(np.asarray(ok_np, bool)[:n_real])
+            all_mc.append(np.asarray(mc_np)[:n_real])
+            all_ic.append(np.asarray(ic_np)[:n_real])
+            chunks_done += 1
+            if ckpt is not None and (
+                chunks_done % max(checkpoint_every, 1) == 0 or cur is None
+            ):
+                save_align()
+            continue
         feats = detect_features_chunked(
             frames_j, scale_hw=scale_hw, det_mask=det_mask
         )
@@ -897,16 +989,10 @@ def keypoint_match_stream(
         if ckpt is not None and (
             chunks_done % max(checkpoint_every, 1) == 0 or cur is None
         ):
-            ckpt.save(
-                chunks_done,
-                acc=np.asarray(acc),
-                ok=np.concatenate(all_ok),
-                mc=np.concatenate(all_mc),
-                ic=np.concatenate(all_ic),
-            )
+            save_align()
 
     ok = np.concatenate(all_ok) if all_ok else np.zeros(0, bool)
-    if ckpt is not None:
+    if ckpt is not None and not sigma:
         ckpt.remove()  # completed — the checkpoint has served its job
     kept = 1 + int(ok.sum())
     dropped = int((~ok).sum())
@@ -922,8 +1008,18 @@ def keypoint_match_stream(
             files, mats_np, ok, perspective=True,
             kappa=params.sigma_kappa, iters=params.sigma_iters,
             chunk_size=chunk_size, hw=(h, w),
-            preserve_depth=preserve_depth,
+            preserve_depth=preserve_depth, mesh=mesh,
+            ckpt=ckpt, checkpoint_every=checkpoint_every,
+            align_save=(
+                dict(warps=mats_np, ok=ok,
+                     mc=np.concatenate(all_mc),
+                     ic=np.concatenate(all_ic))
+                if ckpt is not None else None
+            ),
+            resume=sigma_resume,
         )
+        if ckpt is not None:
+            ckpt.remove()
     else:
         out = np.asarray(acc) / kept
     if return_stats:

@@ -59,7 +59,8 @@ from .warp_batch import (
 _CLIP_TOL = np.float32(0.5 / 255.0)
 
 
-def clip_iterate(s0, s1, s2, kappa: float, iters: int, clipped_moments):
+def clip_iterate(s0, s1, s2, kappa: float, iters: int, clipped_moments,
+                 start_pass: int = 1, entry_state=None, pass_hook=None):
     """The kappa-sigma iteration shared by the single-chip and sharded
     paths (ONE source of truth for the clip semantics).
 
@@ -70,6 +71,14 @@ def clip_iterate(s0, s1, s2, kappa: float, iters: int, clipped_moments):
     channel) — a chunked re-warp sweep single-chip, a psum'd local
     sweep sharded.
 
+    Checkpoint/resume support (r4 VERDICT item 9, used by the streaming
+    sigma stack): ``entry_state`` = the (s0c, s1, s2) loop state
+    ENTERING clip pass ``start_pass`` (1-based; states are recorded by
+    ``pass_hook(i, s0c, s1, s2)``, called after each non-final pass
+    with the state entering pass i+1) — a resumed run passes the saved
+    state and start index and skips the completed passes' sweeps; the
+    ``s0/s1/s2`` arguments may then be None.
+
     Returns ``(out [H,W,C], kept [H,W,C])`` where ``kept`` is the LAST
     pass's pre-clamp surviving-sample count (pixels whose clip emptied
     report 0, not the clamped 1 — the honest rejected-fraction base).
@@ -79,9 +88,12 @@ def clip_iterate(s0, s1, s2, kappa: float, iters: int, clipped_moments):
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not kappa > 0.0:
         raise ValueError(f"kappa must be > 0, got {kappa}")
-    s0c = s0[..., None] if s0.ndim == s1.ndim - 1 else s0
+    if entry_state is not None:
+        s0c, s1, s2 = (jnp.asarray(x) for x in entry_state)
+    else:
+        s0c = s0[..., None] if s0.ndim == s1.ndim - 1 else s0
     kept = s0c
-    for _ in range(iters):
+    for i in range(start_pass, iters + 1):
         denom = jnp.maximum(s0c, 1.0)
         mu = s1 / denom
         var = jnp.maximum(s2 / denom - mu * mu, 0.0)
@@ -92,6 +104,8 @@ def clip_iterate(s0, s1, s2, kappa: float, iters: int, clipped_moments):
         s1 = jnp.where(s0c > 0.0, s1, mu)
         s2 = jnp.where(s0c > 0.0, s2, mu * mu)
         s0c = jnp.maximum(s0c, 1.0)
+        if pass_hook is not None and i < iters:
+            pass_hook(i + 1, s0c, s1, s2)
     return s1 / s0c, kept
 
 

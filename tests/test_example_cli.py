@@ -85,9 +85,25 @@ def test_cli_mesh_flag(tiny_burst, tmp_path):
         assert img.shape == (120, 160, 3)
 
 
+def test_cli_stream_mesh(tiny_burst, tmp_path):
+    """--stream composes with --mesh since r5 (r4 VERDICT item 3): each
+    chunk is sharded over the data axis."""
+    out = tmp_path / "out_sm"
+    rc = _run_cli(
+        [str(tiny_burst), "--out", str(out), "--method", "ecc",
+         "--no-scaled", "--keep-all", "--stream", "2", "--mesh", "2",
+         "--max-count", "20", "--epsilon", "1e-3",
+         "--motion-type", "translation"]
+    )
+    assert rc == 0
+    img = np.asarray(Image.open(out / "ecc_full.png"))
+    assert img.shape == (120, 160, 3)
+
+
 def test_cli_stream_sigma_clip(tiny_burst, tmp_path):
     """Streaming sigma-clip is un-errored in the CLI (r3 VERDICT item
-    6); the checkpoint combination refuses."""
+    6), and since r5 it COMPOSES with --checkpoint (r4 VERDICT item 9:
+    the sigma sweep schedule has a resumable cursor)."""
     out = tmp_path / "out_ssig"
     rc = _run_cli(
         [str(tiny_burst), "--out", str(out), "--method", "ecc",
@@ -97,9 +113,12 @@ def test_cli_stream_sigma_clip(tiny_burst, tmp_path):
     )
     assert rc == 0
     assert (out / "ecc_full.png").exists()
-    with pytest.raises(SystemExit):
-        _run_cli(
-            [str(tiny_burst), "--out", str(out), "--method", "ecc",
-             "--stream", "2", "--stacking", "sigma_clip",
-             "--checkpoint", str(tmp_path / "ck")]
-        )
+    rc = _run_cli(
+        [str(tiny_burst), "--out", str(out), "--method", "ecc",
+         "--no-scaled", "--keep-all", "--stream", "2",
+         "--stacking", "sigma_clip", "--max-count", "20",
+         "--epsilon", "1e-3", "--motion-type", "translation",
+         "--checkpoint", str(tmp_path / "ck")]
+    )
+    assert rc == 0  # completed: checkpoint consumed and removed
+    assert not any(tmp_path.glob("ck*"))

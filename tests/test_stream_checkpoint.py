@@ -159,6 +159,170 @@ def test_ecc_stream_corrupt_checkpoint_ignored(
     np.testing.assert_array_equal(out, ref)
 
 
+class _CallCrasher:
+    """Wrap io.prefetched_chunks: crash during invocation number
+    ``crash_call`` (0-based across the run — the sigma-clip streams
+    call it once for the align pass and once per moment sweep) after
+    ``limit`` yielded chunks; record every call's start index."""
+
+    def __init__(self, crash_call=None, limit=0):
+        self.crash_call = crash_call
+        self.limit = limit
+        self.calls = 0
+        self.starts = []
+        self._orig = _ORIG_PREFETCH
+
+    def __call__(self, files, chunk_size, h, w, start=1, **kw):
+        idx = self.calls
+        self.calls += 1
+        self.starts.append(start)
+        inner = self._orig(files, chunk_size, h, w, start=start, **kw)
+        crash = self.crash_call is not None and idx == self.crash_call
+
+        def gen():
+            for i, chunk in enumerate(inner):
+                if crash and i >= self.limit:
+                    raise RuntimeError("simulated crash")
+                yield chunk
+            if crash:
+                raise RuntimeError("simulated crash")
+
+        return gen()
+
+
+@pytest.fixture()
+def sigma_burst_dir(tmp_path):
+    """9 frames (8 aligned lanes + ref) so the kappa=2.0 clip can act."""
+    rng = np.random.default_rng(35)
+    h, w = 96, 128
+    small = rng.integers(0, 256, (h // 8, w // 8), np.uint8)
+    tex = small.repeat(8, 0).repeat(8, 1)
+    d = tmp_path / "sigma_burst"
+    d.mkdir()
+    for i in range(9):
+        f = np.roll(tex, i % 3, axis=1).copy()
+        if i == 5:  # single-frame streak for the clip to reject
+            f[40:43, 10:100] = 255
+        Image.fromarray(np.stack([f] * 3, -1)).save(d / f"f{i}.png")
+    return d
+
+
+def _sigma_params():
+    return EccMatchParameters(
+        motion_type=MotionType.Translation, max_count=40, epsilon=1e-4,
+        stacking="sigma_clip", sigma_kappa=2.0, sigma_iters=2,
+    )
+
+
+def test_ecc_sigma_stream_resumes_mid_sweep(
+    sigma_burst_dir, tmp_path, monkeypatch
+):
+    """Kill-and-resume INSIDE the sigma-clip moment sweeps (r4 VERDICT
+    item 9): the phase=1 checkpoint carries the pass index, chunk
+    cursor, partial accumulators and the pass's entry state, so the
+    resumed run re-decodes only the remaining sweep chunks and is
+    bit-identical to an uninterrupted run."""
+    files = io_mod.collect_image_files(sigma_burst_dir)
+    p = _sigma_params()
+    ref, ref_stats = ecc_match_stream(
+        files, p, chunk_size=2, return_stats=True
+    )
+    assert ref_stats.clipped_sample_frac > 0  # the streak was rejected
+
+    ck = tmp_path / "sigma_ck.npz"
+    # call 0 = align pass, 1 = initial moments sweep, 2 = clip pass 1:
+    # crash after 2 chunks of clip pass 1
+    crash = _CallCrasher(crash_call=2, limit=2)
+    monkeypatch.setattr(io_mod, "prefetched_chunks", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ecc_match_stream(
+            files, p, chunk_size=2,
+            checkpoint_path=ck, checkpoint_every=1,
+        )
+    assert ck.exists()
+
+    resume = _CallCrasher()
+    monkeypatch.setattr(io_mod, "prefetched_chunks", resume)
+    out, stats = ecc_match_stream(
+        files, p, chunk_size=2, checkpoint_path=ck, checkpoint_every=1,
+        return_stats=True,
+    )
+    # align pass skipped entirely; clip pass 1 resumed at chunk 2
+    # (frame index 4), clip pass 2 ran from the top
+    assert resume.starts == [4, 0], resume.starts
+    np.testing.assert_array_equal(out, ref)
+    assert not ck.exists()
+    assert stats.frames_total == 9
+    assert len(stats.ecc_rho) == 8  # align products rode the checkpoint
+    assert stats.clipped_sample_frac == ref_stats.clipped_sample_frac
+
+
+def test_ecc_sigma_stream_resumes_mid_align(
+    sigma_burst_dir, tmp_path, monkeypatch
+):
+    """Kill-and-resume during the sigma stream's ALIGN pass: the
+    phase=0 checkpoint carries the solved warps, so the resumed run
+    re-solves only the remaining chunks."""
+    files = io_mod.collect_image_files(sigma_burst_dir)
+    p = _sigma_params()
+    ref = ecc_match_stream(files, p, chunk_size=2)
+
+    ck = tmp_path / "sigma_ck.npz"
+    crash = _CallCrasher(crash_call=0, limit=2)
+    monkeypatch.setattr(io_mod, "prefetched_chunks", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ecc_match_stream(
+            files, p, chunk_size=2,
+            checkpoint_path=ck, checkpoint_every=1,
+        )
+    assert ck.exists()
+
+    resume = _CallCrasher()
+    monkeypatch.setattr(io_mod, "prefetched_chunks", resume)
+    out = ecc_match_stream(
+        files, p, chunk_size=2, checkpoint_path=ck, checkpoint_every=1,
+    )
+    # align resumed after the 1 checkpointed chunk (the crash fired in
+    # the prefetch-ahead of chunk 3, before chunk 2's save), then the
+    # three full sweeps
+    assert resume.starts == [3, 0, 0, 0], resume.starts
+    np.testing.assert_array_equal(out, ref)
+    assert not ck.exists()
+
+
+def test_keypoint_sigma_stream_resumes_mid_sweep(
+    sigma_burst_dir, tmp_path, monkeypatch
+):
+    """Keypoint-path counterpart of the mid-sweep resume."""
+    files = io_mod.collect_image_files(sigma_burst_dir)
+    p = KeyPointMatchParameters(
+        stacking="sigma_clip", sigma_kappa=2.0, sigma_iters=1
+    )
+    d_ref, ref = keypoint_match_stream(files, p, chunk_size=2, seed=5)
+
+    ck = tmp_path / "kp_sigma_ck.npz"
+    crash = _CallCrasher(crash_call=1, limit=2)  # initial moments sweep
+    monkeypatch.setattr(io_mod, "prefetched_chunks", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        keypoint_match_stream(
+            files, p, chunk_size=2, seed=5,
+            checkpoint_path=ck, checkpoint_every=1,
+        )
+    assert ck.exists()
+
+    resume = _CallCrasher()
+    monkeypatch.setattr(io_mod, "prefetched_chunks", resume)
+    d_out, out = keypoint_match_stream(
+        files, p, chunk_size=2, seed=5,
+        checkpoint_path=ck, checkpoint_every=1,
+    )
+    # align skipped; initial sweep resumed at chunk 2, clip pass full
+    assert resume.starts == [4, 0], resume.starts
+    assert d_out == d_ref
+    np.testing.assert_array_equal(out, ref)
+    assert not ck.exists()
+
+
 def test_keypoint_stream_checkpoint_resume(burst_dir, tmp_path, monkeypatch):
     files = io_mod.collect_image_files(burst_dir)
     p = KeyPointMatchParameters()
