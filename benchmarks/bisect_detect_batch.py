@@ -20,7 +20,11 @@ REPRO = os.path.join(HERE, "repro_detect_batch.py")
 
 def run_one(batch, extra_env=None, timeout=900):
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.join(HERE, "..")
+    # APPEND to PYTHONPATH: clobbering it hides the axon TPU plugin
+    # site dir (/root/.axon_site) and the backend disappears
+    env["PYTHONPATH"] = (
+        os.path.join(HERE, "..") + os.pathsep + env.get("PYTHONPATH", "")
+    )
     if extra_env:
         env.update(extra_env)
     t0 = time.time()

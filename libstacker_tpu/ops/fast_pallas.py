@@ -39,16 +39,20 @@ from .fast import CIRCLE_OFFSETS
 
 _TH = 128
 _TW = 128
-_PAD_T = 8  # top padding rows (>= 4-px halo, 8-aligned)
+_PAD_T = 8  # top padding rows (>= 4-px halo, 8-aligned; f32 windows)
+_PAD_T_U8 = 32  # uint8 windows: DMA offsets/shapes need 32-row alignment
 _PAD_L = 128  # left padding cols (>= 4-px halo, 128-aligned)
-_WH = _TH + 2 * _PAD_T  # 144: window rows (tile + halo capacity)
 _WW = _TW + 2 * _PAD_L  # 384: window cols
 
 
+def _pad_t(dtype) -> int:
+    return _PAD_T_U8 if dtype == jnp.uint8 else _PAD_T
+
+
 def _fast_kernel(
-    src_ref,  # ANY [N, HP, WP] f32 (padded: image at [PAD_T:, PAD_L:])
+    src_ref,  # ANY [N, HP, WP] f32 or u8 (padded: image at [pad_t:, PAD_L:])
     out_ref,  # VMEM [1, TH, TW] f32 — NMS'd score map tile
-    scratch,  # VMEM [2, WH, WW]
+    scratch,  # VMEM [2, WH, WW] (source dtype)
     sem,  # DMA semaphores [2]
     *,
     h: int,
@@ -57,15 +61,18 @@ def _fast_kernel(
     nx: int,
     threshold: float,
     border: int,
+    pad_t: int = _PAD_T,
 ):
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     nb = pl.num_programs(0)
 
+    wh = _TH + 2 * pad_t  # window rows (tile + halo capacity)
+
     def start_dma(b_, ti_, tj_, slot):
         pltpu.make_async_copy(
-            src_ref.at[b_, pl.ds(ti_ * _TH, _WH), pl.ds(tj_ * _TW, _WW)],
+            src_ref.at[b_, pl.ds(ti_ * _TH, wh), pl.ds(tj_ * _TW, _WW)],
             scratch.at[slot],
             sem.at[slot],
         ).start()
@@ -91,19 +98,30 @@ def _fast_kernel(
         start_dma(b_n, ti_n, tj_n, jax.lax.rem(nstep, 2))
 
     pltpu.make_async_copy(
-        src_ref.at[0, pl.ds(0, _WH), pl.ds(0, _WW)],  # shape-only
+        src_ref.at[0, pl.ds(0, wh), pl.ds(0, _WW)],  # shape-only
         scratch.at[slot],
         sem.at[slot],
     ).wait()
     win = scratch[slot]
+    if win.dtype == jnp.uint8:
+        # raw u8 window DMA'd (4x less traffic than a materialised f32
+        # copy), widened in-VMEM to bf16: every tree value is an
+        # integer difference in [-255, 255], exact in bf16 (same
+        # argument as ops/fast.py's XLA path), so scores are
+        # BIT-IDENTICAL to the f32 kernel.  Mosaic has no direct
+        # u8->bf16 cast; hop through int32 -> f32 (zero-extend, exact).
+        win = (
+            win.astype(jnp.int32).astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
 
     # scores are needed on the tile plus a 1-px halo (for NMS): an
     # extended (TH+2, TW+2) region.  Its pixel (0,0) is the tile's
-    # (-1,-1), sitting at window coords (PAD_T-1, PAD_L-1).
+    # (-1,-1), sitting at window coords (pad_t-1, PAD_L-1).
     eh, ew = _TH + 2, _TW + 2
-    oy, ox = _PAD_T - 1, _PAD_L - 1
+    oy, ox = pad_t - 1, _PAD_L - 1
     c = win[oy : oy + eh, ox : ox + ew]
-    t = jnp.float32(threshold)
+    t = jnp.asarray(threshold, win.dtype)
     e = [
         win[oy + dy : oy + dy + eh, ox + dx : ox + dx + ew] - c
         for (dx, dy) in CIRCLE_OFFSETS
@@ -123,9 +141,13 @@ def _fast_kernel(
             ]
         return v[0]
 
-    tb = list_max(arc9_min(e))
-    td = list_max(arc9_min([-ei for ei in e]))
-    corner = (tb > t) | (td > t)
+    # the min/max tree runs in the window dtype (bf16 for u8 sources —
+    # exact for integer differences); comparisons/score widen to f32
+    # (a bf16 compare crashed the Mosaic lowering)
+    tb = list_max(arc9_min(e)).astype(jnp.float32)
+    td = list_max(arc9_min([-ei for ei in e])).astype(jnp.float32)
+    tf = jnp.float32(threshold)
+    corner = (tb > tf) | (td > tf)
     score = jnp.maximum(tb, td) - 1.0
 
     # interior mask (FAST's own 3-px border), in GLOBAL image coords
@@ -173,22 +195,27 @@ def fast_scores_batched(
     edge_threshold band.  One fused pass per tile; natively batched
     (the frame axis is a grid dimension — a vmapped pallas_call would
     give the ANY-space source a per-batch index map, which the TPU
-    lowering rejects)."""
+    lowering rejects).  uint8 inputs keep their RAW dtype through the
+    window DMA (4x less traffic; r4's warp-kernel trick) and the
+    segment-test tree runs in bf16 — bit-identical scores, integer
+    differences in [-255, 255] are exact in bf16."""
     n, h, w = imgs.shape
-    x = imgs.astype(jnp.float32)
+    x = imgs if imgs.dtype == jnp.uint8 else imgs.astype(jnp.float32)
+    pad_t = _pad_t(x.dtype)
+    wh = _TH + 2 * pad_t
     ny = pl.cdiv(h, _TH)
     nx = pl.cdiv(w, _TW)
-    # pad: PAD_T top rows + PAD_L left cols; bottom/right so that every
+    # pad: pad_t top rows + PAD_L left cols; bottom/right so that every
     # tile's window [ti*TH, ti*TH + WH) x [tj*TW, tj*TW + WW) is in
     # range.  Values are irrelevant (keep_region masks them) — zeros.
-    hp = (ny - 1) * _TH + _WH
+    hp = (ny - 1) * _TH + wh
     wp = (nx - 1) * _TW + _WW
-    x = jnp.pad(x, ((0, 0), (_PAD_T, hp - h - _PAD_T),
+    x = jnp.pad(x, ((0, 0), (pad_t, hp - h - pad_t),
                     (_PAD_L, wp - w - _PAD_L)))
 
     kernel = functools.partial(
         _fast_kernel, h=h, w=w, ny=ny, nx=nx,
-        threshold=float(threshold), border=int(border),
+        threshold=float(threshold), border=int(border), pad_t=pad_t,
     )
     return pl.pallas_call(
         kernel,
@@ -200,7 +227,7 @@ def fast_scores_batched(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _WH, _WW), jnp.float32),
+            pltpu.VMEM((2, wh, _WW), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
