@@ -1075,9 +1075,13 @@ def ecc_match_stream(
             preserve_depth=preserve_depth, mesh=mesh,
             ckpt=ckpt, checkpoint_every=checkpoint_every,
             align_save=(
-                dict(warps=mats_np, ok=ok,
-                     iters=np.concatenate(all_iters),
-                     rho=np.concatenate(all_rho))
+                dict(
+                    warps=mats_np, ok=ok,
+                    iters=(np.concatenate(all_iters) if all_iters
+                           else np.zeros(0, np.int32)),
+                    rho=(np.concatenate(all_rho) if all_rho
+                         else np.zeros(0, np.float32)),
+                )
                 if ckpt is not None else None
             ),
             resume=sigma_resume,

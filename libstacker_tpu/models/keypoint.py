@@ -1011,9 +1011,13 @@ def keypoint_match_stream(
             preserve_depth=preserve_depth, mesh=mesh,
             ckpt=ckpt, checkpoint_every=checkpoint_every,
             align_save=(
-                dict(warps=mats_np, ok=ok,
-                     mc=np.concatenate(all_mc),
-                     ic=np.concatenate(all_ic))
+                dict(
+                    warps=mats_np, ok=ok,
+                    mc=(np.concatenate(all_mc) if all_mc
+                        else np.zeros(0, np.int32)),
+                    ic=(np.concatenate(all_ic) if all_ic
+                        else np.zeros(0, np.int32)),
+                )
                 if ckpt is not None else None
             ),
             resume=sigma_resume,

@@ -198,25 +198,26 @@ def test_sigma_clip_param_validation_and_streaming_guard(tmp_path):
                 border_mode=constants.BORDER_REPLICATE,
             ),
         )
-    # streaming sigma-clip works (r3 VERDICT item 6) but has no
-    # resumable cursor yet: the checkpoint combination must refuse
+    # streaming sigma-clip + checkpoint COMPOSES since r5 (r4 VERDICT
+    # item 9; kill-and-resume covered by test_stream_checkpoint.py) —
+    # a 1-frame burst degenerates to the reference frame and completes
     from libstacker_tpu import ecc_match_stream, keypoint_match_stream
 
     p = tmp_path / "f0.png"
     cv2.imwrite(str(p), np.zeros((32, 32, 3), np.uint8))
-    with pytest.raises(InvalidParamsError, match="checkpoint"):
-        ecc_match_stream(
-            [str(p)],
-            EccMatchParameters(
-                motion_type=MotionType.Translation, stacking="sigma_clip"
-            ),
-            checkpoint_path=str(tmp_path / "ck.npz"),
-        )
-    with pytest.raises(InvalidParamsError, match="checkpoint"):
-        keypoint_match_stream(
-            [str(p)], KeyPointMatchParameters(stacking="sigma_clip"),
-            checkpoint_path=str(tmp_path / "ck2.npz"),
-        )
+    out = ecc_match_stream(
+        [str(p)],
+        EccMatchParameters(
+            motion_type=MotionType.Translation, stacking="sigma_clip"
+        ),
+        checkpoint_path=str(tmp_path / "ck.npz"),
+    )
+    assert out.shape == (32, 32, 3)
+    _, out = keypoint_match_stream(
+        [str(p)], KeyPointMatchParameters(stacking="sigma_clip"),
+        checkpoint_path=str(tmp_path / "ck2.npz"),
+    )
+    assert out.shape == (32, 32, 3)
     # super-resolution still refuses to stream
     with pytest.raises(InvalidParamsError, match="output_scale"):
         ecc_match_stream(
