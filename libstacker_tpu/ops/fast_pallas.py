@@ -121,7 +121,6 @@ def _fast_kernel(
     eh, ew = _TH + 2, _TW + 2
     oy, ox = pad_t - 1, _PAD_L - 1
     c = win[oy : oy + eh, ox : ox + ew]
-    t = jnp.asarray(threshold, win.dtype)
     e = [
         win[oy + dy : oy + dy + eh, ox + dx : ox + dx + ew] - c
         for (dx, dy) in CIRCLE_OFFSETS
