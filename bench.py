@@ -588,6 +588,7 @@ def run_secondaries(ecc_frames, bl):
             phase_init=True, coarse_levels=1,
         )
         pkw.update(kwargs.pop("params", {}))
+        stats_stage = kwargs.pop("stats_stage", False)
         params = EccMatchParameters(**pkw)
         log(f"secondary: {name} ({n_frames}f)...")
 
@@ -609,12 +610,28 @@ def run_secondaries(ecc_frames, bl):
             log(f"secondary {name} FAILED: {e!r}")
             summary[name + "_error"] = repr(e)
             return
-        emit({
+        rec = {
             "metric": f"{name}_{n_frames}f_{H}x{W}",
             "value": round(n_frames / dt, 3),
             "unit": "frames/sec",
             "warmup_s": round(warm_s - dt, 1),
-        })
+        }
+        if stats_stage:
+            # untimed extra pass for the solve-quality stage record
+            _, st = ecc_match_arrays(
+                sub, params, on_failure="drop", device_output=True,
+                return_stats=True, **kwargs,
+            )
+            rec["stages"] = {
+                "iters_mean": round(
+                    float(np.mean(st.ecc_iterations)), 2
+                ) if st.ecc_iterations else None,
+                "rho_mean": round(
+                    float(np.mean(st.ecc_rho)), 6
+                ) if st.ecc_rho else None,
+                "n_kept": st.frames_kept,
+            }
+        emit(rec)
 
     timed_pipeline(
         "ecc_sigma_clip", 16,
@@ -626,11 +643,13 @@ def run_secondaries(ecc_frames, bl):
     timed_pipeline("ecc_super_res_x2", 8, params=dict(output_scale=2))
     # BASELINE config 2 (r4 VERDICT item 4): the cheapest motion model
     # with OpenCV-style deep criteria (max_count=2500, eps=1e-4 — eps
-    # terminates long before 2500, like the reference's TermCriteria)
+    # terminates long before 2500, like the reference's TermCriteria).
+    # Stage split: solve-quality stats from an untimed stats pass.
     timed_pipeline(
         "ecc_translation_mc2500", 16,
         params=dict(motion_type=MotionType.Translation, max_count=2500,
                     epsilon=1e-4),
+        stats_stage=True,
     )
     sharpness_rank_stack(ecc_frames, bl, summary, emit, left)
     return summary
@@ -672,12 +691,20 @@ def sharpness_rank_stack(ecc_frames, bl, summary, emit, left, n_frames=16):
         keep = order[1:][::-1]  # drop worst, sharpest becomes frame 0
         return jnp.take(frames_u8, keep, axis=0), scores
 
-    def once():
-        burst, _ = rank(sub)
+    def once(stage=None):
+        t0 = time.perf_counter()
+        burst, scores = rank(sub)
+        if stage is not None:
+            jax.block_until_ready(burst)
+            stage["rank_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
         out = ecc_match_arrays(
             burst, params, on_failure="drop", device_output=True
         )
-        return float(out[0, 0, 0])  # scalar sync, no image D2H
+        r = float(out[0, 0, 0])  # scalar sync, no image D2H
+        if stage is not None:
+            stage["stack_s"] = round(time.perf_counter() - t0, 3)
+        return r
 
     log(f"secondary: {name} ({n_frames}f)...")
     try:
@@ -687,6 +714,8 @@ def sharpness_rank_stack(ecc_frames, bl, summary, emit, left, n_frames=16):
         t0 = time.perf_counter()
         once()
         dt = time.perf_counter() - t0
+        stage = {}
+        once(stage=stage)  # untimed stage-split pass (syncs perturb)
     except Exception as e:  # pragma: no cover - diagnostics only
         log(f"secondary {name} FAILED: {e!r}")
         summary[name + "_error"] = repr(e)
@@ -696,6 +725,7 @@ def sharpness_rank_stack(ecc_frames, bl, summary, emit, left, n_frames=16):
         "value": round(n_frames / dt, 3),
         "unit": "frames/sec",
         "warmup_s": round(warm_s - dt, 1),
+        "stages": stage,
     })
 
 
