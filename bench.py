@@ -489,7 +489,7 @@ def run_secondaries(ecc_frames, bl):
     def emit(rec):
         print(json.dumps(rec), flush=True)
         summary[rec["metric"]] = {
-            k: rec[k] for k in ("value", "unit", "warmup_s")
+            k: rec[k] for k in ("value", "unit", "warmup_s", "stages")
             if k in rec
         }
 

@@ -18,7 +18,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPRO = os.path.join(HERE, "repro_detect_batch.py")
 
 
-def run_one(batch, extra_env=None, timeout=900):
+def run_one(batch, extra_env=None, timeout=1500):
     env = dict(os.environ)
     # APPEND to PYTHONPATH: clobbering it hides the axon TPU plugin
     # site dir (/root/.axon_site) and the backend disappears
