@@ -222,6 +222,43 @@ def test_sharded_flops_scale_with_data_axis(burst):
     assert k4 <= k1 / 3.0, (k1, k4)
 
 
+def test_sharded_slab_program_is_bounded(burst):
+    """r4 VERDICT item 8 pinned at the program level: ONE invocation of
+    the sharded solve-slab program advances every lane by at most
+    ``slab_iters`` Gauss-Newton iterations — the full ``num_iters``
+    budget (e.g. max_count=2500) is spread over bounded device programs
+    by the host drive loop, so no single program can trip the TPU
+    runtime's long-program watchdog."""
+    from libstacker_tpu.ops import ecc as ecc_ops
+
+    n = burst.shape[0]
+    mesh = pmesh.make_mesh(jax.devices()[:4], data=4, spatial=1)
+    ref_grey = color.rgb_to_gray_u8(jnp.asarray(burst[0])).astype(
+        jnp.float32
+    )
+    image_f, gx, gy = ecc_ops._ecc_prepare_input_jit(ref_grey, 5)
+    prep = pmesh._ecc_prep_program(
+        mesh, None, (), 5, False, MotionType.Translation
+    )
+    (tmpl_f,) = prep(jnp.asarray(burst), ref_grey)
+    carry = pmesh._sharded_carry_init(
+        n, MotionType.Translation, "forward", 1e-12, None, None
+    )
+    slab = pmesh._ecc_slab_program(
+        mesh, MotionType.Translation, 2500, 1e-12, 3, False, 7,
+        "forward", False,
+    )
+    out = slab(tmpl_f, image_f, gx, gy, *carry)
+    it = np.asarray(out[3])
+    # the program is BOUNDED at slab_iters=3, never the 2500 budget;
+    # eps=1e-12 keeps most lanes unconverged (frame 0's self-aligned
+    # lane can hit exact convergence earlier)
+    assert it.max() == 3 and (it == 3).sum() >= n - 1, it
+    # a second invocation resumes where the first stopped
+    out2 = slab(tmpl_f, image_f, gx, gy, *out[:-2])
+    assert np.asarray(out2[3]).max() == 6
+
+
 def test_sharded_keypoint_stack_matches_unsharded():
     """keypoint_stack_step (DP over frames, in-graph band gate) equals
     the same program on a 1-device mesh, and both keep every frame."""
