@@ -74,15 +74,16 @@ def detect_chunk_budget(n: int, h: int, w: int) -> int:
 
     The fused FAST formulation (ops/fast.py) keeps ~8 image-sized live
     f32 buffers per frame after XLA fusion (was ~20 with the
-    rolled/stacked form).  The budget targets 10-frame chunks at 4K:
-    with the gather rBRIEF (ops/orb.py) batch 10 is stable and runs
-    ~21 ms/frame vs ~27 at batch 4 on v5e.  **Batch 20 at 4K
-    reproducibly faults the device** (same XLA bug family the one-hot
-    rBRIEF hit at batch 10; repro: benchmarks/repro_detect_batch.py),
-    so the budget must stay under ~5.3 GB of transients — fenced by
+    rolled/stacked form).  The budget targets 20-frame chunks at 4K:
+    batch 20 measures 43.4 vs 41.7 fps e2e (detect 16.0 vs
+    17.3 ms/frame) against batch 10 on v5e.  History: batch 20 at 4K
+    REPRODUCIBLY faulted the r3/r4 TPU runtime (the r4 chunk budget
+    pinned 10); the 2026-08-21 runtime no longer faults at batch
+    12/16/20 (bisect driver: benchmarks/bisect_detect_batch.py), so
+    the budget was raised to the measured-faster batch — fenced by
     tests/test_pipeline_keypoint.py::test_detect_chunk_budget_fence.
     """
-    budget = int(2.7e9)  # bytes of transient detection state
+    budget = int(5.4e9)  # bytes of transient detection state
     per_frame = 8 * h * w * 4
     return max(1, min(n, budget // max(per_frame, 1)))
 

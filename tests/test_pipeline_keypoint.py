@@ -217,16 +217,17 @@ def test_keypoint_match_tiny_scale_drops_all():
 
 
 def test_detect_chunk_budget_fence():
-    """Regression fence for the batch-20 4K detection device fault (r3
-    VERDICT weak #3; repro checked in at
-    benchmarks/repro_detect_batch.py): the chunk budget must keep any
-    single detection dispatch at 4K strictly below the faulting batch,
-    while not regressing below the measured-stable batch 10."""
+    """Fence for the 4K detection chunk budget.  History: batch 20
+    reproducibly faulted the r3/r4 TPU runtime (the fence then pinned
+    the budget below 20); the 2026-08-21 runtime completes batch
+    12/16/20 (benchmarks/bisect_detect_batch.py) and batch 20 measures
+    FASTER, so the budget now targets 20 at 4K.  The fence keeps the
+    dispatch within the measured-stable envelope — raise it only with
+    a fresh bisect run on the current runtime."""
     from libstacker_tpu.models.keypoint import detect_chunk_budget
 
     chunk_4k = detect_chunk_budget(100, 2160, 3840)
-    assert chunk_4k < 20, chunk_4k  # the faulting batch
-    assert chunk_4k >= 10, chunk_4k  # the measured-stable/perf batch
+    assert chunk_4k == 20, chunk_4k  # measured-stable AND faster
     # smaller grids may batch more, monotonically
     assert detect_chunk_budget(100, 1080, 1920) >= chunk_4k
     assert detect_chunk_budget(3, 2160, 3840) == 3  # never exceeds n
